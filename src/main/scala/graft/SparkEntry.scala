@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{QueryDef, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry in [[queries]] is one operator from SURVEY §2 (or a
+  * beyond-reference pipeline operator); [[oracleSql]] carries the DuckDB
+  * equivalent the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
+
+  private def all: Map[String, QueryDef] =
+    Relational.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all("q02_revenue_by_nation").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, d) => k -> d.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
 }

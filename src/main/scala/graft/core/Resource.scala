@@ -1,0 +1,116 @@
+package graft.core
+
+/** Catalog ("resource") model: Collection → Experiment → CoordinateFrame →
+  * Channel, mirroring the reference's schema hierarchy
+  * (`spdb/project/resource.py:121,138,172,225`). In the Spark engine this is
+  * plain driver-side metadata: it selects the voxel datatype, chunk geometry,
+  * resolution scaling, and the `lookupKey` used in every physical key.
+  */
+final case class Collection(name: String, description: String = "")
+
+/** Hierarchy method for the resolution pyramid (`resource.py:45-118`). */
+sealed trait HierarchyMethod
+object HierarchyMethod {
+  case object Isotropic extends HierarchyMethod
+  case object Anisotropic extends HierarchyMethod
+  def parse(s: String): HierarchyMethod = s.toLowerCase match {
+    case "isotropic" => Isotropic
+    case _           => Anisotropic
+  }
+}
+
+final case class CoordinateFrame(
+    name: String,
+    xStart: Long, xStop: Long,
+    yStart: Long, yStop: Long,
+    zStart: Long, zStop: Long,
+    xVoxelSize: Double = 1.0, yVoxelSize: Double = 1.0, zVoxelSize: Double = 1.0,
+    voxelUnit: String = "nanometers") {
+  def extent: (Long, Long, Long) = (xStop - xStart, yStop - yStart, zStop - zStart)
+}
+
+final case class Experiment(
+    name: String,
+    numHierarchyLevels: Int = 1,
+    hierarchyMethod: HierarchyMethod = HierarchyMethod.Anisotropic,
+    numTimeSamples: Int = 1,
+    timeStep: Long = 0,
+    timeStepUnit: String = "milliseconds")
+
+/** Voxel datatypes the reference supports (`spdb/spatialdb/cube.py:442-451`).
+  * Stored in Spark as the narrowest signed type and widened/masked in
+  * compute (uint8 → Byte & 0xFF, uint16 → Short & 0xFFFF, uint64 → Long).
+  */
+sealed abstract class VoxelType(val byteWidth: Int, val name: String)
+object VoxelType {
+  case object UInt8 extends VoxelType(1, "uint8")
+  case object UInt16 extends VoxelType(2, "uint16")
+  case object UInt64 extends VoxelType(8, "uint64")
+  def parse(s: String): VoxelType = s.toLowerCase match {
+    case "uint8"  => UInt8
+    case "uint16" => UInt16
+    case "uint64" => UInt64
+    case other    => throw new IllegalArgumentException(s"unsupported datatype: $other")
+  }
+}
+
+sealed trait ChannelType
+object ChannelType {
+  case object Image extends ChannelType
+  case object Annotation extends ChannelType
+}
+
+final case class Channel(
+    name: String,
+    channelType: ChannelType,
+    datatype: VoxelType,
+    baseResolution: Int = 0,
+    sources: Seq[String] = Nil,
+    related: Seq[String] = Nil,
+    defaultTimeSample: Int = 0) {
+  def isImage: Boolean = channelType == ChannelType.Image
+  def isAnnotation: Boolean = channelType == ChannelType.Annotation
+}
+
+/** A fully-resolved resource: everything a query needs to address and
+  * decode a channel's cuboids (`spdb/project/basicresource.py:20`).
+  *
+  * `bossKey` is the human key `col&exp&chan`; `lookupKey` is the stable
+  * numeric form used in physical storage keys (`resource.py:292-295`).
+  */
+final case class Resource(
+    collection: Collection,
+    experiment: Experiment,
+    coordFrame: CoordinateFrame,
+    channel: Channel,
+    lookupKey: String) {
+  def bossKey: String = s"${collection.name}&${experiment.name}&${channel.name}"
+
+  /** Extent at a resolution level: 2x downscale per level in x/y; z only
+    * scales under the isotropic method (`resource.py:45-118`).
+    */
+  def extentAt(res: Int): (Long, Long, Long) = {
+    val (ex, ey, ez) = coordFrame.extent
+    val f = 1L << res
+    val zf = experiment.hierarchyMethod match {
+      case HierarchyMethod.Isotropic => f
+      case HierarchyMethod.Anisotropic => 1L
+    }
+    (math.max(1L, ex / f), math.max(1L, ey / f), math.max(1L, ez / zf))
+  }
+}
+
+object Resource {
+  /** Test fixture mirroring the reference suite's channel dicts
+    * (`spdb/project/test/resource_setup.py:1-93`).
+    */
+  def fixture(datatype: VoxelType, lookupKey: String = "4&3&2"): Resource = {
+    val ct = if (datatype == VoxelType.UInt64) ChannelType.Annotation else ChannelType.Image
+    Resource(
+      Collection("col1"),
+      Experiment("exp1", numHierarchyLevels = 7),
+      CoordinateFrame("frame1", 0, 2048, 0, 2048, 0, 128, 4, 4, 35),
+      Channel("ch1", ct, datatype),
+      lookupKey)
+  }
+}

@@ -1,0 +1,287 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Morton, Region, VoxelType}
+import graft.storage.{CuboidCodec, CuboidRow, CuboidStore, VoxelRow}
+
+/** The engine façade: Spark-first restatements of the reference's
+  * `SpatialDB` entry points (`spdb/spatialdb/spatialdb.py`). Every operator
+  * is a declarative DataFrame transform — Catalyst handles pushdown,
+  * pruning, and join strategy; nothing here collects large data to the
+  * driver.
+  */
+object SpatialOps {
+  import Region.{Box, CuboidDims}
+
+  /** Integer division for non-negative coordinate columns (Spark's `/` is
+    * double division). Exact for values well below 2^53 — coordinates are
+    * bounded by 21 bits per axis.
+    */
+  private def idiv(c: Column, d: Long): Column = floor(c / d).cast("long")
+
+  private def boxPredicate(b: Box): Column =
+    col("x") >= b.x0 && col("x") < b.x1 &&
+      col("y") >= b.y0 && col("y") < b.y1 &&
+      col("z") >= b.z0 && col("z") < b.z1
+
+  /** Arbitrary-region cutout over the voxel plane
+    * (reference `spatialdb.py:360-715`, restated per SURVEY §3.1): the
+    * 10-step fetch/assemble/trim dance collapses to one filtered scan —
+    * coordinate predicates push into the parquet scan; missing cuboids
+    * need no zero-fill because absent voxels simply produce no rows.
+    */
+  def cutout(voxels: DataFrame, box: Box, tRange: Range = 0 until 1): DataFrame =
+    voxels.where(boxPredicate(box) && col("t") >= tRange.start && col("t") < tRange.end)
+
+  /** Cutout from the cuboid store: prune to covering cuboids *before*
+    * decoding blobs (the reference's index-first tactic, `spatialdb.py:
+    * 451-475`), so the voxel explosion factor never touches data outside
+    * the region. Pruning uses the morton range [min,max] of the covering
+    * set — correct because Z-order is monotone per axis — plus an exact
+    * `isin` when the covering set is small.
+    */
+  def cutoutFromStore(
+      spark: SparkSession,
+      path: String,
+      lookupKey: String,
+      res: Int,
+      box: Box,
+      tRange: Range = 0 until 1,
+      vt: VoxelType = VoxelType.UInt64,
+      dims: CuboidDims = CuboidDims()): DataFrame = {
+    import spark.implicits._
+    val mortons = Region.coveringMortons(box, dims)
+    var cubs = CuboidStore.read(spark, path)
+      .where(col("lookupKey") === lookupKey && col("res") === res)
+      .where(col("t") >= tRange.start && col("t") < tRange.end)
+      .where(col("morton") >= mortons.head && col("morton") <= mortons.last)
+    if (mortons.size <= 4096) cubs = cubs.where(col("morton").isin(mortons: _*))
+    cutout(CuboidCodec.toVoxels(cubs.as[CuboidRow], vt, dims).toDF(), box, tRange)
+  }
+
+  /** Write-merge rule M1 (`spdb/c_lib/c_version/overwriteDense.c:26`):
+    * incoming non-zero voxels win; existing voxels survive where the
+    * incoming write is zero/absent. Expressed as a full outer join on the
+    * voxel key — on an ACID table this is a single MERGE INTO (SURVEY
+    * §3.2); the reference's Redis write-buffer/page-out machinery (W2-W5)
+    * disappears under atomic commits.
+    */
+  def overwriteMerge(existing: DataFrame, incoming: DataFrame): DataFrame =
+    mergeWith(existing, incoming,
+      (d, s) => when(s.isNotNull && s =!= 0, s).otherwise(coalesce(d, lit(0L))))
+
+  /** M2 `exceptionDense.c:26`: fill-only — incoming writes only land on
+    * zero/absent voxels.
+    */
+  def exceptionMerge(existing: DataFrame, incoming: DataFrame): DataFrame =
+    mergeWith(existing, incoming,
+      (d, s) => when((d.isNull || d === 0) && s.isNotNull && s =!= 0, s)
+        .otherwise(coalesce(d, lit(0L))))
+
+  /** M3 `shaveDense.c:26` / W8 cutout-to-black (`cube.py:264-291`): zero
+    * voxels wherever the mask is non-zero.
+    */
+  def shaveMerge(existing: DataFrame, mask: DataFrame): DataFrame =
+    mergeWith(existing, mask,
+      (d, s) => when(s.isNotNull && s =!= 0, lit(0L)).otherwise(coalesce(d, lit(0L))))
+
+  private def mergeWith(
+      existing: DataFrame,
+      incoming: DataFrame,
+      rule: (Column, Column) => Column): DataFrame = {
+    val keys = Seq("lookupKey", "res", "t", "x", "y", "z")
+    val d = existing.withColumnRenamed("value", "dst")
+    val s = incoming.withColumnRenamed("value", "src")
+    d.join(s, keys, "full_outer")
+      .select(
+        keys.map(col) :+ rule(col("dst"), col("src")).cast("long").as("value"): _*)
+  }
+
+  /** P5 filtered cutout (`filterCutoutOMP.c:22`): zero every voxel whose
+    * label is not in the filter set. Short lists stay as an `isin`
+    * predicate (codegen'd); large lists become a broadcast left-semi join.
+    */
+  def filterIds(voxels: DataFrame, ids: Seq[Long]): DataFrame =
+    if (ids.size <= 64)
+      voxels.withColumn("value",
+        when(col("value").isin(ids: _*), col("value")).otherwise(0L))
+    else {
+      val spark = voxels.sparkSession
+      import spark.implicits._
+      val idDf = broadcast(ids.toDF("fid"))
+      voxels.join(idDf, voxels("value") === idDf("fid"), "left_outer")
+        .withColumn("value", when(col("fid").isNotNull, col("value")).otherwise(0L))
+        .drop("fid")
+    }
+
+  /** M4 `annotateEntityDense.c:26`: relabel every non-zero voxel. */
+  def annotateEntity(voxels: DataFrame, entityId: Long): DataFrame =
+    voxels.withColumn("value", when(col("value") =!= 0, lit(entityId)).otherwise(0L))
+
+  /** M5 `mergeCube.c:29`: relabel oldId → newId. */
+  def relabel(voxels: DataFrame, oldId: Long, newId: Long): DataFrame =
+    voxels.withColumn("value", when(col("value") === oldId, lit(newId)).otherwise(col("value")))
+
+  /** A1/A2 unique ids in a region (`spdb/spatialdb/object.py:778-831`).
+    * The reference's hybrid interior-index/boundary-cutout split (SURVEY
+    * §3.3) is a *materialized-view substitution*: see [[idsInRegionIndexed]].
+    * The direct form is one distinct aggregate — partial aggregation
+    * (map-side combine) makes this shuffle only distinct ids.
+    */
+  def idsInRegion(voxels: DataFrame, box: Box, tRange: Range = 0 until 1): DataFrame =
+    cutout(voxels, box, tRange)
+      .where(col("value") =!= 0)
+      .select(col("value").as("id"))
+      .distinct()
+
+  /** Index-first ids-in-region: interior cuboids answered from the
+    * cuboid_index table (no voxel IO), boundary slabs from voxel data —
+    * exactly the reference's plan (`object.py:778-831`) but with both
+    * sides as DataFrames unioned under one distinct.
+    */
+  def idsInRegionIndexed(
+      voxels: DataFrame,
+      cuboidIndex: DataFrame,
+      box: Box,
+      dims: CuboidDims = CuboidDims(),
+      tRange: Range = 0 until 1): DataFrame = {
+    val dec = Region.decompose(box, dims)
+    val interiorIds: DataFrame =
+      if (dec.interior.isEmpty) voxels.sparkSession.emptyDataFrame.selectExpr("CAST(NULL AS LONG) AS id").limit(0)
+      else {
+        val ms = Region.coveringMortons(dec.interior, dims)
+        cuboidIndex
+          .where(col("t") >= tRange.start && col("t") < tRange.end)
+          .where(col("morton") >= ms.head && col("morton") <= ms.last &&
+            col("morton").isin(ms: _*))
+          .select(explode(col("id_set")).as("id"))
+      }
+    val boundaryIds = dec.boundaries
+      .map(b => idsInRegion(voxels, b, tRange))
+      .reduceOption(_ union _)
+      .getOrElse(interiorIds.limit(0))
+    interiorIds.union(boundaryIds).distinct()
+  }
+
+  /** A9 index-maintenance job (`spdb/spatialdb/object_indices.py:730-817`):
+    * one pass builds the cuboid→ids index (the reference's DynamoDB
+    * s3-index) — per-cuboid id sets, sorted for determinism. The 400 KB
+    * chunking/CAS machinery disappears: Parquet has no item ceiling.
+    */
+  def buildCuboidIndex(voxels: DataFrame, dims: CuboidDims = CuboidDims()): DataFrame =
+    voxels.where(col("value") =!= 0)
+      .groupBy(
+        col("lookupKey"), col("res"), col("t"),
+        Morton.morton_encode(
+          idiv(col("x"), dims.x),
+          idiv(col("y"), dims.y),
+          idiv(col("z"), dims.z)).as("morton"))
+      .agg(sort_array(collect_set(col("value"))).as("id_set"))
+
+  /** A9 inverse: id→cuboids index (the reference's DynamoDB id-index). */
+  def buildIdIndex(voxels: DataFrame, dims: CuboidDims = CuboidDims()): DataFrame =
+    voxels.where(col("value") =!= 0)
+      .groupBy(
+        col("lookupKey"), col("res"), col("value").as("id"))
+      .agg(sort_array(collect_set(
+        Morton.morton_encode(
+          idiv(col("x"), dims.x),
+          idiv(col("y"), dims.y),
+          idiv(col("z"), dims.z)))).as("mortons"))
+
+  /** A3 loose bounding box (`object_indices.py:373-432`): min/max cuboid
+    * extents from the id_index — no voxel IO.
+    */
+  def boundingBoxLoose(idIndex: DataFrame, id: Long, dims: CuboidDims = CuboidDims()): DataFrame =
+    idIndex.where(col("id") === id)
+      .select(col("id"), explode(col("mortons")).as("m"))
+      .select(
+        col("id"),
+        Morton.morton_x(col("m")).as("cx"),
+        Morton.morton_y(col("m")).as("cy"),
+        Morton.morton_z(col("m")).as("cz"))
+      .groupBy(col("id"))
+      .agg(
+        (min("cx") * dims.x).as("x_min"), ((max("cx") + 1) * dims.x).as("x_max"),
+        (min("cy") * dims.y).as("y_min"), ((max("cy") + 1) * dims.y).as("y_max"),
+        (min("cz") * dims.z).as("z_min"), ((max("cz") + 1) * dims.z).as("z_max"))
+
+  /** A4 tight bounding box (`object_indices.py:434-623`): the reference's
+    * six-face-cutout dance is a single grouped min/max over the voxel
+    * plane.
+    */
+  def boundingBoxTight(voxels: DataFrame, id: Long): DataFrame =
+    voxels.where(col("value") === id)
+      .groupBy(col("value").as("id"))
+      .agg(
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"),
+        min("z").as("z_min"), max("z").as("z_max"))
+
+  /** A6 image downsample / zoomOut (`spdb/c_lib/c_version/zoomData.c:
+    * 29-74`): stride-2^f point sampling (the reference samples, it does
+    * not average) + coordinate rescale.
+    */
+  def zoomOut(voxels: DataFrame, factor: Int): DataFrame = {
+    val f = 1L << factor
+    voxels.where(col("x") % f === 0 && col("y") % f === 0)
+      .select(
+        col("lookupKey"), col("res"), col("t"),
+        idiv(col("x"), f).as("x"),
+        idiv(col("y"), f).as("y"),
+        col("z"), col("value"))
+  }
+
+  /** A7 image upsample / zoomIn (`zoomData.c:77-146`): nearest-neighbor
+    * 2^f replication via a generator (explode), fully distributed.
+    */
+  def zoomIn(voxels: DataFrame, factor: Int): DataFrame = {
+    val f = (1L << factor).toInt
+    val offsets = array((0 until f).map(lit(_)): _*)
+    voxels
+      .withColumn("ox", explode(offsets))
+      .withColumn("oy", explode(offsets))
+      .select(
+        col("lookupKey"), col("res"), col("t"),
+        (col("x") * f + col("ox")).as("x"),
+        (col("y") * f + col("oy")).as("y"),
+        col("z"), col("value"))
+  }
+
+  /** A5 annotation downsample: 2x2x(1|2) reduction with the reference's
+    * vote rule (`spdb/c_lib/c_version/addData.c:28-70`): prefer a repeated
+    * non-zero value, else the first non-zero in scan order. Grouped by the
+    * parent-cell coordinate; the vote itself is [[VoteAggregator]] (a
+    * typed `Aggregator`, since mode-with-tiebreak is not a Spark
+    * built-in).
+    */
+  def downsampleAnnotation(voxels: DataFrame, scaleZ: Boolean = false): DataFrame = {
+    val zDiv = if (scaleZ) 2L else 1L
+    val vote = VoteAggregator.asUdaf
+    voxels.where(col("value") =!= 0)
+      .groupBy(
+        col("lookupKey"), col("res"), col("t"),
+        idiv(col("x"), 2).as("x"),
+        idiv(col("y"), 2).as("y"),
+        idiv(col("z"), zDiv).as("z"))
+      // scan order inside the 2x2x(1|2) cell: z-major then y then x,
+      // matching the C kernel's slice-then-row iteration order
+      .agg(vote(
+        (col("z") % zDiv) * 4 + (col("y") % 2) * 2 + col("x") % 2,
+        col("value")).as("value"))
+  }
+
+  /** F5 false-color recolor (`spdb/c_lib/c_version/recolorCube.c:28-56`):
+    * non-zero label → palette[id % 217] packed RGB. The palette is a
+    * broadcast-free literal array; lookup stays in codegen via
+    * `element_at`.
+    */
+  def recolor(voxels: DataFrame, palette: Array[Long]): DataFrame = {
+    val pal = array(palette.map(lit(_)): _*)
+    voxels.withColumn("rgb",
+      when(col("value") =!= 0, element_at(pal, (col("value") % palette.length).cast("int") + 1))
+        .otherwise(0L))
+  }
+}

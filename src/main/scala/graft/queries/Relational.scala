@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface over the driver's TPC-H-ish tables: the
+  * join/aggregate/window/set-op shapes of SURVEY §2.3-2.7 that Spark
+  * supplies natively. These also serve as the bench headliners — each is
+  * written scale-first (broadcast for dimension tables, decimal arithmetic
+  * for exact oracle parity, pushdown-friendly predicates).
+  */
+object Relational {
+  import QueryDef.tbl
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // A-series shape: grouped aggregation with partial (map-side) combine.
+    "q01_pricing_summary" -> QueryDef(
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+            sum((col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(18,4)")).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "))),
+
+    // J-series shape: multi-way equi-join, dimensions broadcast.
+    "q02_revenue_by_nation" -> QueryDef(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        val n = tbl(s, dir, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum((col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(18,4)")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "))),
+
+    // O-series: global top-k (orderBy + limit), deterministic tie-break.
+    "q03_topk_orders" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    // Window functions (SURVEY §2.5: free from Spark, exercised anyway).
+    "q04_window_rank" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        tbl(s, dir, "supplier")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("s_nationkey"), col("s_suppkey"),
+            col("s_acctbal").cast("decimal(18,2)").as("s_acctbal"), col("rk"))
+          .orderBy(col("s_nationkey"), col("rk"))
+      },
+      Some("""SELECT s_nationkey, s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal, rk
+             |FROM (SELECT s_nationkey, s_suppkey, s_acctbal,
+             |  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rk
+             |  FROM supplier) WHERE rk <= 3
+             |ORDER BY s_nationkey, rk""".stripMargin.replace("\n", " "))),
+
+    // W-series shape: tumbling event-time window (batch form of the
+    // Structured Streaming agg; integer epoch buckets for oracle parity).
+    "q05_events_tumbling" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .select(expr("unix_millis(ts) div 300000").as("bucket"),
+            col("event_type"), col("value"))
+          .groupBy(col("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("total"))
+          .orderBy(col("bucket"), col("event_type")),
+      Some("""SELECT epoch_ms(ts) // 300000 AS bucket, event_type,
+             |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+             |FROM events GROUP BY bucket, event_type
+             |ORDER BY bucket, event_type""".stripMargin.replace("\n", " "))),
+
+    // J1/S3 existence semi-join (requested-keys x cache-contents shape).
+    "q06_semi_join" -> QueryDef(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders").select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace("\n", " "))),
+
+    // J2/S6 anti-join (missing-keys probe shape).
+    "q07_anti_join" -> QueryDef(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders").select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_nationkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // T1 union+distinct / T2 except / T4 intersect (set ops on id sets).
+    "q08_union_ids" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk"))
+          .union(tbl(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nk")))
+          .distinct().orderBy(col("nk")),
+      Some("""SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+             |UNION SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+             |ORDER BY nk""".stripMargin.replace("\n", " "))),
+
+    "q09_except_ids" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk")).distinct()
+          .except(tbl(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nk")).distinct())
+          .orderBy(col("nk")),
+      Some("""SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer
+             |EXCEPT SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier
+             |ORDER BY nk""".stripMargin.replace("\n", " "))),
+
+    "q10_intersect_ids" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk")).distinct()
+          .intersect(tbl(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nk")).distinct())
+          .orderBy(col("nk")),
+      Some("""SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer
+             |INTERSECT SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier
+             |ORDER BY nk""".stripMargin.replace("\n", " ")))
+  )
+}
