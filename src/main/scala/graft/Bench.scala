@@ -1,5 +1,15 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON metric line on stdout and also
+  * writes it to bench.json (so the driver's parser can't lose it to sbt
+  * log interleaving, as happened in round 1). A warmup pass absorbs JVM /
+  * codegen / parquet-footer costs so per-query numbers are attributable;
+  * queries run in sorted name order; a failing query records "err" rather
+  * than a fake wall time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +17,36 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warmup: execute everything once (ignoring failures and times).
+    queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results: Seq[(String, Either[String, Double])] = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => name -> Left(e.getClass.getSimpleName)
+      }
+    }
+    val qs = results.map {
+      case (k, Right(v)) => s""""$k":$v"""
+      case (k, Left(_))  => s""""$k":"err""""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val nErr = results.count(_._2.isLeft)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench.json"), json + "\n")
+    println(json)
+    Console.out.flush()
     spark.stop()
   }
 }

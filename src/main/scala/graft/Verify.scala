@@ -11,15 +11,20 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // A crashing query must still leave a trace (round 1's q05 silently
+    // vanished from CORRECTNESS): write an _err marker file per failure.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/${name}._err"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -19,11 +19,13 @@ object Relational {
         tbl(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+            // DuckDB sum(DECIMAL(18,x)) yields DECIMAL(38,x); Spark yields
+            // (28,x) — cast to the oracle's output type for hash parity.
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
             sum((col("l_extendedprice").cast("decimal(18,2)") *
               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-              .cast("decimal(18,4)")).as("sum_disc_price"),
+              .cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
@@ -49,7 +51,7 @@ object Relational {
           .agg(
             sum((col("l_extendedprice").cast("decimal(18,2)") *
               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-              .cast("decimal(18,4)")).as("revenue"),
+              .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy(col("n_name"))
       },
@@ -82,7 +84,9 @@ object Relational {
           .withColumn("rk", row_number().over(w))
           .where(col("rk") <= 3)
           .select(col("s_nationkey"), col("s_suppkey"),
-            col("s_acctbal").cast("decimal(18,2)").as("s_acctbal"), col("rk"))
+            col("s_acctbal").cast("decimal(18,2)").as("s_acctbal"),
+            // DuckDB row_number() is BIGINT; Spark's is INT
+            col("rk").cast("long").as("rk"))
           .orderBy(col("s_nationkey"), col("rk"))
       },
       Some("""SELECT s_nationkey, s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal, rk
@@ -93,16 +97,21 @@ object Relational {
 
     // W-series shape: tumbling event-time window (batch form of the
     // Structured Streaming agg; integer epoch buckets for oracle parity).
+    // events.ts is parquet timestamp[ns], which Spark only reads with the
+    // nanosAsLong legacy flag (set here; idempotent) — ts then arrives as
+    // a Long of epoch nanoseconds, bucketed by integer division.
     "q05_events_tumbling" -> QueryDef(
-      (s, dir) =>
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         tbl(s, dir, "events")
-          .select(expr("unix_millis(ts) div 300000").as("bucket"),
+          .select(expr("ts div 300000000000").as("bucket"),
             col("event_type"), col("value"))
           .groupBy(col("bucket"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).as("total"))
-          .orderBy(col("bucket"), col("event_type")),
-      Some("""SELECT epoch_ms(ts) // 300000 AS bucket, event_type,
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+          .orderBy(col("bucket"), col("event_type"))
+      },
+      Some("""SELECT epoch_ns(ts) // 300000000000 AS bucket, event_type,
              |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
              |FROM events GROUP BY bucket, event_type
              |ORDER BY bucket, event_type""".stripMargin.replace("\n", " "))),
