@@ -208,12 +208,39 @@ object SpatialOps {
         (min("cy") * dims.y).as("y_min"), ((max("cy") + 1) * dims.y).as("y_max"),
         (min("cz") * dims.z).as("z_min"), ((max("cz") + 1) * dims.z).as("z_max"))
 
+  /** A3 loose bounding box for every id at once — the batch form of
+    * [[boundingBoxLoose]] (one grouped aggregate instead of per-id index
+    * lookups; same cuboid-granular extents).
+    */
+  def boundingBoxLooseAll(idIndex: DataFrame, dims: CuboidDims = CuboidDims()): DataFrame =
+    idIndex
+      .select(col("id"), explode(col("mortons")).as("m"))
+      .select(
+        col("id"),
+        Morton.morton_x(col("m")).as("cx"),
+        Morton.morton_y(col("m")).as("cy"),
+        Morton.morton_z(col("m")).as("cz"))
+      .groupBy(col("id"))
+      .agg(
+        (min("cx") * dims.x).as("x_min"), ((max("cx") + 1) * dims.x).as("x_max"),
+        (min("cy") * dims.y).as("y_min"), ((max("cy") + 1) * dims.y).as("y_max"),
+        (min("cz") * dims.z).as("z_min"), ((max("cz") + 1) * dims.z).as("z_max"))
+
   /** A4 tight bounding box (`object_indices.py:434-623`): the reference's
     * six-face-cutout dance is a single grouped min/max over the voxel
     * plane.
     */
   def boundingBoxTight(voxels: DataFrame, id: Long): DataFrame =
     voxels.where(col("value") === id)
+      .groupBy(col("value").as("id"))
+      .agg(
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"),
+        min("z").as("z_min"), max("z").as("z_max"))
+
+  /** A4 batch form: tight bbox of every id in one aggregate. */
+  def boundingBoxTightAll(voxels: DataFrame): DataFrame =
+    voxels.where(col("value") =!= 0)
       .groupBy(col("value").as("id"))
       .agg(
         min("x").as("x_min"), max("x").as("x_max"),

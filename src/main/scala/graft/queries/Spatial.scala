@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Morton, Region}
+import graft.engine.SpatialOps
+
+/** Oracle-checked queries for the spatial/volumetric operator surface
+  * (SURVEY §2.2-§2.10): every operator runs over the deterministic
+  * [[VoxelView]] derived from lineitem, so DuckDB can compute the exact
+  * same result relationally. All arithmetic is integer-only — hash-exact
+  * across engines.
+  */
+object Spatial {
+  import Region.{Box, CuboidDims}
+
+  private val LK = "4&3&2"
+  private val dims = CuboidDims(16, 16, 4)
+
+  /** VoxelView + engine-facing columns (lookupKey, res, value). */
+  private def vox(s: SparkSession, dir: String): DataFrame =
+    VoxelView.df(s, dir)
+      .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+        col("t"), col("x"), col("y"), col("z"), col("id").as("value"))
+
+  private def vox2(s: SparkSession, dir: String): DataFrame =
+    VoxelView.df2(s, dir)
+      .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+        col("t"), col("x"), col("y"), col("z"), col("id").as("value"))
+
+  private val V = s"v AS (${VoxelView.sql})"
+  private val V2 = s"w AS (${VoxelView.sql2})"
+
+  /** Morton SQL over cuboid-grid coordinates (divide-by-dims inlined). */
+  private def cuboidMortonSql(dims: CuboidDims): String =
+    Morton.encodeSql(s"(x // ${dims.x})", s"(y // ${dims.y})", s"(z // ${dims.z})")
+
+  private def out(df: DataFrame): DataFrame = df // readability marker
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // P1-P4/S1 cutout: box + time-range predicates over the voxel plane.
+    "q11_cutout" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.cutout(vox(s, dir), Box(8, 40, 32, 160, 2, 10), 0 until 2)
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V SELECT t, x, y, z, id AS value FROM v
+              |WHERE x >= 8 AND x < 40 AND y >= 32 AND y < 160 AND z >= 2 AND z < 10
+              |  AND t >= 0 AND t < 2
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // P5/J3 filtered cutout: short id list (isin / codegen path).
+    "q12_filter_ids" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.filterIds(vox(s, dir), Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L))
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V SELECT t, x, y, z,
+              |CASE WHEN id IN (1,2,3,5,8,13,21,34) THEN id ELSE 0 END AS value
+              |FROM v ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // P5 large-list path: >64 ids flips to the broadcast-join branch.
+    "q13_filter_ids_large" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.filterIds(vox(s, dir), (1L to 40L) ++ (100L to 130L))
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V SELECT t, x, y, z,
+              |CASE WHEN id BETWEEN 1 AND 40 OR id BETWEEN 100 AND 130 THEN id ELSE 0 END AS value
+              |FROM v ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // A1/A2 unique ids in region.
+    "q14_ids_in_region" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.idsInRegion(vox(s, dir), Box(0, 48, 0, 192, 0, 12), 0 until 2)
+          .orderBy(col("id"))),
+      Some(s"""WITH $V SELECT DISTINCT id FROM v
+              |WHERE x >= 0 AND x < 48 AND y >= 0 AND y < 192 AND z >= 0 AND z < 12
+              |  AND t >= 0 AND t < 2 AND id <> 0
+              |ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // A4 tight bounding box, all ids.
+    "q15_bbox_tight" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.boundingBoxTightAll(vox(s, dir)).orderBy(col("id"))),
+      Some(s"""WITH $V SELECT id, min(x) AS x_min, max(x) AS x_max,
+              |min(y) AS y_min, max(y) AS y_max, min(z) AS z_min, max(z) AS z_max
+              |FROM v WHERE id <> 0 GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // F1-F3 Morton encode/decode roundtrip (codegen'd Catalyst Expressions
+    // vs an explicit bit-interleave oracle).
+    "q16_morton_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val m = Morton.morton_encode(col("x"), col("y"), col("z"))
+        out(VoxelView.df(s, dir)
+          .select(col("x"), col("y"), col("z"), m.as("m"),
+            Morton.morton_x(m).as("dx"), Morton.morton_y(m).as("dy"), Morton.morton_z(m).as("dz"))
+          .orderBy(col("x"), col("y"), col("z"), col("m")))
+      },
+      Some {
+        val enc = Morton.encodeSql("x", "y", "z")
+        val dx = Morton.decodeSql("m", 0)
+        val dy = Morton.decodeSql("m", 1)
+        val dz = Morton.decodeSql("m", 2)
+        s"""WITH $V, e AS (SELECT x, y, z, $enc AS m FROM v)
+           |SELECT x, y, z, m, $dx AS dx, $dy AS dy, $dz AS dz FROM e
+           |ORDER BY x, y, z, m""".stripMargin.replace("\n", " ")
+      }),
+
+    // A5 annotation-vote downsample (typed Aggregator vs window oracle).
+    "q17_downsample_vote" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.downsampleAnnotation(vox(s, dir))
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x // 2 AS x, y // 2 AS y, z, id,
+              |         count(*) AS c, min((y % 2) * 2 + (x % 2)) AS p
+              |  FROM v WHERE id <> 0 GROUP BY 1, 2, 3, 4, 5)
+              |SELECT t, x, y, z, id AS value FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY t, x, y, z ORDER BY c DESC, p ASC, id ASC) AS rn
+              |  FROM g) WHERE rn = 1
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // A6 image zoomOut: stride-2 point sampling.
+    "q18_zoom_out" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.zoomOut(vox(s, dir), 1)
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V SELECT t, x // 2 AS x, y // 2 AS y, z, id AS value FROM v
+              |WHERE x % 2 = 0 AND y % 2 = 0
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // A7 image zoomIn: nearest-neighbor 2x replication via generator.
+    "q19_zoom_in" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.zoomIn(vox(s, dir), 1)
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V SELECT t, x * 2 + ox AS x, y * 2 + oy AS y, z, id AS value
+              |FROM v CROSS JOIN (VALUES (0), (1)) AS o1(ox) CROSS JOIN (VALUES (0), (1)) AS o2(oy)
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // M1 overwriteDense merge rule over two voxel sets.
+    "q20_overwrite_merge" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.overwriteMerge(vox(s, dir), vox2(s, dir))
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V, $V2 SELECT
+              |coalesce(v.t, w.t) AS t, coalesce(v.x, w.x) AS x,
+              |coalesce(v.y, w.y) AS y, coalesce(v.z, w.z) AS z,
+              |CASE WHEN w.id IS NOT NULL AND w.id <> 0 THEN w.id ELSE coalesce(v.id, 0) END AS value
+              |FROM v FULL OUTER JOIN w ON v.t = w.t AND v.x = w.x AND v.y = w.y AND v.z = w.z
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // M2 exceptionDense: fill-only merge.
+    "q21_exception_merge" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.exceptionMerge(vox(s, dir), vox2(s, dir))
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V, $V2 SELECT
+              |coalesce(v.t, w.t) AS t, coalesce(v.x, w.x) AS x,
+              |coalesce(v.y, w.y) AS y, coalesce(v.z, w.z) AS z,
+              |CASE WHEN (v.id IS NULL OR v.id = 0) AND w.id IS NOT NULL AND w.id <> 0
+              |     THEN w.id ELSE coalesce(v.id, 0) END AS value
+              |FROM v FULL OUTER JOIN w ON v.t = w.t AND v.x = w.x AND v.y = w.y AND v.z = w.z
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // M3/W8 shaveDense: erase under a non-zero mask.
+    "q22_shave_merge" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.shaveMerge(vox(s, dir), vox2(s, dir))
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V, $V2 SELECT
+              |coalesce(v.t, w.t) AS t, coalesce(v.x, w.x) AS x,
+              |coalesce(v.y, w.y) AS y, coalesce(v.z, w.z) AS z,
+              |CASE WHEN w.id IS NOT NULL AND w.id <> 0 THEN 0 ELSE coalesce(v.id, 0) END AS value
+              |FROM v FULL OUTER JOIN w ON v.t = w.t AND v.x = w.x AND v.y = w.y AND v.z = w.z
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // M4 annotateEntityDense: relabel all non-zero to one entity id.
+    "q23_annotate_entity" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.annotateEntity(vox(s, dir), 777L)
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V SELECT t, x, y, z,
+              |CAST(CASE WHEN id <> 0 THEN 777 ELSE 0 END AS BIGINT) AS value
+              |FROM v ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // M5 mergeCube: relabel oldid -> newid.
+    "q24_relabel" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.relabel(vox(s, dir), 7L, 99L)
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V SELECT t, x, y, z,
+              |CASE WHEN id = 7 THEN 99 ELSE id END AS value
+              |FROM v ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // F5 recolor: palette[id % 217] for non-zero labels. The palette is a
+    // deterministic formula so the oracle can inline it.
+    "q25_recolor" -> QueryDef(
+      (s, dir) => {
+        val palette = Array.tabulate(217)(i => (i.toLong * 2654435761L) % 16777216L)
+        out(SpatialOps.recolor(vox(s, dir), palette)
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"), col("rgb"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"), col("rgb")))
+      },
+      Some(s"""WITH $V SELECT t, x, y, z, id AS value,
+              |CASE WHEN id <> 0 THEN ((id % 217) * 2654435761) % 16777216 ELSE 0 END AS rgb
+              |FROM v ORDER BY t, x, y, z, value, rgb""".stripMargin.replace("\n", " "))),
+
+    // A9 cuboid_index build (s3-index analog), exploded for value compare.
+    "q26_cuboid_index" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.buildCuboidIndex(vox(s, dir), dims)
+          .select(col("t"), col("morton"), explode(col("id_set")).as("id"))
+          .orderBy(col("t"), col("morton"), col("id"))),
+      Some(s"""WITH $V SELECT DISTINCT t, ${cuboidMortonSql(dims)} AS morton, id
+              |FROM v WHERE id <> 0
+              |ORDER BY t, morton, id""".stripMargin.replace("\n", " "))),
+
+    // A9 inverse id_index build, exploded.
+    "q27_id_index" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.buildIdIndex(vox(s, dir), dims)
+          .select(col("id"), explode(col("mortons")).as("morton"))
+          .orderBy(col("id"), col("morton"))),
+      Some(s"""WITH $V SELECT DISTINCT id, ${cuboidMortonSql(dims)} AS morton
+              |FROM v WHERE id <> 0
+              |ORDER BY id, morton""".stripMargin.replace("\n", " "))),
+
+    // A3 loose bbox for every id, from the id_index (cuboid-granular).
+    "q28_bbox_loose" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.boundingBoxLooseAll(
+          SpatialOps.buildIdIndex(vox(s, dir), dims), dims)
+          .orderBy(col("id"))),
+      Some(s"""WITH $V, c AS (
+              |  SELECT DISTINCT id, x // ${dims.x} AS cx, y // ${dims.y} AS cy, z // ${dims.z} AS cz
+              |  FROM v WHERE id <> 0)
+              |SELECT id, min(cx) * ${dims.x} AS x_min, (max(cx) + 1) * ${dims.x} AS x_max,
+              |       min(cy) * ${dims.y} AS y_min, (max(cy) + 1) * ${dims.y} AS y_max,
+              |       min(cz) * ${dims.z} AS z_min, (max(cz) + 1) * ${dims.z} AS z_max
+              |FROM c GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // W7 missing-time zero-fill: materialize the full t-lattice for a
+    // sub-box, absent samples as zeros (reference `spatialdb.py:187-199`).
+    "q29_timeseries_fill" -> QueryDef(
+      (s, dir) => {
+        val present = SpatialOps.cutout(vox(s, dir), Box(0, 16, 0, 64, 0, 8), 0 until 4)
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+        val coords = present.select(col("x"), col("y"), col("z")).distinct()
+        val lattice = coords.select(explode(sequence(lit(0L), lit(3L))).as("t"),
+          col("x"), col("y"), col("z"))
+        // max (not sum): DuckDB sum(BIGINT) widens to HUGEINT, breaking
+        // schema parity; max keeps BIGINT on both sides.
+        out(lattice.join(present, Seq("t", "x", "y", "z"), "left_outer")
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(coalesce(col("value"), lit(0L))).as("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value")))
+      },
+      Some(s"""WITH $V, p AS (
+              |  SELECT t, x, y, z, id AS value FROM v
+              |  WHERE x >= 0 AND x < 16 AND y >= 0 AND y < 64 AND z >= 0 AND z < 8
+              |    AND t >= 0 AND t < 4),
+              |coords AS (SELECT DISTINCT x, y, z FROM p),
+              |lattice AS (SELECT ts.t, x, y, z FROM coords CROSS JOIN (SELECT unnest(range(0, 4)) AS t) ts)
+              |SELECT l.t AS t, l.x AS x, l.y AS y, l.z AS z, coalesce(max(p.value), 0) AS value
+              |FROM lattice l LEFT JOIN p ON l.t = p.t AND l.x = p.x AND l.y = p.y AND l.z = p.z
+              |GROUP BY l.t, l.x, l.y, l.z
+              |ORDER BY 1, 2, 3, 4, 5""".stripMargin.replace("\n", " ")))
+  )
+}

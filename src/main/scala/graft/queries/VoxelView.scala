@@ -35,4 +35,28 @@ object VoxelView {
       |       CAST(l_suppkey % 16 AS BIGINT) AS z,
       |       CAST(CASE WHEN l_partkey % 7 = 0 THEN 0 ELSE (l_partkey % 50) + 1 END AS BIGINT) AS id
       |FROM lineitem""".stripMargin.replace("\n", " ")
+
+  /** A second, differently-seeded voxel derivation over the same coordinate
+    * ranges — the "incoming write" side for the merge-kernel queries
+    * (M1-M3): overlaps [[df]] partially so overwrite/exception/shave rules
+    * all exercise both matched and unmatched branches.
+    */
+  def df2(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        (col("l_suppkey") % 2).cast("long").as("t"),
+        ((col("l_orderkey") * 3 + col("l_suppkey")) % 64).cast("long").as("x"),
+        (((col("l_suppkey") * 11 + col("l_linenumber")) % 4) * 64 +
+          (col("l_orderkey") % 29)).cast("long").as("y"),
+        (col("l_partkey") % 16).cast("long").as("z"),
+        when(col("l_orderkey") % 5 === 0, 0L)
+          .otherwise((col("l_suppkey") % 50) + 1).cast("long").as("id"))
+
+  val sql2: String =
+    """SELECT CAST(l_suppkey % 2 AS BIGINT) AS t,
+      |       CAST((l_orderkey * 3 + l_suppkey) % 64 AS BIGINT) AS x,
+      |       CAST(((l_suppkey * 11 + l_linenumber) % 4) * 64 + (l_orderkey % 29) AS BIGINT) AS y,
+      |       CAST(l_partkey % 16 AS BIGINT) AS z,
+      |       CAST(CASE WHEN l_orderkey % 5 = 0 THEN 0 ELSE (l_suppkey % 50) + 1 END AS BIGINT) AS id
+      |FROM lineitem""".stripMargin.replace("\n", " ")
 }
