@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Exact dedup is a hash-groupBy; near-dup is MinHash + banded LSH: the
+  * candidate set comes from a *bucketed equi-join on band keys* — cost
+  * O(collisions), not O(n²) — then candidates are verified with exact
+  * shingle Jaccard. At 100 TB: signatures are ~100 bytes/doc, so the
+  * shuffle moves 0.1% of the corpus; the band join is an ordinary shuffle
+  * join Spark can AQE-skew-split if one bucket runs hot.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id document of each identical-text
+    * group. Returns (id, text_hash, n_copies) for the kept rows.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash")).orderBy(col(idCol))
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("text_hash"))))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** DuckDB equivalent of [[exactDedup]] reading from `tbl`. */
+  def exactDedupSql(tbl: String, idCol: String, textCol: String): String =
+    s"""SELECT $idCol, text_hash, n_copies FROM (
+       |  SELECT $idCol, md5($textCol) AS text_hash,
+       |         row_number() OVER (PARTITION BY md5($textCol) ORDER BY $idCol) AS rn,
+       |         count(*) OVER (PARTITION BY md5($textCol)) AS n_copies
+       |  FROM $tbl) t WHERE rn = 1""".stripMargin.replace("\n", " ")
+
+  /** MinHash-LSH near-duplicate detection: shingle → signature → band
+    * join → exact-Jaccard verification. Returns one row per candidate
+    * pair `(id_a < id_b)` with the exact shingle-set intersection/union
+    * counts and the verdict `is_dup = (2*inter >= uni)`, i.e. Jaccard ≥
+    * 0.5.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 8): DataFrame = {
+    val sh = TextOps.shingles(df, idCol, textCol, k)
+      .select(col(idCol), col("sh")).distinct()
+    val sig = TextOps.minhashSignatures(sh, idCol, numHashes)
+    val bands = TextOps.lshBands(sig, idCol, numHashes)
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("k1"), col("k2"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("k1"), col("k2"))
+    val cand = a.join(b, Seq("band", "k1", "k2"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .where(col("sh_a") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter") * 2 >= col("na") + col("nb") - col("inter")).as("is_dup"))
+  }
+
+  /** DuckDB equivalent of [[nearDupPairs]] reading from `tbl`. */
+  def nearDupPairsSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 8): String = {
+    val mins = (0 until numHashes).map(i =>
+      s"min(${TextOps.portableHashSql("sh", s"$i:")}) AS h$i").mkString(", ")
+    val bandSelects = (0 until numHashes / 2).map(bn =>
+      s"SELECT $idCol, $bn AS band, h${2 * bn} AS k1, h${2 * bn + 1} AS k2 FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH shr AS (${TextOps.shinglesSql(tbl, idCol, textCol, k)}),
+       |sh AS (SELECT DISTINCT $idCol, sh FROM shr),
+       |sig AS (SELECT $idCol, $mins FROM sh GROUP BY $idCol),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.$idCol AS doc_a, b.$idCol AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |         WHERE a.$idCol < b.$idCol),
+       |sizes AS (SELECT $idCol, count(*) AS n_sh FROM sh GROUP BY $idCol),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |          FROM cand c JOIN sh sa ON sa.$idCol = c.doc_a JOIN sh sb ON sb.$idCol = c.doc_b
+       |          WHERE sa.sh = sb.sh GROUP BY c.doc_a, c.doc_b)
+       |SELECT c.doc_a, c.doc_b, coalesce(i.inter, 0) AS inter,
+       |       za.n_sh + zb.n_sh - coalesce(i.inter, 0) AS uni,
+       |       coalesce(i.inter, 0) * 2 >= za.n_sh + zb.n_sh - coalesce(i.inter, 0) AS is_dup
+       |FROM cand c
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes za ON za.$idCol = c.doc_a
+       |JOIN sizes zb ON zb.$idCol = c.doc_b""".stripMargin.replace("\n", " ")
+  }
+}

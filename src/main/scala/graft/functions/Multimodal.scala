@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One decoded-media row: typed metadata extracted from an opaque blob. */
+final case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    format: String,
+    width: Int,
+    height: Int)
+
+/** A sampled frame/patch: the unit a feature-extraction stage consumes. */
+final case class MediaFrame(
+    doc_id: Long,
+    frame_idx: Int,
+    frame_bytes: Array[Byte])
+
+/** Multimodal-column support: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed batch-wise in `mapPartitions`.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[stubDecode]]) — but everything
+  * Spark-side is real and tested: the binary column schema, the
+  * partition-batched decode loop (one codec init per partition, not per
+  * row — the same shape a JNI/FFmpeg decoder needs), the explode to
+  * frames, and the downstream feature pipeline contract.
+  */
+object Multimodal {
+
+  /** STUB decoder: derives metadata deterministically from the blob bytes.
+    * Swap for a real codec (ImageIO/FFmpeg) behind the same signature —
+    * the Spark plumbing does not change.
+    */
+  def stubDecode(bytes: Array[Byte]): (String, Int, Int) = {
+    val n = bytes.length
+    val fmt = (n % 3) match {
+      case 0 => "img"; case 1 => "audio"; case _ => "video"
+    }
+    // fake dimensions from a cheap byte mix — stable for tests
+    var h = 17L
+    var i = 0
+    while (i < math.min(n, 64)) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    val w = math.floorMod(h, 1920L).toInt + 1
+    val ht = math.floorMod(h / 1920L, 1080L).toInt + 1
+    (fmt, w, ht)
+  }
+
+  /** Decode a blob table (doc_id, blob: binary) to typed metadata rows.
+    * `mapPartitions` so a real decoder is initialized once per partition.
+    */
+  def decodeMeta(df: DataFrame, idCol: String, blobCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real codec init would happen HERE, once per partition
+        it.map { case (id, bytes) =>
+          val (fmt, w, h) = stubDecode(bytes)
+          MediaMeta(id, bytes.length.toLong, fmt, w, h)
+        }
+      }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size window of the blob as a
+    * frame row (the video → frames explode; with a real codec the window
+    * becomes a decoded frame). Output is safe to re-partition for
+    * downstream feature extraction.
+    */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      frameBytes: Int = 64,
+      stride: Int = 4): Dataset[MediaFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          MediaFrame(id, f, java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+  }
+
+  /** Column-only metadata (no decode): blob length and a format tag by
+    * length mod — the part of [[decodeMeta]] that stays in codegen, used
+    * by the oracle-checked query.
+    */
+  def blobMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(blobCol)).cast("long").as("n_bytes"),
+      when(length(col(blobCol)) % 3 === 0, "img")
+        .when(length(col(blobCol)) % 3 === 1, "audio")
+        .otherwise("video").as("format"))
+}

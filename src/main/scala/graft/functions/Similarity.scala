@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - [[dotTopK]]: brute-force exact top-k — the correctness baseline.
+  *    O(queries × corpus); fine when the query set is small/broadcast.
+  *  - [[lshTopK]]: random-hyperplane LSH buckets + within-bucket rerank —
+  *    the 100 TB path: bucketing is a narrow projection, candidates come
+  *    from a bucket equi-join, and only bucket-mates are scored.
+  *
+  * Scoring uses integer-quantized vectors (`round(v*1000)`) so results
+  * are exactly reproducible across engines — float summation order never
+  * matters. True cosine differs from quantized dot only by per-vector
+  * norms; rank order within realistic embeddings is preserved to ~1e-3.
+  */
+object Similarity {
+
+  /** Quantize a float vector column to exact int64 components. */
+  def quantize(emb: Column): Column =
+    transform(emb, v => round(v.cast("double") * 1000).cast("long"))
+
+  def quantizeSql(e: String): String =
+    s"list_transform($e, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Exact int64 dot product of two equal-length quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def dotQSql(a: String, b: String, dim: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** Brute-force top-k by quantized dot product: each query vector (rows
+    * matching `queryPred`) against the whole corpus. The query side is
+    * broadcast; ranking is a per-query window (small k ⇒ TakeOrdered-ish
+    * per group, no global sort).
+    */
+  def dotTopK(df: DataFrame, idCol: String, embCol: String, queryPred: Column, k: Int): DataFrame = {
+    val corpus = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+    val queries = corpus.where(queryPred)
+      .select(col(idCol).as("query_id"), col("qe").as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col(idCol))
+    broadcast(queries).join(corpus)
+      .select(col("query_id"), col(idCol), dotQ(col("qv"), col("qe")).as("dot"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component j,i — the same
+    * formula the SQL oracle inlines: hash("j:i") mapped to [-1000, 1000].
+    */
+  private def planeExpr(j: Int, dim: Int): Column =
+    // conv() yields STRING; without the bigint cast, % would coerce to
+    // double and silently lose precision above 2^53
+    expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+      s"cast(conv(substring(md5(cast(concat('$j:', cast(i as string)) as binary)), 1, 15), 16, 10) as bigint) % 2001 - 1000)")
+
+  private def planeSql(j: Int, dim: Int): String =
+    s"list_transform(range(0, $dim), i -> ${TextOps.portableHashSql("i::VARCHAR", s"$j:")} % 2001 - 1000)"
+
+  /** Random-hyperplane LSH bucket id (`numPlanes` sign bits). */
+  def lshBucket(qe: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { j =>
+      when(dotQ(planeExpr(j, dim), qe) > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+
+  def lshBucketSql(qe: String, dim: Int, numPlanes: Int): String =
+    "CAST(" + (0 until numPlanes).map { j =>
+      s"CASE WHEN ${dotQSql(s"(${planeSql(j, dim)})", qe, dim)} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ") + " AS BIGINT)"
+
+  /** Bucketed ANN: assign every vector an LSH bucket, then rank only
+    * bucket-mates of each query by quantized dot. Returns
+    * (query_id, id, bucket, dot, rk ≤ k). Recall is tunable via
+    * numPlanes (fewer planes ⇒ bigger buckets ⇒ higher recall/cost).
+    */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 4): DataFrame = {
+    val bucketed = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+      .withColumn("bucket", lshBucket(col("qe"), dim, numPlanes))
+    val queries = bucketed.where(queryPred)
+      .select(col(idCol).as("query_id"), col("qe").as("qv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col(idCol))
+    broadcast(queries).join(bucketed, "bucket")
+      .select(col("query_id"), col(idCol), col("bucket"),
+        dotQ(col("qv"), col("qe")).as("dot"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+}

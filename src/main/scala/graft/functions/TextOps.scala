@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash signatures, LSH banding, SimHash,
+  * winnowing fingerprints, language-ID and quality heuristics.
+  *
+  * Everything is expressed with codegen'd built-ins (`split`, `transform`,
+  * `md5`, `conv`, aggregates) — no UDFs — so the hot path stays inside
+  * whole-stage codegen and shuffles only move compact signatures, never
+  * token streams.
+  *
+  * The hash everywhere is [[portableHash]]: the top 60 bits of md5, which
+  * any engine can reproduce (DuckDB: `('0x' || substr(md5(s),1,15))::
+  * BIGINT`) — so every operator here is oracle-checkable bit-for-bit.
+  */
+object TextOps {
+
+  /** 60-bit positive hash of `salt || c`, identical across engines. */
+  def portableHash(c: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), c).cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL equivalent of [[portableHash]] over expression `e`. */
+  def portableHashSql(e: String, salt: String = ""): String =
+    if (salt.isEmpty) s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+    else s"('0x' || substr(md5('$salt' || $e), 1, 15))::BIGINT"
+
+  /** Whitespace tokens (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-gram shingles with positions: one row per (id, pos, shingle).
+    * Documents shorter than k words yield no rows.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val grams = (0 until k).map(j => s"tk[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= k)
+      .select(col(idCol),
+        posexplode(expr(s"transform(sequence(0, size(tk)-$k), i -> $grams)")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("sh"))
+  }
+
+  /** DuckDB CTE body producing the same (id, pos, sh) rows from `tbl`.
+    * DuckDB lists are 1-based where Spark subscripts are 0-based; `pos`
+    * is 0-based in both outputs.
+    */
+  def shinglesSql(tbl: String, idCol: String, textCol: String, k: Int = 3): String = {
+    val grams = (1 to k).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"""SELECT $idCol, u.pos AS pos, u.s AS sh FROM (
+       |  SELECT $idCol, unnest(list_transform(range(len(tk)-${k - 1}),
+       |         i -> struct_pack(pos := i, s := $grams))) AS u
+       |  FROM (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl)
+       |  WHERE len(tk) >= $k) t""".stripMargin.replace("\n", " ")
+  }
+
+  /** MinHash signature per id over distinct shingles: `numHashes` columns
+    * `h0..h{n-1}`, each the min of a salted [[portableHash]]. One narrow
+    * shuffle on id; partial min aggregation keeps it map-side combined.
+    */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(portableHash(col("sh"), s"$i:")).as(s"h$i"))
+    shingleDf.select(col(idCol), col("sh")).distinct()
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding of a MinHash signature: (id, band, k1, k2) rows, two
+    * hashes per band. Near-dup candidates are ids sharing any full band —
+    * a bucketed equi-join, never an all-pairs comparison (the only shape
+    * that survives 100 TB).
+    */
+  def lshBands(sigDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    require(numHashes % 2 == 0)
+    val bands = (0 until numHashes / 2).map { b =>
+      sigDf.select(col(idCol), lit(b).as("band"),
+        col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))
+    }
+    bands.reduce(_ union _)
+  }
+
+  /** SimHash over distinct whitespace tokens: `bits`-wide sign-sum
+    * fingerprint (Charikar). Hamming-close simhashes ⇒ similar docs.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok")).distinct()
+      .withColumn("hv", portableHash(col("tok")))
+    val sums = (0 until bits).map(b =>
+      sum(when(expr(s"(hv >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sig = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
+  }
+
+  /** DuckDB equivalent of [[simhash]] reading from `tbl`. */
+  def simhashSql(tbl: String, idCol: String, textCol: String, bits: Int = 16): String = {
+    val sums = (0 until bits).map(b =>
+      s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val sig = (0 until bits).map(b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""SELECT $idCol, CAST($sig AS BIGINT) AS simhash FROM (
+       |  SELECT $idCol, $sums FROM (
+       |    SELECT DISTINCT $idCol, ${portableHashSql("tok")} AS hv FROM (
+       |      SELECT $idCol, unnest(string_split($textCol, ' ')) AS tok FROM $tbl) u)
+       |  GROUP BY $idCol) s""".stripMargin.replace("\n", " ")
+  }
+
+  /** Winnowing fingerprints (Schleimer et al.): min k-gram hash per
+    * sliding window of `w` consecutive shingles, deduplicated — the
+    * standard document-fingerprinting scheme for plagiarism/near-dup
+    * detection. Returns (id, fp) rows.
+    */
+  def winnowFingerprints(shingleDf: DataFrame, idCol: String, w: Int = 4): DataFrame = {
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val nWin = Window.partitionBy(col(idCol))
+    shingleDf
+      .withColumn("hv", portableHash(col("sh")))
+      .withColumn("n", count(lit(1)).over(nWin))
+      .withColumn("fp", min(col("hv")).over(win))
+      .where(col("pos") <= col("n") - w) // full windows only
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
+  /** Stopword profiles for the n-gram language-ID heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "to", "and"),
+    "es" -> Seq("el", "la", "de", "y", "en"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+
+  /** Language-ID: count stopword hits per profile, predict the argmax
+    * (alphabetical tie-break). Pure column arithmetic — no UDF.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+    val scored = langProfiles.foldLeft(base) { case (d, (lang, words)) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      d.withColumn(s"s_$lang", expr(s"size(filter(tk, t -> t IN ($list)))").cast("long"))
+    }
+    val m = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = langProfiles.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"s_$l") === m, lit(l)).otherwise(acc)
+    }
+    // foldRight keeps alphabetical preference: the FIRST profile equal to
+    // the max wins, so evaluate de before en before es before fr.
+    scored.select((col(idCol) +: langProfiles.map { case (l, _) => col(s"s_$l") }) :+
+      pred.as("pred_lang"): _*)
+  }
+
+  /** DuckDB equivalent of [[langId]] reading from `tbl`. */
+  def langIdSql(tbl: String, idCol: String, textCol: String): String = {
+    val scores = langProfiles.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(tk, t -> t IN ($list))) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+    val m = "greatest(" + langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val pred = langProfiles.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT $idCol, ${langProfiles.map { case (l, _) => s"s_$l" }.mkString(", ")},
+       |$pred AS pred_lang FROM (
+       |  SELECT $idCol, $scores FROM (
+       |    SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl) t) s""".stripMargin.replace("\n", " ")
+  }
+
+  /** Quality-score heuristic: integer-scaled blend of length, vocabulary
+    * diversity, and stopword density (all-integer so it is exactly
+    * reproducible anywhere).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String, nCharsCol: String): DataFrame = {
+    val stop = langProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    df.select(col(idCol), col(nCharsCol), tokens(col(textCol)).as("tk"))
+      .select(
+        col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        expr("size(array_distinct(tk))").cast("long").as("n_uniq"),
+        expr(s"size(filter(tk, t -> t IN ($stop)))").cast("long").as("n_stop"),
+        col(nCharsCol).as("n_chars"))
+      .withColumn("score",
+        col("n_tokens") * 2 + col("n_uniq") * 3 + col("n_stop") * 5 - expr("n_chars div 10"))
+  }
+
+  /** Whitespace and BPE-ish regex token counts per document. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Oracle-checked queries for the training-data pipeline operators
+  * (dedup, similarity search, text analysis, multimodal columns) over the
+  * driver's `documents` and `embeddings` tables. All scoring arithmetic
+  * is integer-exact (portable md5-derived hashes, quantized vectors) so
+  * DuckDB reproduces every value bit-for-bit.
+  */
+object Pipeline {
+  import QueryDef.tbl
+
+  private val DIM = 64 // embeddings.embedding length
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup: hash-groupBy, keep lowest doc_id per text group.
+    "q30_exact_dedup" -> QueryDef(
+      (s, dir) =>
+        Dedup.exactDedup(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(Dedup.exactDedupSql("documents", "doc_id", "text") + " ORDER BY doc_id")),
+
+    // MinHash signatures over 3-word shingles (8 hash functions).
+    "q31_minhash_sigs" -> QueryDef(
+      (s, dir) =>
+        TextOps.minhashSignatures(
+          TextOps.shingles(tbl(s, dir, "documents"), "doc_id", "text"), "doc_id")
+          .orderBy(col("doc_id")),
+      Some {
+        val mins = (0 until 8).map(i =>
+          s"min(${TextOps.portableHashSql("sh", s"$i:")}) AS h$i").mkString(", ")
+        s"""WITH shr AS (${TextOps.shinglesSql("documents", "doc_id", "text")}),
+           |sh AS (SELECT DISTINCT doc_id, sh FROM shr)
+           |SELECT doc_id, $mins FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
+    // Banded-LSH near-dup candidates + exact Jaccard verification.
+    "q32_near_dup_pairs" -> QueryDef(
+      (s, dir) =>
+        Dedup.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(Dedup.nearDupPairsSql("documents", "doc_id", "text") +
+        " ORDER BY 1, 2")),
+
+    // 16-bit SimHash fingerprints.
+    "q33_simhash" -> QueryDef(
+      (s, dir) =>
+        TextOps.simhash(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextOps.simhashSql("documents", "doc_id", "text") + " ORDER BY doc_id")),
+
+    // Corpus profile per (lang, source).
+    "q34_text_stats" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_total"),
+            min(col("n_chars")).as("chars_min"),
+            max(col("n_chars")).as("chars_max"),
+            sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens_total"))
+          .orderBy(col("lang"), col("source")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS chars_total,
+             |min(n_chars) AS chars_min, max(n_chars) AS chars_max,
+             |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_total
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin.replace("\n", " "))),
+
+    // Stopword-profile language ID.
+    "q35_lang_id" -> QueryDef(
+      (s, dir) =>
+        TextOps.langId(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextOps.langIdSql("documents", "doc_id", "text") + " ORDER BY doc_id")),
+
+    // Integer quality-score heuristic.
+    "q36_quality_score" -> QueryDef(
+      (s, dir) =>
+        TextOps.qualityScore(tbl(s, dir, "documents"), "doc_id", "text", "n_chars")
+          .orderBy(col("doc_id")),
+      Some {
+        val stop = TextOps.langProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+        s"""SELECT doc_id, n_tokens, n_uniq, n_stop, n_chars,
+           |n_tokens * 2 + n_uniq * 3 + n_stop * 5 - n_chars // 10 AS score FROM (
+           |  SELECT doc_id, n_chars,
+           |    CAST(len(tk) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+           |    CAST(len(list_filter(tk, t -> t IN ($stop))) AS BIGINT) AS n_stop
+           |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents) t) s
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
+    // Whitespace + BPE-ish regex token counts.
+    "q37_token_count" -> QueryDef(
+      (s, dir) =>
+        TextOps.tokenCounts(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Winnowing document fingerprints (window w=4 over 3-gram hashes).
+    "q38_fingerprint_winnow" -> QueryDef(
+      (s, dir) =>
+        TextOps.winnowFingerprints(
+          TextOps.shingles(tbl(s, dir, "documents"), "doc_id", "text"), "doc_id")
+          .orderBy(col("doc_id"), col("fp")),
+      // the min-window must be computed BEFORE the full-window filter
+      // (SQL applies WHERE before window functions; Spark's withColumn
+      // then where matches the subquery form below)
+      Some(s"""WITH shr AS (${TextOps.shinglesSql("documents", "doc_id", "text")}),
+              |h AS (SELECT doc_id, pos, ${TextOps.portableHashSql("sh")} AS hv,
+              |             count(*) OVER (PARTITION BY doc_id) AS n FROM shr),
+              |h2 AS (SELECT doc_id, pos, n,
+              |  min(hv) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              |  FROM h)
+              |SELECT DISTINCT doc_id, fp FROM h2 WHERE pos <= n - 4
+              |ORDER BY doc_id, fp""".stripMargin.replace("\n", " "))),
+
+    // Brute-force exact ANN baseline: quantized dot, top-5 per query.
+    "q39_ann_topk" -> QueryDef(
+      (s, dir) =>
+        Similarity.dotTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, 5)
+          .orderBy(col("query_id"), col("rk")),
+      Some(s"""WITH qv AS (SELECT vec_id, ${Similarity.quantizeSql("embedding")} AS qe FROM embeddings),
+              |qq AS (SELECT vec_id AS query_id, qe AS q FROM qv WHERE vec_id < 10),
+              |d AS (SELECT qq.query_id, qv.vec_id, ${Similarity.dotQSql("qq.q", "qv.qe", DIM)} AS dot
+              |      FROM qq CROSS JOIN qv)
+              |SELECT query_id, vec_id, dot, rk FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rk FROM d) r
+              |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " "))),
+
+    // LSH-bucketed ANN (the scale path): 4 hyperplane sign bits, rerank
+    // within bucket only.
+    "q40_ann_lsh" -> QueryDef(
+      (s, dir) =>
+        Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, 5, DIM, 4)
+          .orderBy(col("query_id"), col("rk")),
+      Some(s"""WITH qv AS (SELECT vec_id, ${Similarity.quantizeSql("embedding")} AS qe FROM embeddings),
+              |b AS (SELECT vec_id, qe, ${Similarity.lshBucketSql("qe", DIM, 4)} AS bucket FROM qv),
+              |qq AS (SELECT vec_id AS query_id, qe AS q, bucket FROM b WHERE vec_id < 10),
+              |d AS (SELECT qq.query_id, b.vec_id, b.bucket, ${Similarity.dotQSql("qq.q", "b.qe", DIM)} AS dot
+              |      FROM qq JOIN b ON qq.bucket = b.bucket)
+              |SELECT query_id, vec_id, bucket, dot, rk FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rk FROM d) r
+              |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " "))),
+
+    // Multimodal metadata over an opaque binary column (text bytes stand
+    // in for media blobs; decode itself is the tested stub in
+    // functions.Multimodal).
+    "q41_multimodal_meta" -> QueryDef(
+      (s, dir) =>
+        Multimodal.blobMeta(
+          tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
+          "doc_id", "blob")
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img'
+             |     WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+             |     ELSE 'video' END AS format
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+  )
+}

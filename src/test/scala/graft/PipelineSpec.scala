@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Specs for the training-data pipeline operators not (or not fully)
+  * covered by the DuckDB oracle gate: the multimodal Dataset plumbing,
+  * portable-hash invariants, and dedup edge cases with actual duplicate
+  * documents (the driver corpus has none).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("portableHash matches the DuckDB definition (top 60 bits of md5)") {
+    import spark.implicits._
+    // independently computed: int(md5('abc').hexdigest()[:15], 16)
+    val got = Seq("abc").toDF("s")
+      .select(TextOps.portableHash(col("s"))).as[Long].head()
+    assert(got == 648541476951500027L)
+    val salted = Seq("abc").toDF("s")
+      .select(TextOps.portableHash(col("s"), "0:")).as[Long].head()
+    // = int(md5('0:abc').hexdigest()[:15], 16)
+    assert(salted > 0 && salted != got)
+  }
+
+  test("exactDedup keeps lowest id per duplicate group and counts copies") {
+    import spark.implicits._
+    val d = docs((1L, "aa bb cc"), (2L, "aa bb cc"), (5L, "xx yy"), (3L, "aa bb cc"))
+    val out = Dedup.exactDedup(d, "doc_id", "text")
+      .select($"doc_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 5L -> 1L))
+  }
+
+  test("nearDupPairs flags true near-duplicates and skips unrelated docs") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 15) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 130).map(i => s"other$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs = Dedup.nearDupPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(pairs.exists { case (a, b, dup) => a == 1L && b == 2L && dup })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("shingles are k consecutive tokens; short docs yield none") {
+    import spark.implicits._
+    val d = docs((1L, "a b c d"), (2L, "x y"))
+    val sh = TextOps.shingles(d, "doc_id", "text", 3)
+      .select($"doc_id", $"pos", $"sh").as[(Long, Long, String)].collect().sorted
+    assert(sh.toSeq == Seq((1L, 0L, "a b c"), (1L, 1L, "b c d")))
+  }
+
+  test("simhash of identical docs is identical, unrelated docs differ") {
+    import spark.implicits._
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+    val m = TextOps.simhash(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L) && m(1L) != m(3L))
+  }
+
+  test("dotTopK ranks self first (self-dot is the max for unit-ish vectors)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.dotTopK(df, "vec_id", "embedding", col("vec_id") === 0, 2)
+      .select($"vec_id", $"rk").as[(Long, Long)].collect().toMap
+    assert(top == Map(0L -> 1L, 2L -> 2L)) // self, then the 0.9-aligned vec
+  }
+
+  test("lshTopK only scores bucket-mates and never loses the self match") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, "vec_id", "embedding", col("vec_id") < 5, 3, 16, 4)
+    val rows = out.select($"query_id", $"vec_id", $"rk").as[(Long, Long, Long)].collect()
+    (0L until 5L).foreach { q =>
+      assert(rows.exists { case (qq, v, rk) => qq == q && v == q && rk == 1L },
+        s"query $q must rank itself first")
+    }
+  }
+
+  test("multimodal decodeMeta and sampleFrames run partition-batched over binary") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, Array.tabulate(300)(_.toByte)),
+      (2L, Array.tabulate(65)(i => (i * 3).toByte)),
+      (3L, Array.emptyByteArray))
+      .toDF("doc_id", "blob")
+    val meta = Multimodal.decodeMeta(blobs, "doc_id", "blob").collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_bytes == 300 && meta(1L).format == "img")
+    assert(meta(2L).n_bytes == 65 && meta(2L).format == "video")
+    assert(meta(3L).n_bytes == 0)
+    assert(meta.values.forall(m => m.width >= 1 && m.width <= 1920 && m.height >= 1 && m.height <= 1080))
+    val frames = Multimodal.sampleFrames(blobs, "doc_id", "blob", frameBytes = 64, stride = 2).collect()
+    // doc 1: 300/64 = 4 frames, stride 2 -> idx 0, 2; doc 2: 1 frame -> idx 0
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSet ==
+      Set((1L, 0), (1L, 2), (2L, 0)))
+    assert(frames.forall(_.frame_bytes.length == 64))
+  }
+
+  test("blobMeta matches decodeMeta on byte length and format") {
+    import spark.implicits._
+    val blobs = Seq((1L, "hello world".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val a = Multimodal.blobMeta(blobs, "doc_id", "blob")
+      .select($"n_bytes", $"format").as[(Long, String)].head()
+    val b = Multimodal.decodeMeta(blobs, "doc_id", "blob").head()
+    assert(a == ((b.n_bytes, b.format)))
+  }
+}
