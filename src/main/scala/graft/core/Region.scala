@@ -76,6 +76,17 @@ object Region {
     * requests — the engine's scan path uses coordinate predicates instead
     * when the covering set would be large.
     */
+  /** Number of cuboids covering the request — cheap guard before deciding
+    * whether [[coveringMortons]] may be materialized on the driver.
+    */
+  def coveringCount(req: Box, dims: CuboidDims = CuboidDims()): Long = {
+    if (req.isEmpty) return 0L
+    val nx = (req.x1 - 1) / dims.x - req.x0 / dims.x + 1
+    val ny = (req.y1 - 1) / dims.y - req.y0 / dims.y + 1
+    val nz = (req.z1 - 1) / dims.z - req.z0 / dims.z + 1
+    nx * ny * nz
+  }
+
   def coveringMortons(req: Box, dims: CuboidDims = CuboidDims()): Seq[Long] = {
     val xs = (req.x0 / dims.x) to ((req.x1 - 1) / dims.x)
     val ys = (req.y0 / dims.y) to ((req.y1 - 1) / dims.y)

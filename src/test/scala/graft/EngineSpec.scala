@@ -155,6 +155,61 @@ class EngineSpec extends AnyFunSuite {
     assert(in == Set((2L, 2L, 9L), (3L, 2L, 9L), (2L, 3L, 9L), (3L, 3L, 9L)))
   }
 
+  test("cuboid-plane merge kernel equals voxel-plane merge (all modes)") {
+    import spark.implicits._
+    import graft.engine.{CuboidMerge, MergeMode}
+    val box = Box(0, 16, 0, 16, 0, 8)
+    // two overlapping random volumes with different seeds; B shifted so
+    // some cuboids exist on only one side
+    val a = VolumeGen.voxels(spark, "k", 0, box, 0 until 1, VoxelType.UInt64, seed = 3)
+    val b = VolumeGen.voxels(spark, "k", 0, Box(8, 24, 0, 16, 0, 8), 0 until 1, VoxelType.UInt64, seed = 4)
+    val ca = CuboidCodec.fromVoxels(a, VoxelType.UInt64, dims)
+    val cb = CuboidCodec.fromVoxels(b, VoxelType.UInt64, dims)
+    for ((mode, voxelPlane) <- Seq(
+        (MergeMode.Overwrite: MergeMode) -> SpatialOps.overwriteMerge _,
+        (MergeMode.Exception: MergeMode) -> SpatialOps.exceptionMerge _,
+        (MergeMode.Shave: MergeMode) -> SpatialOps.shaveMerge _)) {
+      val viaCuboids = CuboidCodec.toVoxels(
+        CuboidMerge.merge(ca, cb, VoxelType.UInt64, mode), VoxelType.UInt64, dims).toDF()
+      val viaVoxels = voxelPlane(a.toDF(), b.toDF()).where($"value" =!= 0)
+      assert(viaCuboids.except(viaVoxels).isEmpty && viaVoxels.except(viaCuboids).isEmpty,
+        s"cuboid-plane != voxel-plane for $mode")
+    }
+  }
+
+  test("uint8 cuboid-plane merge masks unsigned correctly") {
+    import spark.implicits._
+    import graft.engine.{CuboidMerge, MergeMode}
+    // 200 > Byte.MaxValue: must stay non-zero through the merge kernel
+    val d = CuboidCodec.fromVoxels(Seq(VoxelRow("k", 0, 0, 0, 0, 0, 200L)).toDS(), VoxelType.UInt8, dims)
+    val s = CuboidCodec.fromVoxels(Seq(VoxelRow("k", 0, 0, 1, 0, 0, 254L)).toDS(), VoxelType.UInt8, dims)
+    val merged = CuboidCodec.toVoxels(
+      CuboidMerge.merge(d, s, VoxelType.UInt8, MergeMode.Overwrite), VoxelType.UInt8, dims)
+    assert(merged.collect().map(v => (v.x, v.value)).toSet == Set((0L, 200L), (1L, 254L)))
+  }
+
+  test("ids-in-region hybrid takes the distributed-join path on huge covers") {
+    import spark.implicits._
+    val tiny = CuboidDims(1, 1, 1) // every voxel its own cuboid: 20^3 = 8000 > 4096
+    val box = Box(0, 20, 0, 20, 0, 20)
+    val voxels = VolumeGen.voxels(spark, "k", 0, box, 0 until 1,
+      VoxelType.UInt64, seed = 17).toDF()
+    val req = Box(0, 20, 0, 20, 0, 20)
+    assert(Region.coveringCount(req, tiny) > 4096)
+    val cubIdx = SpatialOps.buildCuboidIndex(voxels, tiny)
+    val hybrid = SpatialOps.idsInRegionIndexed(voxels, cubIdx, req, tiny).as[Long].collect().toSet
+    val direct = SpatialOps.idsInRegion(voxels, req).as[Long].collect().toSet
+    assert(hybrid == direct && direct.nonEmpty)
+  }
+
+  test("filterIds with duplicate ids in the large-list path does not duplicate rows") {
+    val v = vox((0, 0, 0, 5), (1, 0, 0, 6))
+    val dupList = Seq.fill(40)(5L) ++ (100L to 140L) // 81 entries, dup 5s
+    val got = SpatialOps.filterIds(v, dupList)
+    assert(got.count() == 2)
+    assert(got.where(col("value") === 5).count() == 1)
+  }
+
   test("morton expressions run inside codegen and match Scala impl") {
     import spark.implicits._
     val df = spark.range(1000).select(
