@@ -341,6 +341,43 @@ object SpatialOps {
         col("value")).as("value"))
   }
 
+  /** F7 dynamic resampling between resolution levels — the capability the
+    * reference declares but raises NotImplemented on (`spatialdb.py:413,
+    * 425,661,677`). `levels > 0` zooms out (image: stride sampling A6;
+    * annotation: vote downsample A5 per level); `levels < 0` zooms in
+    * (A7).
+    */
+  def resample(voxels: DataFrame, levels: Int, annotation: Boolean = false): DataFrame =
+    if (levels == 0) voxels
+    else if (levels < 0) zoomIn(voxels, -levels)
+    else if (!annotation) zoomOut(voxels, levels)
+    else (1 to levels).foldLeft(voxels)((v, _) => downsampleAnnotation(v))
+
+  /** P7 zero/missing detection (`cube.py:308-322`), batch form: non-zero
+    * voxel count per cuboid — occupancy 0 never appears (sparse), so
+    * "from_zeros" cuboids are exactly the keys absent from this index.
+    */
+  def cuboidOccupancy(voxels: DataFrame, dims: CuboidDims = CuboidDims()): DataFrame =
+    voxels.where(col("value") =!= 0)
+      .groupBy(
+        col("lookupKey"), col("res"), col("t"),
+        Morton.morton_encode(
+          idiv(col("x"), dims.x),
+          idiv(col("y"), dims.y),
+          idiv(col("z"), dims.z)).as("morton"))
+      .agg(count(lit(1)).as("n_nonzero"))
+
+  /** S7 incremental index upsert: merge a delta cuboid-index into an
+    * existing one (union + re-aggregate of the affected keys only — the
+    * reference's per-object `put_item` upsert, `object.py:427-471`).
+    */
+  def mergeCuboidIndex(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.union(delta)
+      .select(col("lookupKey"), col("res"), col("t"), col("morton"),
+        explode(col("id_set")).as("id"))
+      .groupBy(col("lookupKey"), col("res"), col("t"), col("morton"))
+      .agg(sort_array(collect_set(col("id"))).as("id_set"))
+
   /** F5 false-color recolor (`spdb/c_lib/c_version/recolorCube.c:28-56`):
     * non-zero label → palette[id % 217] packed RGB. The palette is a
     * broadcast-free literal array; lookup stays in codegen via

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{Region, VoxelType}
+import graft.engine.{CuboidMerge, MergeMode}
+import graft.storage.{CuboidCodec, VersionedStore, VoxelRow}
+
+/** W1-W3 streaming write path: the Spark restatement of the reference's
+  * write-buffer → page-out pipeline (`spatialdb.py:719-867`,
+  * `state.py:187-380`). Write events (voxel rows) land as files in an
+  * ingest directory; a Structured Streaming job drains them with
+  * `Trigger.AvailableNow` and applies each micro-batch to the versioned
+  * store through the cuboid-plane merge kernel.
+  *
+  * The reference's page-out set / delayed-write queue / dirty-read barrier
+  * all existed to serialize concurrent flushes per (t, morton); here the
+  * per-batch snapshot commit serializes them for free, and within a batch
+  * the merge kernel applies the same non-zero-overwrite rule the reference
+  * Lambda applied (`overwriteDense.c:26`).
+  */
+object StreamingIngest {
+
+  /** Drain all pending write events, merging them into the store. Each
+    * micro-batch: voxels → cuboids (one shuffle on the cuboid key) →
+    * cuboid-plane merge with the current snapshot → atomic commit.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      eventsDir: String,
+      storePath: String,
+      checkpointDir: String,
+      vt: VoxelType = VoxelType.UInt64,
+      dims: Region.CuboidDims = Region.CuboidDims(),
+      mode: MergeMode = MergeMode.Overwrite): Unit = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema(spark.emptyDataset[VoxelRow].schema)
+      .parquet(eventsDir)
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = CuboidCodec.fromVoxels(batch.as[VoxelRow], vt, dims)
+        val existing = VersionedStore.read(spark, storePath)
+        val merged = CuboidMerge.merge(existing, incoming, vt, mode)
+        VersionedStore.commit(merged, storePath)
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+}
