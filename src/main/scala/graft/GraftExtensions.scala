@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.core.{MortonDecode, MortonEncode}
+
+/** SQL surface for the custom Catalyst expressions: registers
+  * `morton_encode(x,y,z)` and `morton_x/y/z(m)` so `spark.sql(...)`
+  * queries can address the Z-order curve directly.
+  *
+  * Two entry points: `spark.sql.extensions=graft.GraftExtensions` at
+  * session build (the standard extension hook), or
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("morton_encode"),
+      new ExpressionInfo(classOf[MortonEncode].getName, "morton_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "morton_encode(x, y, z)")
+        MortonEncode(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("morton_x"),
+      new ExpressionInfo(classOf[MortonDecode].getName, "morton_x"),
+      (args: Seq[Expression]) => MortonDecode(args.head, 0)),
+    (FunctionIdentifier("morton_y"),
+      new ExpressionInfo(classOf[MortonDecode].getName, "morton_y"),
+      (args: Seq[Expression]) => MortonDecode(args.head, 1)),
+    (FunctionIdentifier("morton_z"),
+      new ExpressionInfo(classOf[MortonDecode].getName, "morton_z"),
+      (args: Seq[Expression]) => MortonDecode(args.head, 2)))
+
+  /** Register the functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -89,7 +89,8 @@ object Morton {
 
 /** morton_encode(x, y, z): interleave three 21-bit coordinates. */
 case class MortonEncode(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(LongType, LongType, LongType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = first.nullable || second.nullable || third.nullable
 
@@ -106,8 +107,9 @@ case class MortonEncode(first: Expression, second: Expression, third: Expression
 
 /** morton_decode(m, axis): extract one axis (0=x, 1=y, 2=z) of a Morton code. */
 case class MortonDecode(child: Expression, axis: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(axis >= 0 && axis <= 2, s"axis must be 0..2, got $axis")
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(LongType)
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(m: Any): Any =

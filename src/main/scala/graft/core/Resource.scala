@@ -98,6 +98,28 @@ final case class Resource(
     }
     (math.max(1L, ex / f), math.max(1L, ey / f), math.max(1L, ez / zf))
   }
+
+  /** F8 voxel dimensions at a level (`resource.py:45-80`): x/y double per
+    * level; z stays fixed anisotropically until [[isotropicLevel]].
+    */
+  def voxelDimsAt(res: Int): (Double, Double, Double) = {
+    val f = (1L << res).toDouble
+    val zf = experiment.hierarchyMethod match {
+      case HierarchyMethod.Isotropic => f
+      case HierarchyMethod.Anisotropic => 1.0
+    }
+    (coordFrame.xVoxelSize * f, coordFrame.yVoxelSize * f, coordFrame.zVoxelSize * zf)
+  }
+
+  /** F8 isotropic level (`resource.py:21-42`): the level whose x/z voxel
+    * aspect ratio is closest to 1 — where an anisotropic pyramid starts
+    * scaling z too.
+    */
+  def isotropicLevel: Int =
+    (0 until experiment.numHierarchyLevels).minBy { r =>
+      val xs = coordFrame.xVoxelSize * (1L << r)
+      math.abs(xs / coordFrame.zVoxelSize - 1.0)
+    }
 }
 
 object Resource {

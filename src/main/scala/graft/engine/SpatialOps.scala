@@ -190,6 +190,28 @@ object SpatialOps {
     interiorIds.union(boundaryIds).distinct()
   }
 
+  /** S3/S6 existence probe (`rediskvio.py:73-120`, `object.py:383-425`):
+    * split a requested key set into (present, absent) against the stored
+    * cuboid keys — the semi/anti join pair that replaced the reference's
+    * per-key Redis/DynamoDB lookups. `requested` needs columns
+    * (lookupKey, res, t, morton).
+    */
+  def cuboidsExist(requested: DataFrame, stored: Dataset[CuboidRow]): (DataFrame, DataFrame) = {
+    val keys = Seq("lookupKey", "res", "t", "morton")
+    val storedKeys = stored.toDF().select(keys.map(col): _*)
+    (requested.join(storedKeys, keys, "left_semi"),
+      requested.join(storedKeys, keys, "left_anti"))
+  }
+
+  /** O2 cube sort (`spatialdb.py:139-185`): group a cuboid set by morton
+    * with its time samples as a t-sorted array — the shape the cutout
+    * assembly consumed in the reference.
+    */
+  def sortCubes(cuboids: Dataset[CuboidRow]): DataFrame =
+    cuboids.toDF()
+      .groupBy(col("lookupKey"), col("res"), col("morton"))
+      .agg(sort_array(collect_list(struct(col("t"), col("data")))).as("samples"))
+
   /** Distributed covering-morton generation: the morton ids of every
     * cuboid intersecting `box`, built with `spark.range` (no driver-side
     * materialization — scales to arbitrarily large regions).

@@ -151,6 +151,23 @@ object CuboidStore {
   * the driver.
   */
 object VolumeGen {
+
+  /** M9 `ones()`-style constant constructor (`imagecube.py:44-69`): every
+    * voxel of the box at `value`. (`zeros()` needs no constructor — the
+    * sparse voxel plane represents all-zero as no rows; the dense blob
+    * form is `CuboidCodec.fromVoxels` of an empty set.)
+    */
+  def constant(
+      spark: SparkSession,
+      lookupKey: String,
+      res: Int,
+      box: Region.Box,
+      tRange: Range = 0 until 1,
+      value: Long = 1L): Dataset[VoxelRow] =
+    voxels(spark, lookupKey, res, box, tRange, seed = 0L, zeroFraction = 0.0)
+      .map(v => v.copy(value = value))(
+        org.apache.spark.sql.Encoders.product[VoxelRow])
+
   def voxels(
       spark: SparkSession,
       lookupKey: String,

@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Region, Resource, VoxelType}
+import graft.engine.SpatialOps
+import graft.storage.{CuboidCodec, VolumeGen, VoxelRow}
+import graft.streaming.{StreamOps, WriteEvent}
+
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streamops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("windowed event counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedEventCounts(df, watermark = "1 minute", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("wec")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // batch 1: events inside [10:00, 10:05)
+    mem.addData((t(1), "a", 1.0), (t(2), "a", 2.0), (t(3), "b", 5.0))
+    q.processAllAvailable()
+    // batch 2 advances the watermark past 10:05; batch 3 emits the closed windows
+    mem.addData((t(21), "a", 9.0))
+    q.processAllAvailable()
+    mem.addData((t(22), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wec")
+      .select($"event_type", $"n", $"total").as[(String, Long, Double)].collect().toSet
+    assert(rows.contains(("a", 2L, 3.0)) && rows.contains(("b", 1L, 5.0)))
+  }
+
+  test("in-flight dedup: first write per cuboid key wins within state window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WriteEvent]
+    val q = StreamOps.dedupInFlight(mem.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData(
+      WriteEvent("k", 0, 0, 5L, 2L, Array[Byte](2)),
+      WriteEvent("k", 0, 0, 5L, 1L, Array[Byte](1)), // same key, lower seq: wins
+      WriteEvent("k", 0, 0, 9L, 3L, Array[Byte](3)))
+    q.processAllAvailable()
+    // a later batch for an in-flight key is suppressed by state
+    mem.addData(WriteEvent("k", 0, 0, 5L, 7L, Array[Byte](7)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup").as[WriteEvent].collect()
+    assert(out.map(w => (w.morton, w.seq)).toSet == Set((5L, 1L), (9L, 3L)))
+  }
+
+  test("morton functions usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT morton_encode(3, 5, 7) AS m, morton_x(morton_encode(3, 5, 7)) AS x," +
+        " morton_y(morton_encode(3, 5, 7)) AS y, morton_z(morton_encode(3, 5, 7)) AS z")
+      .collect().head
+    assert(r.getLong(0) == graft.core.Morton.encode(3, 5, 7))
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 5L, 7L)))
+    // extension class injects the same builders
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders validated above
+  }
+
+  test("cuboidsExist splits requested keys into present/absent") {
+    import spark.implicits._
+    val dims = Region.CuboidDims(8, 8, 4)
+    val vol = VolumeGen.voxels(spark, "k", 0, Region.Box(0, 16, 0, 8, 0, 4), 0 until 1,
+      VoxelType.UInt64, seed = 5)
+    val stored = CuboidCodec.fromVoxels(vol, VoxelType.UInt64, dims) // mortons 0,1
+    val requested = Seq(
+      ("k", 0, 0, 0L), ("k", 0, 0, 1L), ("k", 0, 0, 99L))
+      .toDF("lookupKey", "res", "t", "morton")
+    val (present, absent) = SpatialOps.cuboidsExist(requested, stored)
+    assert(present.select("morton").as[Long].collect().toSet == Set(0L, 1L))
+    assert(absent.select("morton").as[Long].collect().toSet == Set(99L))
+  }
+
+  test("sortCubes groups time samples sorted per morton") {
+    import spark.implicits._
+    val dims = Region.CuboidDims(8, 8, 4)
+    val vol = VolumeGen.voxels(spark, "k", 0, Region.Box(0, 8, 0, 8, 0, 4), 0 until 3,
+      VoxelType.UInt64, seed = 6)
+    val sorted = SpatialOps.sortCubes(CuboidCodec.fromVoxels(vol, VoxelType.UInt64, dims))
+    val row = sorted.collect().head
+    val ts = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("samples")).map(_.getAs[Int]("t"))
+    assert(ts == Seq(0, 1, 2))
+  }
+
+  test("resource level math: extents, voxel dims, isotropic level") {
+    val r = Resource.fixture(VoxelType.UInt8) // voxel 4x4x35nm, 7 levels
+    assert(r.extentAt(0) == ((2048L, 2048L, 128L)))
+    assert(r.extentAt(2) == ((512L, 512L, 128L))) // anisotropic: z unscaled
+    assert(r.voxelDimsAt(1) == ((8.0, 8.0, 35.0)))
+    // 4*2^r / 35 closest to 1 at r=3 (32/35)
+    assert(r.isotropicLevel == 3)
+  }
+
+  test("constant volume generator (M9 ones)") {
+    import spark.implicits._
+    val ones = VolumeGen.constant(spark, "k", 0, Region.Box(0, 4, 0, 4, 0, 2), 0 until 1, 1L)
+    assert(ones.count() == 32 && ones.map(_.value).distinct().collect().toSeq == Seq(1L))
+  }
+}
