@@ -47,8 +47,12 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       numHashes: Int = 8): DataFrame = {
+    // the distinct shingle set feeds three consumers (signatures, the
+    // intersection join twice, sizes) — cache it so the shingle scan +
+    // explode runs once, not four times
     val sh = TextOps.shingles(df, idCol, textCol, k)
       .select(col(idCol), col("sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = TextOps.minhashSignatures(sh, idCol, numHashes)
     val bands = TextOps.lshBands(sig, idCol, numHashes)
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("k1"), col("k2"))

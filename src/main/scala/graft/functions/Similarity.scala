@@ -73,6 +73,57 @@ object Similarity {
       s"CASE WHEN ${dotQSql(s"(${planeSql(j, dim)})", qe, dim)} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ") + " AS BIGINT)"
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, then
+    * keep bucket-mate pairs whose cosine ≥ `tauNum/tauDen` — evaluated
+    * EXACTLY in int64 via the squared form
+    * `tauDen² · dot² ≥ tauNum² · |a|²·|b|²` (with `dot > 0`), so no float
+    * tolerance is involved. The bucket join bounds the candidate set; at
+    * 100 TB this is the only shape that avoids the all-pairs cartesian.
+    */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      tauNum: Long,
+      tauDen: Long,
+      numPlanes: Int = 4): DataFrame = {
+    val bucketed = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+      .withColumn("bucket", lshBucket(col("qe"), dim, numPlanes))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+    val a = bucketed.select(col(idCol).as("id_a"), col("qe").as("qa"),
+      col("bucket"), col("n2").as("na2"))
+    val b = bucketed.select(col(idCol).as("id_b"), col("qe").as("qb"),
+      col("bucket"), col("n2").as("nb2"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .where(col("dot") > 0 &&
+        lit(tauDen * tauDen) * col("dot") * col("dot") >=
+          lit(tauNum * tauNum) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"), col("bucket"), col("dot"),
+        col("na2"), col("nb2"))
+  }
+
+  def embeddingNearDupsSql(
+      tbl: String,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      tauNum: Long,
+      tauDen: Long,
+      numPlanes: Int = 4): String =
+    s"""WITH qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
+       |b AS (SELECT $idCol, qe, ${lshBucketSql("qe", dim, numPlanes)} AS bucket,
+       |             ${dotQSql("qe", "qe", dim)} AS n2 FROM qv)
+       |SELECT a.$idCol AS id_a, bb.$idCol AS id_b, a.bucket AS bucket,
+       |       ${dotQSql("a.qe", "bb.qe", dim)} AS dot,
+       |       a.n2 AS na2, bb.n2 AS nb2
+       |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.$idCol < bb.$idCol
+       |WHERE ${dotQSql("a.qe", "bb.qe", dim)} > 0
+       |  AND ${tauDen * tauDen} * ${dotQSql("a.qe", "bb.qe", dim)} * ${dotQSql("a.qe", "bb.qe", dim)}
+       |      >= ${tauNum * tauNum} * a.n2 * bb.n2""".stripMargin.replace("\n", " ")
+
   /** Bucketed ANN: assign every vector an LSH bucket, then rank only
     * bucket-mates of each query by quantized dot. Returns
     * (query_id, id, bucket, dot, rk ≤ k). Recall is tunable via

@@ -154,6 +154,16 @@ object Pipeline {
               |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rk FROM d) r
               |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " "))),
 
+    // Embedding-cosine near-dup: LSH buckets + exact integer squared-cosine
+    // threshold (cos >= 0.3), completing the dedup family.
+    "q49_embedding_near_dup" -> QueryDef(
+      (s, dir) =>
+        Similarity.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          DIM, tauNum = 3, tauDen = 10)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(Similarity.embeddingNearDupsSql("embeddings", "vec_id", "embedding",
+        DIM, tauNum = 3, tauDen = 10) + " ORDER BY 1, 2")),
+
     // Multimodal metadata over an opaque binary column (text bytes stand
     // in for media blobs; decode itself is the tested stub in
     // functions.Multimodal).
