@@ -1,5 +1,8 @@
 package graft.functions
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -123,6 +126,56 @@ object Similarity {
        |WHERE ${dotQSql("a.qe", "bb.qe", dim)} > 0
        |  AND ${tauDen * tauDen} * ${dotQSql("a.qe", "bb.qe", dim)} * ${dotQSql("a.qe", "bb.qe", dim)}
        |      >= ${tauNum * tauNum} * a.n2 * bb.n2""".stripMargin.replace("\n", " ")
+
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` KMeans
+    * cells, then search each query against only the `nprobe` cells whose
+    * centroids are nearest to it. The standard coarse-quantizer ANN shape:
+    * centroids are tiny (broadcast), the cell assignment is one narrow
+    * projection, and the search join touches `nprobe/nlist` of the corpus.
+    * Training samples the corpus; at 100 TB you fit on a sample and apply
+    * the model corpus-wide (one pass).
+    *
+    * Not oracle-checked (KMeans initialization is library-internal); rank
+    * determinism within a probe set still comes from the quantized dot.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withVec = df.select(col(idCol), col(embCol),
+      array_to_vector(col(embCol).cast("array<float>")).as("fv"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
+      .fit(withVec.select("fv"))
+    val assigned = model.transform(withVec)
+      .select(col(idCol), quantize(col(embCol)).as("qe"), col("prediction").as("cell"))
+    // nprobe nearest centroids per query vector, by exact centroid distance
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val centroidDf = broadcast(centroids.toSeq.toDF("cell", "centroid"))
+    val queries = assigned.where(queryPred)
+      .select(col(idCol).as("query_id"), col("qe").as("qv"))
+    val qCells = queries.join(centroidDf)
+      .withColumn("cdist",
+        aggregate(zip_with(col("qv"),
+          transform(col("centroid"), c => round(c * 1000).cast("long")),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
+      .where(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col(idCol))
+    broadcast(qCells).join(assigned, "cell")
+      .select(col("query_id"), col(idCol), col("cell"),
+        dotQ(col("qv"), col("qe")).as("dot"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
 
   /** Bucketed ANN: assign every vector an LSH bucket, then rank only
     * bucket-mates of each query by quantized dot. Returns

@@ -97,6 +97,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK probes only nearby cells and keeps the self match") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // two well-separated clusters so cell probing is meaningful
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.fill(8)(base + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(df, "vec_id", "embedding", col("vec_id") < 4, 3,
+      nlist = 4, nprobe = 2)
+    val rows = out.select($"query_id", $"vec_id", $"rk").as[(Long, Long, Long)].collect()
+    (0L until 4L).foreach { q =>
+      val mine = rows.filter(_._1 == q)
+      assert(mine.length == 3, s"query $q must fill top-3 from its probed cells")
+      // probing must stay in the query's own cluster: even ids cluster
+      // around +1, odd around -1 (dot ranking itself is norm-dominated,
+      // so self-first is NOT guaranteed — only cell membership is)
+      mine.foreach { case (_, v, _) => assert(v % 2 == q % 2) }
+    }
+  }
+
   test("multimodal decodeMeta and sampleFrames run partition-batched over binary") {
     import spark.implicits._
     val blobs = Seq(
