@@ -375,6 +375,33 @@ object SpatialOps {
     else if (!annotation) zoomOut(voxels, levels)
     else (1 to levels).foldLeft(voxels)((v, _) => downsampleAnnotation(v))
 
+  /** Resolution-hierarchy build — the reference's downsample worker
+    * (SURVEY §1.1.4, `resource.py:45-118` scaling rules): produce levels
+    * `1..numLevels-1` from base voxels. Anisotropic levels halve x/y only;
+    * once `res >= isoLevel` (annotation channels) z halves too
+    * (`scaleZ`). Images stride-sample (A6); annotations majority-vote
+    * (A5). Returns (res, voxels-at-res) pairs including the base.
+    */
+  def buildPyramid(
+      base: DataFrame,
+      numLevels: Int,
+      annotation: Boolean,
+      isoLevel: Int = Int.MaxValue): Seq[(Int, DataFrame)] = {
+    val levels = Seq.newBuilder[(Int, DataFrame)]
+    var cur = base
+    levels += 0 -> cur
+    for (res <- 1 until numLevels) {
+      val scaleZ = annotation && res > isoLevel
+      cur =
+        if (annotation) downsampleAnnotation(cur, scaleZ)
+        else zoomOut(cur, 1)
+      val bumped = cur.withColumn("res", col("res") + 1)
+      levels += res -> bumped
+      cur = bumped
+    }
+    levels.result()
+  }
+
   /** P7 zero/missing detection (`cube.py:308-322`), batch form: non-zero
     * voxel count per cuboid — occupancy 0 never appears (sparse), so
     * "from_zeros" cuboids are exactly the keys absent from this index.

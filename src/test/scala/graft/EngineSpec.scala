@@ -155,6 +155,48 @@ class EngineSpec extends AnyFunSuite {
     assert(in == Set((2L, 2L, 9L), (3L, 2L, 9L), (2L, 3L, 9L), (3L, 3L, 9L)))
   }
 
+  test("shifted-aligned and time-offset round-trips (int_test_spatialdb.py:75-315 cases)") {
+    import spark.implicits._
+    // shifted aligned corner (the reference's (1024,1024,32) case scaled to test dims)
+    val shifted = Box(32, 48, 32, 48, 8, 16)
+    val vol = VolumeGen.voxels(spark, "4&3&2", 0, shifted, 2 until 5,
+      VoxelType.UInt64, seed = 23)
+    val path = java.nio.file.Files.createTempDirectory("shifted").toString
+    CuboidStore.write(CuboidCodec.fromVoxels(vol, VoxelType.UInt64, dims), path)
+    // cutout the exact shifted box over the offset time range
+    val got = SpatialOps.cutoutFromStore(spark, path, "4&3&2", 0, shifted,
+      2 until 5, VoxelType.UInt64, dims)
+    val want = vol.toDF().where($"value" =!= 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // missing time step: t=7 was never written -> zero rows, not an error (W7)
+    assert(SpatialOps.cutoutFromStore(spark, path, "4&3&2", 0, shifted,
+      7 until 8, VoxelType.UInt64, dims).count() == 0)
+    // partially-covered time range returns only the written samples
+    val part = SpatialOps.cutoutFromStore(spark, path, "4&3&2", 0, shifted,
+      4 until 8, VoxelType.UInt64, dims)
+    assert(part.select("t").distinct().as[Int].collect().toSeq == Seq(4))
+  }
+
+  test("buildPyramid: anisotropic levels halve x/y; iso levels halve z too") {
+    import spark.implicits._
+    val base = VolumeGen.voxels(spark, "4&3&2", 0, Box(0, 32, 0, 32, 0, 8),
+      0 until 1, VoxelType.UInt64, seed = 29, zeroFraction = 0.2).toDF()
+    val pyr = SpatialOps.buildPyramid(base, 3, annotation = true, isoLevel = 1).toMap
+    assert(pyr.keySet == Set(0, 1, 2))
+    def maxOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.agg(max(col(c))).as[Long].head()
+    // level 1 (<= isoLevel): x/y halved, z untouched
+    assert(maxOf(pyr(1), "x") <= 15 && maxOf(pyr(1), "z") == maxOf(base, "z"))
+    // level 2 (> isoLevel): z halves as well; res column tracks the level
+    assert(maxOf(pyr(2), "x") <= 7 && maxOf(pyr(2), "z") <= maxOf(base, "z") / 2)
+    assert(pyr(2).select("res").distinct().as[Int].collect().toSeq == Seq(2))
+    // image pyramid strides instead of voting
+    val img = SpatialOps.buildPyramid(base, 2, annotation = false).toMap
+    val l1 = img(1)
+    val direct = SpatialOps.zoomOut(base, 1).withColumn("res", col("res") + 1)
+    assert(l1.except(direct).isEmpty && direct.except(l1).isEmpty)
+  }
+
   test("cuboid-plane merge kernel equals voxel-plane merge (all modes)") {
     import spark.implicits._
     import graft.engine.{CuboidMerge, MergeMode}
