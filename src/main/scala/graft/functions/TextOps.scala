@@ -75,11 +75,13 @@ object TextOps {
     */
   def lshBands(sigDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
     require(numHashes % 2 == 0)
-    val bands = (0 until numHashes / 2).map { b =>
-      sigDf.select(col(idCol), lit(b).as("band"),
-        col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))
-    }
-    bands.reduce(_ union _)
+    // stack() unpivots in ONE pass over the signature aggregate — a union
+    // of per-band selects would recompute the whole signature aggregation
+    // once per band (visible as 4x HashAggregate in the physical plan)
+    val rows = (0 until numHashes / 2)
+      .map(b => s"$b, h${2 * b}, h${2 * b + 1}").mkString(", ")
+    sigDf.select(col(idCol),
+      expr(s"stack(${numHashes / 2}, $rows) AS (band, k1, k2)"))
   }
 
   /** SimHash over distinct whitespace tokens: `bits`-wide sign-sum
