@@ -183,10 +183,17 @@ object SpatialOps {
           }
         pruned.select(explode(col("id_set")).as("id"))
       }
-    val boundaryIds = dec.boundaries
-      .map(b => idsInRegion(voxels, b, tRange))
-      .reduceOption(_ union _)
-      .getOrElse(interiorIds.limit(0))
+    // one scan with the slab predicates OR'd together — slabs are
+    // disjoint, so this equals the per-slab union at 1/6th the IO
+    val boundaryIds = dec.boundaries match {
+      case Seq() => interiorIds.limit(0)
+      case slabs =>
+        voxels
+          .where(slabs.map(boxPredicate).reduce(_ || _) &&
+            col("t") >= tRange.start && col("t") < tRange.end)
+          .where(col("value") =!= 0)
+          .select(col("value").as("id"))
+    }
     interiorIds.union(boundaryIds).distinct()
   }
 
