@@ -251,6 +251,36 @@ object Spatial {
               |       min(cz) * ${dims.z} AS z_min, (max(cz) + 1) * ${dims.z} AS z_max
               |FROM c GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "))),
 
+    // S1/S2/§2.11 full storage path: voxels → dense blobs → Z-order-
+    // clustered parquet store → pruned cutout back to voxels. The oracle
+    // sees only the relational contract; the blob codec and store layout
+    // must be lossless for the hash to match. (Coordinates are deduped
+    // first: a dense blob cell holds one value.)
+    "q50_store_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.storage.{CuboidCodec, CuboidStore, VoxelRow}
+        import graft.core.VoxelType
+        val deduped = VoxelView.df(s, dir)
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(col("id")).as("value"))
+          .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .as[VoxelRow]
+        val path = java.nio.file.Files.createTempDirectory("q50store").toString
+        CuboidStore.write(CuboidCodec.fromVoxels(deduped, VoxelType.UInt64, dims), path)
+        SpatialOps.cutoutFromStore(s, path, LK, 0, Box(8, 40, 32, 160, 2, 10),
+          0 until 2, VoxelType.UInt64, dims)
+          .select(col("t").cast("long").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z, max(id) AS value FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT t, x, y, z, value FROM g
+              |WHERE x >= 8 AND x < 40 AND y >= 32 AND y < 160 AND z >= 2 AND z < 10
+              |  AND t >= 0 AND t < 2 AND value <> 0
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
     // W7 missing-time zero-fill: materialize the full t-lattice for a
     // sub-box, absent samples as zeros (reference `spatialdb.py:187-199`).
     "q29_timeseries_fill" -> QueryDef(
