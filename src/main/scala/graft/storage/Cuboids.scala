@@ -130,6 +130,27 @@ object CuboidStore {
       .parquet(path)
   }
 
+  /** Bucketed variant: hash-bucket by morton into a catalog table so
+    * repeated cuboid-key joins (merge jobs, index probes) are co-located —
+    * both sides scan pre-bucketed files and the join plans with NO
+    * shuffle exchange. The main store stays path-based; bucketing is for
+    * hot merge pipelines where the extra catalog dependency pays for
+    * itself.
+    */
+  def writeBucketed(
+      cuboids: Dataset[CuboidRow],
+      tableName: String,
+      path: String,
+      buckets: Int = 64): Unit = {
+    cuboids.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, "morton")
+      .sortBy("morton")
+      .saveAsTable(tableName)
+  }
+
   def read(spark: SparkSession, path: String): Dataset[CuboidRow] = {
     import spark.implicits._
     // partition columns come back as read types; normalize

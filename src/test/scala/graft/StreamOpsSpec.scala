@@ -112,6 +112,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(r.isotropicLevel == 3)
   }
 
+  test("bucketed cuboid tables join without a shuffle exchange") {
+    import graft.storage.CuboidStore
+    val dims = Region.CuboidDims(8, 8, 4)
+    val box = Region.Box(0, 32, 0, 32, 0, 8)
+    val a = CuboidCodec.fromVoxels(
+      VolumeGen.voxels(spark, "k", 0, box, 0 until 1, VoxelType.UInt64, seed = 41), VoxelType.UInt64, dims)
+    val b = CuboidCodec.fromVoxels(
+      VolumeGen.voxels(spark, "k", 0, box, 0 until 1, VoxelType.UInt64, seed = 42), VoxelType.UInt64, dims)
+    val d1 = java.nio.file.Files.createTempDirectory("bt1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("bt2").toString
+    CuboidStore.writeBucketed(a, "bt_a", d1, buckets = 8)
+    CuboidStore.writeBucketed(b, "bt_b", d2, buckets = 8)
+    val joined = spark.table("bt_a").join(spark.table("bt_b"), "morton")
+    joined.count() // materialize so AQE finalizes the plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+  }
+
   test("constant volume generator (M9 ones)") {
     import spark.implicits._
     val ones = VolumeGen.constant(spark, "k", 0, Region.Box(0, 4, 0, 4, 0, 2), 0 until 1, 1L)
