@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.core.{MortonDecode, MortonEncode}
+import graft.functions.DotProductQ
 
 /** SQL surface for the custom Catalyst expressions: registers
   * `morton_encode(x,y,z)` and `morton_x/y/z(m)` so `spark.sql(...)`
@@ -37,7 +38,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => MortonDecode(args.head, 1)),
     (FunctionIdentifier("morton_z"),
       new ExpressionInfo(classOf[MortonDecode].getName, "morton_z"),
-      (args: Seq[Expression]) => MortonDecode(args.head, 2)))
+      (args: Seq[Expression]) => MortonDecode(args.head, 2)),
+    (FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotProductQ].getName, "dot_q"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_q(a, b)")
+        DotProductQ(args(0), args(1))
+      }))
 
   /** Register the functions on an existing session. */
   def register(spark: SparkSession): Unit =

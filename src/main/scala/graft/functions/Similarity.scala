@@ -30,9 +30,10 @@ object Similarity {
   def quantizeSql(e: String): String =
     s"list_transform($e, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** Exact int64 dot product of two equal-length quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact int64 dot product of two equal-length quantized vectors —
+    * a fused codegen'd loop ([[DotProductQ]]), no intermediate array.
+    */
+  def dotQ(a: Column, b: Column): Column = DotProductQ(a, b)
 
   def dotQSql(a: String, b: String, dim: Int): String =
     s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
