@@ -54,14 +54,21 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component j,i — the same
-    * formula the SQL oracle inlines: hash("j:i") mapped to [-1000, 1000].
+  /** Deterministic pseudo-random hyperplane j as a LITERAL array — the
+    * same md5-derived values the SQL oracle computes inline
+    * (hash("j:i") mapped to [-1000, 1000]), but precomputed on the driver:
+    * an md5-expression form is not constant-folded by Catalyst, so it
+    * would recompute dim×planes hashes PER ROW.
     */
-  private def planeExpr(j: Int, dim: Int): Column =
-    // conv() yields STRING; without the bigint cast, % would coerce to
-    // double and silently lose precision above 2^53
-    expr(s"transform(sequence(0, ${dim - 1}), i -> " +
-      s"cast(conv(substring(md5(cast(concat('$j:', cast(i as string)) as binary)), 1, 15), 16, 10) as bigint) % 2001 - 1000)")
+  private def planeExpr(j: Int, dim: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val vals = (0 until dim).map { i =>
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    array(vals.map(lit(_)): _*)
+  }
 
   private def planeSql(j: Int, dim: Int): String =
     s"list_transform(range(0, $dim), i -> ${TextOps.portableHashSql("i::VARCHAR", s"$j:")} % 2001 - 1000)"
