@@ -162,6 +162,53 @@ object Relational {
              |EXCEPT SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier
              |ORDER BY nk""".stripMargin.replace("\n", " "))),
 
+    // Sessionization: gap > 30 min opens a new session per user (lag +
+    // running sum) — the batch form of stateful session windows.
+    "q51_sessionize" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tn"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tn"), col("event_id"))  // ns -> us: DuckDB TIMESTAMP is us-precision
+          .withColumn("new_s",
+            when(lag(col("tn"), 1).over(w).isNull ||
+              col("tn") - lag(col("tn"), 1).over(w) > 1800000000L, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(run).cast("long"))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tn")).as("t_start"), max(col("tn")).as("t_end"))
+          .orderBy(col("user_id"), col("sid"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tn, event_id FROM events),
+             |s AS (SELECT user_id, tn, event_id,
+             |  CASE WHEN lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) IS NULL
+             |         OR tn - lag(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) > 1800000000
+             |       THEN 1 ELSE 0 END AS new_s FROM e),
+             |g AS (SELECT user_id, tn,
+             |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM s)
+             |SELECT user_id, sid, count(*) AS n_events, min(tn) AS t_start, max(tn) AS t_end
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, sid""".stripMargin.replace("\n", " "))),
+
+    // JSON property extraction from the event payload column.
+    "q52_json_extract" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+            max(col("k")).as("k_max"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+             |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
     "q10_intersect_ids" -> QueryDef(
       (s, dir) =>
         tbl(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk")).distinct()
