@@ -209,6 +209,27 @@ object Relational {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // Grouping sets / rollup (absent in the reference, SURVEY §2.4 —
+    // Spark built-in): subtotals per (returnflag, linestatus) + per
+    // returnflag + grand total. Group keys coalesced so NULL subtotal
+    // markers compare deterministically across engines.
+    "q53_rollup" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+            coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+            col("n"), col("qty"))
+          .orderBy(col("rf"), col("ls")),
+      Some("""SELECT coalesce(l_returnflag, '<all>') AS rf,
+             |coalesce(l_linestatus, '<all>') AS ls,
+             |count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin.replace("\n", " "))),
+
     "q10_intersect_ids" -> QueryDef(
       (s, dir) =>
         tbl(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk")).distinct()
