@@ -76,22 +76,29 @@ object Region {
     * requests — the engine's scan path uses coordinate predicates instead
     * when the covering set would be large.
     */
+  /** Inclusive cuboid-grid index ranges covering the request — the single
+    * source of the bounds math shared by every covering-set computation
+    * (driver-literal and distributed paths must agree exactly).
+    */
+  def gridBounds(req: Box, dims: CuboidDims): ((Long, Long), (Long, Long), (Long, Long)) = (
+    (req.x0 / dims.x, (req.x1 - 1) / dims.x),
+    (req.y0 / dims.y, (req.y1 - 1) / dims.y),
+    (req.z0 / dims.z, (req.z1 - 1) / dims.z))
+
   /** Number of cuboids covering the request — cheap guard before deciding
     * whether [[coveringMortons]] may be materialized on the driver.
     */
   def coveringCount(req: Box, dims: CuboidDims = CuboidDims()): Long = {
     if (req.isEmpty) return 0L
-    val nx = (req.x1 - 1) / dims.x - req.x0 / dims.x + 1
-    val ny = (req.y1 - 1) / dims.y - req.y0 / dims.y + 1
-    val nz = (req.z1 - 1) / dims.z - req.z0 / dims.z + 1
-    nx * ny * nz
+    val ((x0, x1), (y0, y1), (z0, z1)) = gridBounds(req, dims)
+    (x1 - x0 + 1) * (y1 - y0 + 1) * (z1 - z0 + 1)
   }
 
   def coveringMortons(req: Box, dims: CuboidDims = CuboidDims()): Seq[Long] = {
-    val xs = (req.x0 / dims.x) to ((req.x1 - 1) / dims.x)
-    val ys = (req.y0 / dims.y) to ((req.y1 - 1) / dims.y)
-    val zs = (req.z0 / dims.z) to ((req.z1 - 1) / dims.z)
-    val out = for (z <- zs; y <- ys; x <- xs) yield Morton.encode(x, y, z)
+    if (req.isEmpty) return Seq.empty
+    val ((cx0, cx1), (cy0, cy1), (cz0, cz1)) = gridBounds(req, dims)
+    val out = for (z <- cz0 to cz1; y <- cy0 to cy1; x <- cx0 to cx1)
+      yield Morton.encode(x, y, z)
     out.sorted
   }
 }

@@ -38,14 +38,29 @@ object IdReservation {
     while (System.currentTimeMillis() < deadline) {
       val acquired =
         try { Files.createFile(lock); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // crashed-holder recovery: a lock older than the deadline is
+            // stale — break it (mirrors the reference's bounded retry)
+            try {
+              val age = System.currentTimeMillis() -
+                Files.getLastModifiedTime(lock).toMillis
+              if (age > deadlineMs) Files.deleteIfExists(lock)
+            } catch { case _: java.io.IOException => () }
+            false
+        }
       if (acquired) {
         try {
           val cur =
             if (Files.exists(f))
               new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
             else 1L
-          Files.write(f, (cur + numIds).toString.getBytes(StandardCharsets.UTF_8))
+          // write-then-atomic-move: a crash mid-write can never leave a
+          // truncated counter behind
+          val tmp = Paths.get(f.toString + ".tmp")
+          Files.write(tmp, (cur + numIds).toString.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           return (cur, cur + numIds)
         } finally {
           Files.deleteIfExists(lock)

@@ -52,6 +52,8 @@ object SpatialOps {
       vt: VoxelType = VoxelType.UInt64,
       dims: CuboidDims = CuboidDims()): DataFrame = {
     import spark.implicits._
+    if (box.isEmpty || tRange.isEmpty)
+      return spark.emptyDataset[VoxelRow].toDF()
     var cubs = CuboidStore.read(spark, path)
       .where(col("lookupKey") === lookupKey && col("res") === res)
       .where(col("t") >= tRange.start && col("t") < tRange.end)
@@ -224,9 +226,7 @@ object SpatialOps {
     * materialization — scales to arbitrarily large regions).
     */
   def coveringMortonsDf(spark: SparkSession, box: Box, dims: CuboidDims): DataFrame = {
-    val cx0 = box.x0 / dims.x; val cx1 = (box.x1 - 1) / dims.x
-    val cy0 = box.y0 / dims.y; val cy1 = (box.y1 - 1) / dims.y
-    val cz0 = box.z0 / dims.z; val cz1 = (box.z1 - 1) / dims.z
+    val ((cx0, cx1), (cy0, cy1), (cz0, cz1)) = Region.gridBounds(box, dims)
     val nx = cx1 - cx0 + 1; val ny = cy1 - cy0 + 1; val nz = cz1 - cz0 + 1
     spark.range(nx * ny * nz)
       .select(Morton.morton_encode(

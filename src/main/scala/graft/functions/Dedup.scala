@@ -50,10 +50,13 @@ object Dedup {
     // the distinct shingle set feeds three consumers (signatures, the
     // intersection join twice, sizes) — cache it so the shingle scan +
     // explode runs once, not four times
+    // NOTE: the cache is intentionally not unpersisted — consumers of the
+    // returned (lazy) DataFrame still depend on it; the block manager
+    // evicts LRU under pressure.
     val sh = TextOps.shingles(df, idCol, textCol, k)
       .select(col(idCol), col("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = TextOps.minhashSignatures(sh, idCol, numHashes)
+    val sig = TextOps.minhashSignatures(sh, idCol, numHashes, assumeDistinct = true)
     val bands = TextOps.lshBands(sig, idCol, numHashes)
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("k1"), col("k2"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("k1"), col("k2"))

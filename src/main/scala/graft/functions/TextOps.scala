@@ -60,12 +60,20 @@ object TextOps {
     * `h0..h{n-1}`, each the min of a salted [[portableHash]]. One narrow
     * shuffle on id; partial min aggregation keeps it map-side combined.
     */
-  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+  def minhashSignatures(
+      shingleDf: DataFrame,
+      idCol: String,
+      numHashes: Int = 8,
+      assumeDistinct: Boolean = false): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(portableHash(col("sh"), s"$i:")).as(s"h$i"))
-    shingleDf.select(col(idCol), col("sh")).distinct()
-      .groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
+    // callers holding an already-distinct (cached) shingle set skip the
+    // dedup — a redundant distinct above a cache boundary is a full extra
+    // shuffle Catalyst cannot eliminate. (min() is dedup-insensitive, so
+    // distinct is only an optimization either way.)
+    val sh = shingleDf.select(col(idCol), col("sh"))
+    val base = if (assumeDistinct) sh else sh.distinct()
+    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding of a MinHash signature: (id, band, k1, k2) rows, two

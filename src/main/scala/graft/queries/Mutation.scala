@@ -12,18 +12,11 @@ import graft.engine.{SparseOps, SpatialOps}
   */
 object Mutation {
 
-  private val LK = "4&3&2"
-
-  private def vox(s: SparkSession, dir: String): DataFrame =
-    VoxelView.df(s, dir)
-      .select(lit(LK).as("lookupKey"), lit(0).as("res"),
-        col("t"), col("x"), col("y"), col("z"), col("id").as("value"))
+  private def vox(s: SparkSession, dir: String): DataFrame = VoxelView.engineDf(s, dir)
 
   /** Point list: coordinates of every third df2 voxel. */
   private def pts(s: SparkSession, dir: String): DataFrame =
-    VoxelView.df2(s, dir).where(col("id") % 3 === 0)
-      .select(lit(LK).as("lookupKey"), lit(0).as("res"),
-        col("t"), col("x"), col("y"), col("z"))
+    VoxelView.engineDf2(s, dir).where(col("value") % 3 === 0).drop("value")
 
   private val V = s"v AS (${VoxelView.sql})"
   private val P = s"p AS (SELECT DISTINCT t, x, y, z FROM (${VoxelView.sql2}) w2 WHERE id % 3 = 0)"

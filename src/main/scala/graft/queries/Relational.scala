@@ -195,14 +195,18 @@ object Relational {
 
     // JSON property extraction from the event payload column.
     "q52_json_extract" -> QueryDef(
-      (s, dir) =>
+      (s, dir) => {
+        // events.ts is timestamp[ns]: schema inference needs the flag even
+        // though this query never touches ts
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         tbl(s, dir, "events")
           .select(col("event_id"), col("event_type"),
             get_json_object(col("props"), "$.k").cast("long").as("k"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
             max(col("k")).as("k_max"))
-          .orderBy(col("event_type")),
+          .orderBy(col("event_type"))
+      },
       Some("""SELECT event_type, count(*) AS n,
              |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
              |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max

@@ -15,19 +15,11 @@ import graft.engine.SpatialOps
 object Spatial {
   import Region.{Box, CuboidDims}
 
-  private val LK = "4&3&2"
+  private val LK = VoxelView.LK
   private val dims = CuboidDims(16, 16, 4)
 
-  /** VoxelView + engine-facing columns (lookupKey, res, value). */
-  private def vox(s: SparkSession, dir: String): DataFrame =
-    VoxelView.df(s, dir)
-      .select(lit(LK).as("lookupKey"), lit(0).as("res"),
-        col("t"), col("x"), col("y"), col("z"), col("id").as("value"))
-
-  private def vox2(s: SparkSession, dir: String): DataFrame =
-    VoxelView.df2(s, dir)
-      .select(lit(LK).as("lookupKey"), lit(0).as("res"),
-        col("t"), col("x"), col("y"), col("z"), col("id").as("value"))
+  private def vox(s: SparkSession, dir: String): DataFrame = VoxelView.engineDf(s, dir)
+  private def vox2(s: SparkSession, dir: String): DataFrame = VoxelView.engineDf2(s, dir)
 
   private val V = s"v AS (${VoxelView.sql})"
   private val V2 = s"w AS (${VoxelView.sql2})"

@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object VoxelView {
 
+  /** The lookupKey the oracle-checked spatial queries run under. */
+  val LK = "4&3&2"
+
+  /** [[df]] projected to the engine contract (lookupKey, res, ..., value)
+    * — shared by every spatial/mutation query file so the column mapping
+    * lives in exactly one place.
+    */
+  def engineDf(spark: SparkSession, dir: String): DataFrame =
+    df(spark, dir).select(lit(LK).as("lookupKey"), lit(0).as("res"),
+      col("t"), col("x"), col("y"), col("z"), col("id").as("value"))
+
+  /** [[df2]] under the engine contract. */
+  def engineDf2(spark: SparkSession, dir: String): DataFrame =
+    df2(spark, dir).select(lit(LK).as("lookupKey"), lit(0).as("res"),
+      col("t"), col("x"), col("y"), col("z"), col("id").as("value"))
+
   def df(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
       .select(

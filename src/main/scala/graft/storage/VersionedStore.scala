@@ -48,16 +48,49 @@ object VersionedStore {
   /** Commit a new snapshot: write `v{n+1}`, then atomically replace
     * `_CURRENT`. Readers of the old version are unaffected (their file
     * listing is already resolved). Returns the committed version.
+    *
+    * Concurrent committers serialize on an exclusive `_COMMIT` marker
+    * (atomic createFile) so two writers can never race to the same
+    * version directory; stale markers (crashed committer) expire after
+    * `CommitLockTimeoutMs`.
     */
   def commit(cuboids: Dataset[CuboidRow], path: String): Int = {
     if (isLocked(path))
       throw new IllegalStateException(s"store $path is write-locked")
-    val next = currentVersion(path).getOrElse(-1) + 1
-    CuboidStore.write(cuboids, s"$path/v$next")
-    val tmp = Paths.get(path, s"_CURRENT.tmp$next")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentFile(path), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    next
+    Files.createDirectories(Paths.get(path))
+    val marker = Paths.get(path, "_COMMIT")
+    val deadline = System.currentTimeMillis() + CommitLockTimeoutMs
+    while (!tryAcquire(marker)) {
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(s"commit lock on $path not released")
+      Thread.sleep(20)
+    }
+    try {
+      val next = currentVersion(path).getOrElse(-1) + 1
+      CuboidStore.write(cuboids, s"$path/v$next")
+      val tmp = Paths.get(path, s"_CURRENT.tmp$next")
+      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentFile(path), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      next
+    } finally {
+      Files.deleteIfExists(marker)
+      ()
+    }
   }
+
+  final val CommitLockTimeoutMs = 600000L
+
+  private def tryAcquire(marker: Path): Boolean =
+    try { Files.createFile(marker); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // crashed committer recovery: break stale markers
+        try {
+          val age = System.currentTimeMillis() -
+            Files.getLastModifiedTime(marker).toMillis
+          if (age > CommitLockTimeoutMs) Files.deleteIfExists(marker)
+        } catch { case _: java.io.IOException => () }
+        false
+    }
 }
