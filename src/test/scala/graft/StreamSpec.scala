@@ -80,6 +80,22 @@ class StreamSpec extends AnyFunSuite {
     assert(VersionedStore.currentVersion(store).contains(2))
   }
 
+  test("concurrent commits serialize on the commit lock (no version race)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val store = tmp("store3")
+    def cuboids(x: Long) = CuboidCodec.fromVoxels(
+      Seq(VoxelRow("k", 0, 0, x, 0, 0, 1L)).toDS(), VoxelType.UInt64, dims)
+    val versions = Await.result(
+      Future.sequence((1L to 4L).toList.map(x => Future(VersionedStore.commit(cuboids(x), store)))),
+      120.seconds)
+    assert(versions.sorted == List(0, 1, 2, 3)) // every committer got a distinct version
+    assert(VersionedStore.currentVersion(store).contains(3))
+    assert(VersionedStore.read(spark, store).count() == 1) // last snapshot intact
+  }
+
   test("id reservation: monotone non-overlapping blocks, concurrent safety") {
     val dir = tmp("ids")
     val (s1, e1) = IdReservation.reserve(dir, "4&3&2", 0, 10)
