@@ -356,7 +356,6 @@ object SpatialOps {
     */
   def downsampleAnnotation(voxels: DataFrame, scaleZ: Boolean = false): DataFrame = {
     val zDiv = if (scaleZ) 2L else 1L
-    val vote = VoteAggregator.asUdaf
     voxels.where(col("value") =!= 0)
       .groupBy(
         col("lookupKey"), col("res"), col("t"),
@@ -364,8 +363,10 @@ object SpatialOps {
         idiv(col("y"), 2).as("y"),
         idiv(col("z"), zDiv).as("z"))
       // scan order inside the 2x2x(1|2) cell: z-major then y then x,
-      // matching the C kernel's slice-then-row iteration order
-      .agg(vote(
+      // matching the C kernel's slice-then-row iteration order. VoteAgg
+      // is the native TypedImperativeAggregate form (no per-row object
+      // churn; VoteAggregator.asUdaf remains the Column-API variant).
+      .agg(VoteAgg(
         (col("z") % zDiv) * 4 + (col("y") % 2) * 2 + col("x") % 2,
         col("value")).as("value"))
   }
