@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ChannelType, Region, Resource, VoxelType}
+import graft.engine.{CuboidMerge, IdReservation, MergeMode, SpatialOps}
+import graft.storage.{CuboidCodec, VersionedStore, VoxelRow}
+
+/** The engine façade — a 1:1 migration target for the reference's
+  * `SpatialDB` entry points (`spdb/spatialdb/spatialdb.py`): cutout,
+  * write_cuboid (incl. to_black), get_ids_in_region, get_bounding_box,
+  * reserve_ids, plus the hierarchy job. One instance per channel
+  * ([[Resource]]); data lives in a [[VersionedStore]] under `storeRoot`,
+  * so every write is an atomic snapshot commit and readers never block
+  * (the reference's dirty-read polling has no analog here).
+  *
+  * All coordinates are world-space `[corner, corner+extent)` at the given
+  * resolution, matching the reference's conventions; annotation ids are
+  * Long internally and stringified only at the JSON egress helpers
+  * (`object.py:828-831`).
+  */
+final class GraftDB(
+    val spark: SparkSession,
+    val resource: Resource,
+    val storeRoot: String,
+    val dims: Region.CuboidDims = Region.CuboidDims()) {
+  import Region.Box
+
+  private def vt: VoxelType = resource.channel.datatype
+  private def lk: String = resource.lookupKey
+
+  private def box(corner: (Long, Long, Long), extent: (Long, Long, Long)): Box =
+    Box(corner._1, corner._1 + extent._1,
+      corner._2, corner._2 + extent._2,
+      corner._3, corner._3 + extent._3)
+
+  /** `SpatialDB.cutout` (`spatialdb.py:360`): pruned scan of the current
+    * snapshot, optional id filter (`filter_ids`, annotation channels).
+    * Returns sparse voxel rows; absent voxels are zero.
+    */
+  def cutout(
+      corner: (Long, Long, Long),
+      extent: (Long, Long, Long),
+      res: Int = 0,
+      tRange: Range = 0 until 1,
+      filterIds: Option[Seq[Long]] = None): DataFrame = {
+    val out = SpatialOps.cutoutFromCuboids(
+      VersionedStore.read(spark, storeRoot), lk, res, box(corner, extent), tRange, vt, dims)
+    filterIds.fold(out)(ids => SpatialOps.filterIds(out, ids))
+  }
+
+  /** `SpatialDB.write_cuboid` (`spatialdb.py:719`): merge-write a voxel
+    * set into the channel. `toBlack = true` treats the input as an erase
+    * mask (W8 cutout-to-black); otherwise non-zero voxels overwrite (M1).
+    * One atomic snapshot commit replaces the reference's write-buffer /
+    * page-out pipeline. Returns the committed version.
+    */
+  def writeCuboid(voxels: DataFrame, res: Int = 0, toBlack: Boolean = false): Int = {
+    import spark.implicits._
+    val incoming = CuboidCodec.fromVoxels(
+      voxels
+        .select(lit(lk).as("lookupKey"), lit(res).as("res"),
+          col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+        .as[VoxelRow],
+      vt, dims)
+    val existing = VersionedStore.read(spark, storeRoot)
+    val mode = if (toBlack) MergeMode.Shave else MergeMode.Overwrite
+    VersionedStore.commit(CuboidMerge.merge(existing, incoming, vt, mode), storeRoot)
+  }
+
+  /** `SpatialDB.get_ids_in_region` (`spatialdb.py:924`). */
+  def getIdsInRegion(
+      corner: (Long, Long, Long),
+      extent: (Long, Long, Long),
+      res: Int = 0,
+      tRange: Range = 0 until 1): DataFrame = {
+    require(resource.channel.channelType == ChannelType.Annotation)
+    SpatialOps.idsInRegion(
+      cutout(corner, extent, res, tRange), box(corner, extent), tRange)
+  }
+
+  /** Id egress helper: the reference stringifies uint64 ids in JSON
+    * results to survive HTTP/JS (`object.py:828-831`).
+    */
+  def stringifyIds(ids: DataFrame): DataFrame =
+    ids.select(col("id").cast("string").as("id"))
+
+  /** `SpatialDB.get_bounding_box` (`spatialdb.py:869`): tight = exact
+    * voxel extents; loose = cuboid-granular from an on-the-fly id index.
+    */
+  def getBoundingBox(id: Long, res: Int = 0, tight: Boolean = true): DataFrame = {
+    // bound the scan by the channel's coordinate frame (the reference
+    // derives the same bound from the resource, `object_indices.py:373`)
+    val (ex, ey, ez) = resource.extentAt(res)
+    val nt = math.max(1, resource.experiment.numTimeSamples)
+    val vox = SpatialOps.cutoutFromCuboids(
+      VersionedStore.read(spark, storeRoot), lk, res,
+      Box(0, ex, 0, ey, 0, ez), 0 until nt, vt, dims)
+    if (tight) SpatialOps.boundingBoxTight(vox, id)
+    else SpatialOps.boundingBoxLoose(SpatialOps.buildIdIndex(vox, dims), id, dims)
+  }
+
+  /** `AWSObjectStore.reserve_ids` (`object_indices.py:667-728`). */
+  def reserveIds(numIds: Long, res: Int = 0): (Long, Long) =
+    IdReservation.reserve(s"$storeRoot/_ids", lk, res, numIds)
+
+  /** The hierarchy job: build and commit all levels of the current
+    * snapshot's base-resolution data (A5/A6 per level).
+    */
+  def buildHierarchy(numLevels: Int = 0): Int = {
+    import spark.implicits._
+    val levels = if (numLevels > 0) numLevels else resource.experiment.numHierarchyLevels
+    val base = CuboidCodec.toVoxels(
+      VersionedStore.read(spark, storeRoot)
+        .where(col("res") === 0).as[graft.storage.CuboidRow],
+      vt, dims).toDF()
+    val pyramid = SpatialOps.buildPyramid(
+      base, levels,
+      annotation = resource.channel.channelType == ChannelType.Annotation,
+      isoLevel = resource.isotropicLevel)
+    val allLevels = pyramid.map { case (_, v) =>
+      CuboidCodec.fromVoxels(v.as[VoxelRow], vt, dims)
+    }.reduce(_ union _)
+    VersionedStore.commit(allLevels, storeRoot)
+  }
+}

@@ -50,11 +50,25 @@ object SpatialOps {
       box: Box,
       tRange: Range = 0 until 1,
       vt: VoxelType = VoxelType.UInt64,
+      dims: CuboidDims = CuboidDims()): DataFrame =
+    cutoutFromCuboids(CuboidStore.read(spark, path), lookupKey, res, box, tRange, vt, dims)
+
+  /** [[cutoutFromStore]] over an already-loaded cuboid set (e.g. a
+    * [[graft.storage.VersionedStore]] snapshot).
+    */
+  def cutoutFromCuboids(
+      cuboids: Dataset[CuboidRow],
+      lookupKey: String,
+      res: Int,
+      box: Box,
+      tRange: Range = 0 until 1,
+      vt: VoxelType = VoxelType.UInt64,
       dims: CuboidDims = CuboidDims()): DataFrame = {
+    val spark = cuboids.sparkSession
     import spark.implicits._
     if (box.isEmpty || tRange.isEmpty)
       return spark.emptyDataset[VoxelRow].toDF()
-    var cubs = CuboidStore.read(spark, path)
+    var cubs = cuboids
       .where(col("lookupKey") === lookupKey && col("res") === res)
       .where(col("t") >= tRange.start && col("t") < tRange.end)
     if (Region.coveringCount(box, dims) <= 4096) {

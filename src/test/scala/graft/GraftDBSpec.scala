@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Region, Resource, VoxelType}
+import graft.storage.VolumeGen
+
+/** Façade-level round-trips: the reference migration surface — write /
+  * cutout / filtered cutout / to-black erase / ids-in-region / bounding
+  * box / id reservation / hierarchy, all through [[GraftDB]] (mirrors the
+  * reference's `int_test_spatialdb.py` end-to-end batteries).
+  */
+class GraftDBSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-db-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import Region.Box
+  private val dims = Region.CuboidDims(8, 8, 4)
+
+  private def newDb(): GraftDB = new GraftDB(
+    spark, Resource.fixture(VoxelType.UInt64),
+    java.nio.file.Files.createTempDirectory("graftdb").toString, dims)
+
+  test("write / cutout round-trip and filtered cutout through the facade") {
+    import spark.implicits._
+    val db = newDb()
+    val vol = VolumeGen.voxels(spark, db.resource.lookupKey, 0, Box(0, 16, 0, 16, 0, 8),
+      0 until 1, VoxelType.UInt64, seed = 51).toDF()
+    db.writeCuboid(vol)
+    val got = db.cutout((2, 3, 1), (10, 11, 6))
+    val want = vol.where($"value" =!= 0 &&
+      $"x" >= 2 && $"x" < 12 && $"y" >= 3 && $"y" < 14 && $"z" >= 1 && $"z" < 7)
+    assert(got.count() == want.count() && got.except(want).isEmpty)
+    // filtered cutout zeroes labels outside the list
+    val someIds = want.select("value").as[Long].take(3).toSeq
+    val filtered = db.cutout((2, 3, 1), (10, 11, 6), filterIds = Some(someIds))
+    assert(filtered.where($"value" =!= 0).select("value").as[Long].collect().toSet
+      .subsetOf(someIds.toSet))
+  }
+
+  test("overwrite merge semantics and to-black erase across writes") {
+    import spark.implicits._
+    val db = newDb()
+    val a = VolumeGen.voxels(spark, db.resource.lookupKey, 0, Box(0, 8, 0, 8, 0, 4),
+      0 until 1, VoxelType.UInt64, seed = 52).toDF()
+    db.writeCuboid(a)
+    // second write: non-zero voxels of B overwrite A (M1)
+    val b = Seq((0L, 0L, 0L, 0L, 77L)).toDF("t", "x", "y", "z", "value")
+    db.writeCuboid(b)
+    assert(db.cutout((0, 0, 0), (1, 1, 1)).select("value").as[Long].head() == 77L)
+    // to-black: the same cell as a mask erases it (W8)
+    db.writeCuboid(b, toBlack = true)
+    assert(db.cutout((0, 0, 0), (1, 1, 1)).where($"value" =!= 0).count() == 0)
+  }
+
+  test("ids-in-region, stringified egress, bounding boxes") {
+    import spark.implicits._
+    val db = newDb()
+    val vol = Seq(
+      (0L, 1L, 1L, 1L, 42L), (0L, 6L, 7L, 3L, 42L), (0L, 2L, 2L, 2L, 9L))
+      .toDF("t", "x", "y", "z", "value")
+    db.writeCuboid(vol)
+    val ids = db.getIdsInRegion((0, 0, 0), (8, 8, 4)).as[Long].collect().toSet
+    assert(ids == Set(42L, 9L))
+    assert(db.stringifyIds(db.getIdsInRegion((0, 0, 0), (8, 8, 4)))
+      .as[String].collect().toSet == Set("42", "9"))
+    val tight = db.getBoundingBox(42L).collect().head
+    assert((tight.getAs[Long]("x_min"), tight.getAs[Long]("x_max")) == ((1L, 6L)))
+    val loose = db.getBoundingBox(42L, tight = false).collect().head
+    assert(loose.getAs[Long]("x_min") <= 1 && loose.getAs[Long]("x_max") >= 6)
+  }
+
+  test("id reservation and hierarchy build through the facade") {
+    import spark.implicits._
+    val db = newDb()
+    assert(db.reserveIds(10) == ((1L, 11L)))
+    assert(db.reserveIds(5) == ((11L, 16L)))
+    val vol = VolumeGen.voxels(spark, db.resource.lookupKey, 0, Box(0, 16, 0, 16, 0, 4),
+      0 until 1, VoxelType.UInt64, seed = 53).toDF()
+    db.writeCuboid(vol)
+    db.buildHierarchy(3)
+    // levels 1 and 2 exist in the committed snapshot with shrunken extents
+    val snap = graft.storage.VersionedStore.read(spark, db.storeRoot).toDF()
+    assert(snap.select("res").distinct().as[Int].collect().toSet == Set(0, 1, 2))
+    val l1 = db.cutout((0, 0, 0), (8, 8, 4), res = 1)
+    assert(l1.count() > 0)
+    assert(l1.agg(max($"x")).as[Long].head() <= 7)
+  }
+}
