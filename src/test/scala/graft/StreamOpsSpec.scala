@@ -131,6 +131,19 @@ class StreamOpsSpec extends AnyFunSuite {
       s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("resource JSON round-trip (BossResourceBasic analog)") {
+    import graft.core.ResourceJson
+    for (vt <- Seq(VoxelType.UInt8, VoxelType.UInt16, VoxelType.UInt64)) {
+      val r = Resource.fixture(vt)
+      val back = ResourceJson.fromJson(ResourceJson.toJson(r))
+      assert(back == r)
+    }
+    // unknown fields in incoming JSON are tolerated (forward compat)
+    val j = ResourceJson.toJson(Resource.fixture(VoxelType.UInt8))
+      .replaceFirst("\\{", "{\"future_field\":1,")
+    assert(ResourceJson.fromJson(j) == Resource.fixture(VoxelType.UInt8))
+  }
+
   test("constant volume generator (M9 ones)") {
     import spark.implicits._
     val ones = VolumeGen.constant(spark, "k", 0, Region.Box(0, 4, 0, 4, 0, 2), 0 until 1, 1L)
