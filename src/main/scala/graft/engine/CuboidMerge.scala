@@ -72,10 +72,41 @@ object CuboidMerge {
     out
   }
 
+  /** Number of distinct incoming cuboid keys below which the touched/
+    * untouched split broadcasts (100k keys ≈ a few MB of key tuples).
+    */
+  final val BroadcastKeyLimit = 100000L
+
   /** Bulk merge of `incoming` writes into `existing` cuboids. Returns the
     * merged cuboid set (union of keys; blobs combined per `mode`).
+    *
+    * For a small write into a big store (the common case), the existing
+    * side is first split by a broadcast semi/anti join on the incoming
+    * key set: only the touched cuboids enter the blob-merge join, and the
+    * untouched majority passes through with NO shuffle — a write's cost
+    * scales with the write, not the store. Writes touching >
+    * [[BroadcastKeyLimit]] keys fall back to the full join.
     */
   def merge(
+      existing: Dataset[CuboidRow],
+      incoming: Dataset[CuboidRow],
+      vt: VoxelType,
+      mode: MergeMode): Dataset[CuboidRow] = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val keyCols = Seq("lookupKey", "res", "t", "morton")
+    val incKeys = incoming.toDF().select(keyCols.map(col): _*).distinct()
+    val nKeys = incKeys.limit((BroadcastKeyLimit + 1).toInt).count()
+    if (nKeys <= BroadcastKeyLimit) {
+      val untouched = existing.join(broadcast(incKeys), keyCols, "left_anti").as[CuboidRow]
+      val touched = existing.join(broadcast(incKeys), keyCols, "left_semi").as[CuboidRow]
+      untouched.union(mergeAll(touched, incoming, vt, mode))
+    } else mergeAll(existing, incoming, vt, mode)
+  }
+
+  /** Unconditional full-outer blob merge (both sides shuffle on the key). */
+  private def mergeAll(
       existing: Dataset[CuboidRow],
       incoming: Dataset[CuboidRow],
       vt: VoxelType,

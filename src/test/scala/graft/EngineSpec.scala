@@ -219,6 +219,25 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("small write into big store: touched/untouched split equals full merge") {
+    import spark.implicits._
+    import graft.engine.{CuboidMerge, MergeMode}
+    val big = CuboidCodec.fromVoxels(
+      VolumeGen.voxels(spark, "k", 0, Box(0, 32, 0, 32, 0, 8), 0 until 1, VoxelType.UInt64, seed = 61),
+      VoxelType.UInt64, dims)
+    // one-cuboid write (well under the broadcast limit -> split path)
+    val small = CuboidCodec.fromVoxels(
+      Seq(VoxelRow("k", 0, 0, 3, 3, 1, 999L)).toDS(), VoxelType.UInt64, dims)
+    val viaSplit = CuboidCodec.toVoxels(
+      CuboidMerge.merge(big, small, VoxelType.UInt64, MergeMode.Overwrite),
+      VoxelType.UInt64, dims).toDF()
+    val want = SpatialOps.overwriteMerge(
+      CuboidCodec.toVoxels(big, VoxelType.UInt64, dims, keepZeros = true).toDF(),
+      Seq(VoxelRow("k", 0, 0, 3, 3, 1, 999L)).toDS().toDF()).where($"value" =!= 0)
+    assert(viaSplit.count() == want.count())
+    assert(viaSplit.except(want).isEmpty && want.except(viaSplit).isEmpty)
+  }
+
   test("uint8 cuboid-plane merge masks unsigned correctly") {
     import spark.implicits._
     import graft.engine.{CuboidMerge, MergeMode}
