@@ -14,6 +14,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   * W6 write-lock (`state.py:157-185`): a `_LOCK` marker file acts as the
   * channel-level circuit breaker — commits refuse while it exists.
+  *
+  * Scale note: a commit REWRITES the full snapshot directory (the merge
+  * itself only shuffles touched cuboids — see `CuboidMerge` — but the
+  * untouched bytes are still copied). That is the honest cost of
+  * snapshot isolation without a table format; on a production cluster
+  * this store is the slot where Delta/Iceberg `MERGE INTO` drops in
+  * (file-level reuse + the same atomic-visibility contract), with zero
+  * changes to the operators above it.
   */
 object VersionedStore {
 
