@@ -27,14 +27,19 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
     }
-    val results: Seq[(String, Either[String, Double])] = queries.map { case (name, fn) =>
+    // Two timed passes, per-query minimum: strips scheduler/GC noise on a
+    // shared box (identical code measured 41-66s run-to-run single-pass).
+    val passes = 2
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> Right((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable => name -> Left(e.getClass.getSimpleName)
-      }
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+    }
+    val results: Seq[(String, Either[String, Double])] = queries.map { case (name, fn) =>
+      val runs = (1 to passes).map(_ => timeOnce(fn))
+      val ok = runs.collect { case Right(v) => v }
+      name -> (if (ok.isEmpty) runs.head else Right(ok.min))
     }
     val qs = results.map {
       case (k, Right(v)) => s""""$k":$v"""
@@ -43,7 +48,7 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nErr = results.count(_._2.isLeft)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"passes":$passes,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")
     println(json)
     Console.out.flush()
