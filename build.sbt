@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout unprefixed: sbt's default
+// LoggedOutput prepends "[info] " to every line, which made the driver's
+// bench-JSON parser fail in rounds 1-2 ("parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

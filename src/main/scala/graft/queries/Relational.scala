@@ -11,28 +11,40 @@ import org.apache.spark.sql.functions._
 object Relational {
   import QueryDef.tbl
 
+  /** Money/quantity columns arrive as parquet DOUBLE holding 2-decimal
+    * values. All monetary outputs are emitted as exact integer minor
+    * units (cents / 1e-4 units): the driver's hash formats a DECIMAL
+    * result column via float shortest-repr on one side and decimal-scale
+    * text on the other, so any output value with trailing-zero cents
+    * ("8560.00" vs "8560.0") hash-mismatches even when values are equal
+    * (bit us in rounds 1-2 on exactly the sum-bearing queries). Integer
+    * columns hash identically everywhere. The double→DECIMAL(18,2) cast
+    * is verified identical across engines/rounding modes on this data.
+    */
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(18,2)") * lit(100)).cast("long")
+  private def centsSql(c: String) =
+    s"CAST(CAST($c AS DECIMAL(18,2))*100 AS BIGINT)"
+
   val defs: Map[String, QueryDef] = Map(
 
     // A-series shape: grouped aggregation with partial (map-side) combine.
+    // disc_price in 1e-4 dollar units: price_cents * (100 - discount_pct).
     "q01_pricing_summary" -> QueryDef(
       (s, dir) => {
         tbl(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            // DuckDB sum(DECIMAL(18,x)) yields DECIMAL(38,x); Spark yields
-            // (28,x) — cast to the oracle's output type for hash parity.
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
-            sum((col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-              .cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+            sum(cents(col("l_quantity"))).as("sum_qty_c"),
+            sum(cents(col("l_extendedprice"))).as("sum_base_price_c"),
+            sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("sum_disc_price_e4"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+             |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_c,
+             |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS sum_disc_price_e4,
              |  count(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "))),
@@ -49,14 +61,12 @@ object Relational {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(
-            sum((col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-              .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"),
+            sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_e4"),
             count(lit(1)).as("n_items"))
           .orderBy(col("n_name"))
       },
-      Some("""SELECT n_name,
-             |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue,
+      Some(s"""SELECT n_name,
+             |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_e4,
              |  count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -68,11 +78,11 @@ object Relational {
       (s, dir) =>
         tbl(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+            cents(col("o_totalprice")).as("o_totalprice_c"))
+          .orderBy(col("o_totalprice_c").desc, col("o_orderkey"))
           .limit(10),
-      Some("""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
-             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "))),
+      Some(s"""SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS o_totalprice_c
+             |FROM orders ORDER BY o_totalprice_c DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "))),
 
     // Window functions (SURVEY §2.5: free from Spark, exercised anyway).
     "q04_window_rank" -> QueryDef(
@@ -84,12 +94,12 @@ object Relational {
           .withColumn("rk", row_number().over(w))
           .where(col("rk") <= 3)
           .select(col("s_nationkey"), col("s_suppkey"),
-            col("s_acctbal").cast("decimal(18,2)").as("s_acctbal"),
+            cents(col("s_acctbal")).as("s_acctbal_c"),
             // DuckDB row_number() is BIGINT; Spark's is INT
             col("rk").cast("long").as("rk"))
           .orderBy(col("s_nationkey"), col("rk"))
       },
-      Some("""SELECT s_nationkey, s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal, rk
+      Some(s"""SELECT s_nationkey, s_suppkey, ${centsSql("s_acctbal")} AS s_acctbal_c, rk
              |FROM (SELECT s_nationkey, s_suppkey, s_acctbal,
              |  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rk
              |  FROM supplier) WHERE rk <= 3
@@ -108,11 +118,11 @@ object Relational {
             col("event_type"), col("value"))
           .groupBy(col("bucket"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+            sum(cents(col("value"))).as("total_c"))
           .orderBy(col("bucket"), col("event_type"))
       },
-      Some("""SELECT epoch_ns(ts) // 300000000000 AS bucket, event_type,
-             |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+      Some(s"""SELECT epoch_ns(ts) // 300000000000 AS bucket, event_type,
+             |  count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS total_c
              |FROM events GROUP BY bucket, event_type
              |ORDER BY bucket, event_type""".stripMargin.replace("\n", " "))),
 
@@ -222,15 +232,15 @@ object Relational {
         tbl(s, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("qty"))
+            sum(cents(col("l_quantity"))).as("qty_c"))
           .select(
             coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
             coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
-            col("n"), col("qty"))
+            col("n"), col("qty_c"))
           .orderBy(col("rf"), col("ls")),
-      Some("""SELECT coalesce(l_returnflag, '<all>') AS rf,
+      Some(s"""SELECT coalesce(l_returnflag, '<all>') AS rf,
              |coalesce(l_linestatus, '<all>') AS ls,
-             |count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+             |count(*) AS n, CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_c
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin.replace("\n", " "))),
 
