@@ -27,8 +27,12 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
     }
-    // Two timed passes, per-query minimum: strips scheduler/GC noise on a
-    // shared box (identical code measured 41-66s run-to-run single-pass).
+    // Two timed passes, per-query minimum. The passes are FULL SWEEPS
+    // (q01..q53, then q01..q53 again), not back-to-back runs of the same
+    // query: a GC/broadcast-cleanup storm is local in time, so
+    // back-to-back samples of one query are correlated and min() can't
+    // strip the noise (round 2 recorded q04 at 10.2s in-bench vs 0.9s in
+    // isolation). Sweep interleaving decorrelates the two samples.
     val passes = 2
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
@@ -36,11 +40,14 @@ object Bench {
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable => Left(e.getClass.getSimpleName) }
     }
-    val results: Seq[(String, Either[String, Double])] = queries.map { case (name, fn) =>
-      val runs = (1 to passes).map(_ => timeOnce(fn))
-      val ok = runs.collect { case Right(v) => v }
-      name -> (if (ok.isEmpty) runs.head else Right(ok.min))
-    }
+    val sweeps: Seq[Seq[Either[String, Double]]] =
+      (1 to passes).map(_ => queries.map { case (_, fn) => timeOnce(fn) })
+    val results: Seq[(String, Either[String, Double])] =
+      queries.zipWithIndex.map { case ((name, _), i) =>
+        val runs = sweeps.map(_(i))
+        val ok = runs.collect { case Right(v) => v }
+        name -> (if (ok.isEmpty) runs.head else Right(ok.min))
+      }
     val qs = results.map {
       case (k, Right(v)) => s""""$k":$v"""
       case (k, Left(_))  => s""""$k":"err""""

@@ -57,7 +57,10 @@ object Dedup {
       .select(col(idCol), col("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = TextOps.minhashSignatures(sh, idCol, numHashes, assumeDistinct = true)
+    // the band self-join reads this twice; without the persist each side
+    // recomputes the whole signature aggregation (the md5-heavy stage)
     val bands = TextOps.lshBands(sig, idCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("k1"), col("k2"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("k1"), col("k2"))
     val cand = a.join(b, Seq("band", "k1", "k2"))
@@ -87,8 +90,7 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       numHashes: Int = 8): String = {
-    val mins = (0 until numHashes).map(i =>
-      s"min(${TextOps.portableHashSql("sh", s"$i:")}) AS h$i").mkString(", ")
+    val mins = TextOps.minhashAggsSql(numHashes)
     val bandSelects = (0 until numHashes / 2).map(bn =>
       s"SELECT $idCol, $bn AS band, h${2 * bn} AS k1, h${2 * bn + 1} AS k2 FROM sig")
       .mkString(" UNION ALL ")

@@ -56,8 +56,25 @@ object TextOps {
        |  WHERE len(tk) >= $k) t""".stripMargin.replace("\n", " ")
   }
 
+  /** Affine MinHash family over the 31-bit reduction of [[portableHash]]:
+    * `h_i(x) = (a_i * (H(x) mod P) + b_i) mod P`, P = 2^31-1. ONE md5 per
+    * shingle instead of `numHashes` salted md5s — the signature aggregate
+    * was the q31/q32 hot spot (8x md5 over every shingle, twice). The
+    * constants are generated deterministically here and inlined as
+    * literals on both the Spark and oracle sides, so the family is still
+    * oracle-checkable bit-for-bit. a_i*(H mod P) < 2^62 — no overflow in
+    * either engine's BIGINT.
+    */
+  val MinhashP = 2147483647L // 2^31 - 1
+  def minhashConsts(i: Int): (Long, Long) = {
+    val a = (1103515245L * (i + 1) + 12345L) % (MinhashP - 2) + 1
+    val b = (1103515245L * (i + 101) + 54321L) % MinhashP
+    (a, b)
+  }
+
   /** MinHash signature per id over distinct shingles: `numHashes` columns
-    * `h0..h{n-1}`, each the min of a salted [[portableHash]]. One narrow
+    * `h0..h{n-1}`, each the min of an affine rehash of one shared
+    * [[portableHash]]. One narrow
     * shuffle on id; partial min aggregation keeps it map-side combined.
     */
   def minhashSignatures(
@@ -65,8 +82,11 @@ object TextOps {
       idCol: String,
       numHashes: Int = 8,
       assumeDistinct: Boolean = false): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(portableHash(col("sh"), s"$i:")).as(s"h$i"))
+    val hb = portableHash(col("sh")) % lit(MinhashP)
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b) = minhashConsts(i)
+      min((lit(a) * hb + lit(b)) % lit(MinhashP)).as(s"h$i")
+    }
     // callers holding an already-distinct (cached) shingle set skip the
     // dedup — a redundant distinct above a cache boundary is a full extra
     // shuffle Catalyst cannot eliminate. (min() is dedup-insensitive, so
@@ -75,6 +95,15 @@ object TextOps {
     val base = if (assumeDistinct) sh else sh.distinct()
     base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** DuckDB aggregate list matching [[minhashSignatures]]: `min(...) AS
+    * h0, ...` over a shingle column `sh`.
+    */
+  def minhashAggsSql(numHashes: Int = 8): String =
+    (0 until numHashes).map { i =>
+      val (a, b) = minhashConsts(i)
+      s"min(($a * (${portableHashSql("sh")} % $MinhashP) + $b) % $MinhashP) AS h$i"
+    }.mkString(", ")
 
   /** LSH banding of a MinHash signature: (id, band, k1, k2) rows, two
     * hashes per band. Near-dup candidates are ids sharing any full band —

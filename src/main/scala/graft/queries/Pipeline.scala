@@ -31,11 +31,9 @@ object Pipeline {
           TextOps.shingles(tbl(s, dir, "documents"), "doc_id", "text"), "doc_id")
           .orderBy(col("doc_id")),
       Some {
-        val mins = (0 until 8).map(i =>
-          s"min(${TextOps.portableHashSql("sh", s"$i:")}) AS h$i").mkString(", ")
         s"""WITH shr AS (${TextOps.shinglesSql("documents", "doc_id", "text")}),
            |sh AS (SELECT DISTINCT doc_id, sh FROM shr)
-           |SELECT doc_id, $mins FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+           |SELECT doc_id, ${TextOps.minhashAggsSql()} FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
       }),
 
     // Banded-LSH near-dup candidates + exact Jaccard verification.
