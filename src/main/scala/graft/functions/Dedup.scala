@@ -113,4 +113,85 @@ object Dedup {
        |JOIN sizes za ON za.$idCol = c.doc_a
        |JOIN sizes zb ON zb.$idCol = c.doc_b""".stripMargin.replace("\n", " ")
   }
+
+  /** Exact character n-gram Jaccard over pairs sharing a *rare* n-gram.
+    *
+    * Candidate generation is an inverted-index self-join: gram → doc
+    * postings, joined on the gram, restricted to grams whose document
+    * frequency is in [2, maxDf]. The df cap is what survives 100 TB — a
+    * stop-gram ("the quick") appearing in 10^9 docs would otherwise
+    * produce a 10^18-row join; capped postings bound each gram's join
+    * output at maxDf². Intersections are then computed *exactly* over the
+    * full (uncapped) gram sets with the gram in the join key (an equi-join
+    * per (doc, gram), never candidate × grams_a × grams_b).
+    *
+    * Returns (doc_a < doc_b, inter, uni, is_dup = Jaccard ≥ 1/2),
+    * restricted to verified pairs with Jaccard ≥ 1/4 (the emission
+    * threshold keeps the output proportional to true near-dups rather
+    * than to candidate collisions).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 12,
+      maxDf: Int = 16): DataFrame = {
+    val grams = df
+      .where(length(col(textCol)) >= n)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(0, length($textCol)-$n), i -> substring($textCol, i+1, $n))")).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("g"))
+    val posting = grams.join(rare, "g")
+    val cand = posting.select(col("g"), col(idCol).as("doc_a"))
+      .join(posting.select(col("g"), col(idCol).as("doc_b")), "g")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("ng"))
+    val inter = cand
+      .join(grams.select(col(idCol).as("doc_a"), col("g")), "doc_a")
+      .join(grams.select(col(idCol).as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("ng").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("ng").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter") * 2 >= col("na") + col("nb") - col("inter")).as("is_dup"))
+      .where(col("inter") * 4 >= col("uni"))
+  }
+
+  /** DuckDB equivalent of [[ngramJaccardPairs]] reading from `tbl`. */
+  def ngramJaccardPairsSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 12,
+      maxDf: Int = 16): String =
+    s"""WITH grams AS (
+       |  SELECT DISTINCT $idCol, unnest(list_transform(range(len($textCol)-${n - 1}),
+       |         i -> substr($textCol, i+1, $n))) AS g
+       |  FROM $tbl WHERE len($textCol) >= $n),
+       |rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND $maxDf),
+       |posting AS (SELECT grams.$idCol, grams.g FROM grams JOIN rare USING (g)),
+       |cand AS (SELECT DISTINCT a.$idCol AS doc_a, b.$idCol AS doc_b
+       |         FROM posting a JOIN posting b ON a.g = b.g WHERE a.$idCol < b.$idCol),
+       |sizes AS (SELECT $idCol, count(*) AS ng FROM grams GROUP BY $idCol),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |          FROM cand c JOIN grams ga ON ga.$idCol = c.doc_a
+       |          JOIN grams gb ON gb.$idCol = c.doc_b AND gb.g = ga.g
+       |          GROUP BY c.doc_a, c.doc_b)
+       |SELECT * FROM (
+       |  SELECT c.doc_a, c.doc_b, coalesce(i.inter, 0) AS inter,
+       |         za.ng + zb.ng - coalesce(i.inter, 0) AS uni,
+       |         coalesce(i.inter, 0) * 2 >= za.ng + zb.ng - coalesce(i.inter, 0) AS is_dup
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes za ON za.$idCol = c.doc_a
+       |  JOIN sizes zb ON zb.$idCol = c.doc_b) t
+       |WHERE inter * 4 >= uni""".stripMargin.replace("\n", " ")
 }

@@ -175,6 +175,26 @@ object Pipeline {
              |CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img'
              |     WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
              |     ELSE 'video' END AS format
-             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Exact character n-gram Jaccard near-dup via a df-capped inverted-
+    // index join (the third dedup family next to MinHash-LSH and SimHash).
+    "q54_ngram_jaccard" -> QueryDef(
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some("SELECT * FROM (" +
+        Dedup.ngramJaccardPairsSql("documents", "doc_id", "text") +
+        ") q ORDER BY 1, 2")),
+
+    // IVF ANN: KMeans coarse quantizer, nprobe-cell exact rerank. The
+    // clustering is not SQL-expressible, so this entry takes the driver's
+    // rows-only check; PipelineSpec asserts recall against brute force.
+    "q55_ann_ivf" -> QueryDef(
+      (s, dir) =>
+        Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, 5)
+          .orderBy(col("query_id"), col("rk")),
+      None)
   )
 }

@@ -56,6 +56,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("ngramJaccardPairs finds char-gram near-dups via the rare-gram index") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token15", "CHANGED")
+    val unrelated = (100 to 130).map(i => s"other$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(pairs.exists { case (a, b, dup) => a == 1L && b == 2L && dup })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
   test("shingles are k consecutive tokens; short docs yield none") {
     import spark.implicits._
     val d = docs((1L, "a b c d"), (2L, "x y"))
