@@ -87,6 +87,23 @@ object Multimodal {
       }
   }
 
+  /** Resize/downsample stage: keep every `factor`-th byte of each frame
+    * (with a real codec this is the pixel-resample; the partition-batched
+    * shape — frames in, smaller frames out, no shuffle — is what matters).
+    */
+  def resizeFrames(frames: Dataset[MediaFrame], factor: Int = 2): Dataset[MediaFrame] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        val out = Array.ofDim[Byte]((f.frame_bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = f.frame_bytes(i * factor); i += 1 }
+        MediaFrame(f.doc_id, f.frame_idx, out)
+      }
+    }
+  }
+
   /** Column-only metadata (no decode): blob length and a format tag by
     * length mod — the part of [[decodeMeta]] that stays in codegen, used
     * by the oracle-checked query.

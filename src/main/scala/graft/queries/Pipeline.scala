@@ -187,6 +187,25 @@ object Pipeline {
         Dedup.ngramJaccardPairsSql("documents", "doc_id", "text") +
         ") q ORDER BY 1, 2")),
 
+    // Frame sampling over the opaque binary column (video→frames shape):
+    // every 4th 64-byte window, identified by md5 so the comparison moves
+    // hex strings, not raw bytes. The oracle windows the VARCHAR directly
+    // — valid because the corpus is pure ASCII (verified: octet_length
+    // == len for every row), so char windows ≡ byte windows.
+    "q56_frame_sample" -> QueryDef(
+      (s, dir) => {
+        val frames = Multimodal.sampleFrames(
+          tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
+          "doc_id", "blob")
+        frames.toDF()
+          .select(col("doc_id"), col("frame_idx"), md5(col("frame_bytes")).as("frame_md5"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, len(text)//64, 4)) AS fi, text FROM documents)
+             |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+             |  md5(substring(text, CAST(fi*64+1 AS BIGINT), 64)) AS frame_md5
+             |FROM f ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
     // IVF ANN: KMeans coarse quantizer, nprobe-cell exact rerank. The
     // clustering is not SQL-expressible, so this entry takes the driver's
     // rows-only check; PipelineSpec asserts recall against brute force.

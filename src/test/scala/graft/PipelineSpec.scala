@@ -148,6 +148,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.map(f => (f.doc_id, f.frame_idx)).toSet ==
       Set((1L, 0), (1L, 2), (2L, 0)))
     assert(frames.forall(_.frame_bytes.length == 64))
+    val resized = Multimodal.resizeFrames(
+      Multimodal.sampleFrames(blobs, "doc_id", "blob", frameBytes = 64, stride = 2), factor = 2)
+      .collect()
+    assert(resized.forall(_.frame_bytes.length == 32))
+    val f10 = frames.find(f => f.doc_id == 1L && f.frame_idx == 0).get
+    val r10 = resized.find(f => f.doc_id == 1L && f.frame_idx == 0).get
+    assert(r10.frame_bytes.toSeq == (0 until 64 by 2).map(f10.frame_bytes(_)))
   }
 
   test("blobMeta matches decodeMeta on byte length and format") {
