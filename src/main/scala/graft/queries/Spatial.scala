@@ -273,6 +273,39 @@ object Spatial {
               |  AND t >= 0 AND t < 2 AND value <> 0
               |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
 
+    // W1-W3/S8-S11 streaming write path, oracle-checked end to end:
+    // voxel write events land as files, Structured Streaming drains them
+    // with AvailableNow in 1-file micro-batches (each a cuboid-plane
+    // merge + atomic snapshot commit), and the final snapshot is decoded
+    // back to voxels. Events are deduped voxels with non-zero-overwrite
+    // merge, so the end state is batch-order independent and equals the
+    // plain relational dedup the oracle computes.
+    "q57_stream_ingest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.storage.{CuboidCodec, VersionedStore, VoxelRow}
+        import graft.core.VoxelType
+        import graft.streaming.StreamingIngest
+        val deduped = VoxelView.df(s, dir)
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(col("id")).as("value"))
+          .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .as[VoxelRow]
+        val base = java.nio.file.Files.createTempDirectory("q57stream").toString
+        deduped.repartition(3).write.parquet(s"$base/events")
+        StreamingIngest.runAvailableNow(s, s"$base/events", s"$base/store",
+          s"$base/ckpt", VoxelType.UInt64, dims, maxFilesPerTrigger = Some(1))
+        CuboidCodec.toVoxels(VersionedStore.read(s, s"$base/store"), VoxelType.UInt64, dims)
+          .toDF()
+          .select(col("t").cast("long").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z, max(id) AS value FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT t, x, y, z, value FROM g WHERE value <> 0
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
     // W7 missing-time zero-fill: materialize the full t-lattice for a
     // sub-box, absent samples as zeros (reference `spatialdb.py:187-199`).
     "q29_timeseries_fill" -> QueryDef(

@@ -33,10 +33,15 @@ object StreamingIngest {
       checkpointDir: String,
       vt: VoxelType = VoxelType.UInt64,
       dims: Region.CuboidDims = Region.CuboidDims(),
-      mode: MergeMode = MergeMode.Overwrite): Unit = {
+      mode: MergeMode = MergeMode.Overwrite,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
-    val stream = spark.readStream
+    val reader = spark.readStream
       .schema(spark.emptyDataset[VoxelRow].schema)
+    // bound each micro-batch (AvailableNow honors it): n event files
+    // drain as ceil(n/max) batches, each its own snapshot commit
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(eventsDir)
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
