@@ -73,6 +73,42 @@ object Spatial {
               |  AND t >= 0 AND t < 2 AND id <> 0
               |ORDER BY id""".stripMargin.replace("\n", " "))),
 
+    // J5/A2 hybrid (indexed) ids-in-region — the 100 TB path: interior
+    // cuboids answered from the cuboid_index id_sets alone (no voxel
+    // scan), boundary slabs from a bounded voxel scan. Same relational
+    // oracle as the direct path, so the index shortcut is proven exact.
+    "q58_ids_in_region_indexed" -> QueryDef(
+      (s, dir) => {
+        val v = vox(s, dir)
+        out(SpatialOps.idsInRegionIndexed(
+          v, SpatialOps.buildCuboidIndex(v, dims), Box(0, 48, 0, 192, 0, 12), dims, 0 until 2)
+          .orderBy(col("id")))
+      },
+      Some(s"""WITH $V SELECT DISTINCT id FROM v
+              |WHERE x >= 0 AND x < 48 AND y >= 0 AND y < 192 AND z >= 0 AND z < 12
+              |  AND t >= 0 AND t < 2 AND id <> 0
+              |ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // F6 slice render with the reference's 16→8-bit windowing (value>>8):
+    // one XY plane as (u, v, pix) rows, ids scaled into uint16 range so
+    // the window actually bites.
+    "q59_render_slice" -> QueryDef(
+      (s, dir) => {
+        import graft.core.VoxelType
+        import graft.engine.Render
+        val v16 = vox(s, dir).where(col("t") === 0)
+          .groupBy(col("lookupKey"), col("res"), col("t"),
+            col("x"), col("y"), col("z"))
+          .agg(max(col("value") * 1200).as("value"))
+        out(Render.slice(v16, Render.XY, 5L, VoxelType.UInt16)
+          .orderBy(col("u"), col("v"), col("pix")))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT x, y, max(id*1200) AS v16 FROM v
+              |  WHERE t = 0 AND z = 5 GROUP BY 1, 2)
+              |SELECT x AS u, y AS v, CAST(v16 // 256 AS BIGINT) AS pix
+              |FROM g ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "))),
+
     // A4 tight bounding box, all ids.
     "q15_bbox_tight" -> QueryDef(
       (s, dir) =>
