@@ -275,6 +275,37 @@ object SpatialOps {
           idiv(col("y"), dims.y),
           idiv(col("z"), dims.z)))).as("mortons"))
 
+  /** A9 id-index with the reference's overflow-chunk semantics
+    * (`object_indices.py:167-347`, `test_object_indices.py:515-602`: a
+    * DynamoDB item caps at 400 KB, so an id's cuboid list splits into
+    * numbered chunk rows). The same cap matters in Spark for a different
+    * reason: one id touching 10^8 cuboids would otherwise become a
+    * single multi-GB array in one row — a guaranteed executor OOM that
+    * no partitioning setting can fix. Chunk rows bound every row at
+    * `chunkSize` mortons regardless of total scale. (The per-id
+    * row_number is a single streaming pass per id — the same serial
+    * order the reference's CAS append imposed.)
+    */
+  def buildIdIndexChunked(
+      voxels: DataFrame,
+      dims: CuboidDims = CuboidDims(),
+      chunkSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lookupKey"), col("res"), col("id"))
+      .orderBy(col("morton"))
+    voxels.where(col("value") =!= 0)
+      .select(col("lookupKey"), col("res"), col("value").as("id"),
+        Morton.morton_encode(
+          idiv(col("x"), dims.x),
+          idiv(col("y"), dims.y),
+          idiv(col("z"), dims.z)).as("morton"))
+      .distinct()
+      .withColumn("rk", (row_number().over(w) - 1).cast("long"))
+      .groupBy(col("lookupKey"), col("res"), col("id"),
+        expr(s"rk div $chunkSize").as("chunk_no"))
+      .agg(sort_array(collect_list(col("morton"))).as("mortons"))
+  }
+
   /** A3 loose bounding box (`object_indices.py:373-432`): min/max cuboid
     * extents from the id_index — no voxel IO.
     */

@@ -265,6 +265,25 @@ object Spatial {
               |FROM v WHERE id <> 0
               |ORDER BY id, morton""".stripMargin.replace("\n", " "))),
 
+    // A9 id_index with overflow-chunk rows (the reference's 400 KB item
+    // split; here the giant-row OOM guard). chunkSize 64 on a ≤256-
+    // cuboid-per-id view forces real multi-chunk ids.
+    "q60_id_index_chunked" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.buildIdIndexChunked(vox(s, dir), dims, chunkSize = 64)
+          .select(col("id"), col("chunk_no"),
+            size(col("mortons")).cast("long").as("n_mortons"),
+            element_at(col("mortons"), 1).as("m_min"),
+            element_at(col("mortons"), -1).as("m_max"))
+          .orderBy(col("id"), col("chunk_no"))),
+      Some(s"""WITH $V, m AS (
+              |  SELECT DISTINCT id, ${cuboidMortonSql(dims)} AS morton FROM v WHERE id <> 0),
+              |r AS (SELECT id, morton,
+              |      row_number() OVER (PARTITION BY id ORDER BY morton) - 1 AS rk FROM m)
+              |SELECT id, rk // 64 AS chunk_no, count(*) AS n_mortons,
+              |       min(morton) AS m_min, max(morton) AS m_max
+              |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
     // A3 loose bbox for every id, from the id_index (cuboid-granular).
     "q28_bbox_loose" -> QueryDef(
       (s, dir) =>

@@ -145,6 +145,23 @@ class EngineSpec extends AnyFunSuite {
     assert(loose.getAs[Long]("z_min") <= 1 && loose.getAs[Long]("z_max") >= 3)
   }
 
+  test("chunked id_index flattens to the unchunked index, rows bounded") {
+    import spark.implicits._
+    // id 42 spread over many cuboids so chunkSize=2 forces several chunks
+    val v = vox((0 until 40).map(i => (i.toLong * 4, 0L, 0L, 42L)) :+ ((0L, 8L, 0L, 7L)): _*)
+    val chunked = SpatialOps.buildIdIndexChunked(v, dims, chunkSize = 2)
+    assert(chunked.select(max(size($"mortons"))).as[Int].head() <= 2)
+    val flat = chunked.select($"id", explode($"mortons").as("m"))
+      .as[(Long, Long)].collect().toSet
+    val plain = SpatialOps.buildIdIndex(v, dims)
+      .select($"id", explode($"mortons").as("m"))
+      .as[(Long, Long)].collect().toSet
+    assert(flat == plain && flat.nonEmpty)
+    // chunk numbering is dense from 0 in morton order
+    val chunks42 = chunked.where($"id" === 42L).select($"chunk_no").as[Long].collect().sorted
+    assert(chunks42.head == 0L && chunks42.toSeq == (0L until chunks42.length).toSeq)
+  }
+
   test("zoomOut/zoomIn") {
     val v = vox((0, 0, 0, 1), (1, 0, 0, 2), (2, 0, 0, 3), (2, 2, 0, 4))
     val out = SpatialOps.zoomOut(v, 1).collect()
