@@ -152,7 +152,11 @@ object Dedup {
     val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
       .select(col("g"))
-    val posting = grams.join(rare, "g")
+    // co-partitioned + persisted: the self-join then reads one cached,
+    // already-hash-distributed table twice (no recompute of the df-cap
+    // aggregation per side, no re-shuffle of either side)
+    val posting = grams.join(rare, "g").repartition(col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = posting.select(col("g"), col(idCol).as("doc_a"))
       .join(posting.select(col("g"), col(idCol).as("doc_b")), "g")
       .where(col("doc_a") < col("doc_b"))
