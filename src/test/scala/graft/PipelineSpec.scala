@@ -56,6 +56,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("affine minhash family: range, determinism, min-monotonicity") {
+    val d1 = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (4L, "a b c d e f g h"))
+    val sig = TextOps.minhashSignatures(TextOps.shingles(d1, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), (1 to 8).map(r.getLong))).toMap
+    // identical shingle sets → identical signatures; all values in [0, P)
+    assert(sig(1L) == sig(2L))
+    assert(sig.values.forall(_.forall(h => h >= 0 && h < TextOps.MinhashP)))
+    // a superset shingle set can only lower each min
+    assert(sig(4L).zip(sig(1L)).forall { case (sup, sub) => sup <= sub })
+  }
+
   test("ngramJaccardPairs finds char-gram near-dups via the rare-gram index") {
     val base = (1 to 30).map(i => s"token$i").mkString(" ")
     val nearDup = base.replace("token15", "CHANGED")
