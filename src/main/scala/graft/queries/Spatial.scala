@@ -152,6 +152,32 @@ object Spatial {
               |  FROM g) WHERE rn = 1
               |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
 
+    // Hierarchy job: two chained vote-downsample levels (the reference's
+    // anisotropic res-hierarchy build, `ndlib.py:430-445` applied per
+    // level). The oracle composes the q17 vote emulation twice, so the
+    // pyramid driver — not just one downsample step — is hash-checked.
+    "q61_pyramid_level2" -> QueryDef(
+      (s, dir) =>
+        out(SpatialOps.buildPyramid(vox(s, dir), 3, annotation = true)
+          .collectFirst { case (2, df) => df }.get
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))),
+      Some(s"""WITH $V, g1 AS (
+              |  SELECT t, x // 2 AS x, y // 2 AS y, z, id,
+              |         count(*) AS c, min((y % 2) * 2 + (x % 2)) AS p
+              |  FROM v WHERE id <> 0 GROUP BY 1, 2, 3, 4, 5),
+              |l1 AS (SELECT t, x, y, z, id FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY t, x, y, z ORDER BY c DESC, p ASC, id ASC) AS rn
+              |  FROM g1) WHERE rn = 1),
+              |g2 AS (
+              |  SELECT t, x // 2 AS x, y // 2 AS y, z, id,
+              |         count(*) AS c, min((y % 2) * 2 + (x % 2)) AS p
+              |  FROM l1 GROUP BY 1, 2, 3, 4, 5)
+              |SELECT t, x, y, z, id AS value FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY t, x, y, z ORDER BY c DESC, p ASC, id ASC) AS rn
+              |  FROM g2) WHERE rn = 1
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
     // A6 image zoomOut: stride-2 point sampling.
     "q18_zoom_out" -> QueryDef(
       (s, dir) =>
