@@ -105,8 +105,35 @@ object CuboidMerge {
     } else mergeAll(existing, incoming, vt, mode)
   }
 
-  /** Unconditional full-outer blob merge (both sides shuffle on the key). */
-  private def mergeAll(
+  /** The delta of a merge: ONLY the cuboids the write touches, fully
+    * merged with their existing counterparts — the unit a
+    * [[graft.storage.VersionedStore.commitDelta]] persists. The
+    * untouched store never enters the plan output at all, so a commit's
+    * write volume scales with the write, not the store.
+    */
+  def mergeDelta(
+      existing: Dataset[CuboidRow],
+      incoming: Dataset[CuboidRow],
+      vt: VoxelType,
+      mode: MergeMode): Dataset[CuboidRow] = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val keyCols = Seq("lookupKey", "res", "t", "morton")
+    val incKeys = incoming.toDF().select(keyCols.map(col): _*).distinct()
+    val nKeys = incKeys.limit((BroadcastKeyLimit + 1).toInt).count()
+    val touched =
+      if (nKeys <= BroadcastKeyLimit)
+        existing.join(broadcast(incKeys), keyCols, "left_semi").as[CuboidRow]
+      else existing.join(incKeys, keyCols, "left_semi").as[CuboidRow]
+    mergeAll(touched, incoming, vt, mode)
+  }
+
+  /** Unconditional full-outer blob merge (both sides shuffle on the key).
+    * `private[graft]`: the streaming ingest calls it directly with an
+    * already key-pruned existing side (`VersionedStore.readForKeys`).
+    */
+  private[graft] def mergeAll(
       existing: Dataset[CuboidRow],
       incoming: Dataset[CuboidRow],
       vt: VoxelType,

@@ -374,7 +374,9 @@ object Spatial {
             col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
           .as[VoxelRow]
         val base = java.nio.file.Files.createTempDirectory("q57stream").toString
-        deduped.repartition(3).write.parquet(s"$base/events")
+        // range-split on x so each micro-batch touches a disjoint cuboid
+        // band — each delta commit then writes ~1/3 of the cuboids
+        deduped.repartitionByRange(3, col("x")).write.parquet(s"$base/events")
         StreamingIngest.runAvailableNow(s, s"$base/events", s"$base/store",
           s"$base/ckpt", VoxelType.UInt64, dims, maxFilesPerTrigger = Some(1))
         CuboidCodec.toVoxels(VersionedStore.read(s, s"$base/store"), VoxelType.UInt64, dims)

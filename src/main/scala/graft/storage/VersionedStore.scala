@@ -15,13 +15,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * W6 write-lock (`state.py:157-185`): a `_LOCK` marker file acts as the
   * channel-level circuit breaker — commits refuse while it exists.
   *
-  * Scale note: a commit REWRITES the full snapshot directory (the merge
-  * itself only shuffles touched cuboids — see `CuboidMerge` — but the
-  * untouched bytes are still copied). That is the honest cost of
-  * snapshot isolation without a table format; on a production cluster
-  * this store is the slot where Delta/Iceberg `MERGE INTO` drops in
-  * (file-level reuse + the same atomic-visibility contract), with zero
-  * changes to the operators above it.
+  * Scale note: a full `commit` rewrites the snapshot directory, but the
+  * write path streams through `commitDelta`: only touched cuboids are
+  * written (with a `_DELTA` marker) and `read` masks older versions
+  * key-by-key, so a write's IO scales with the write, not the store —
+  * the file-level-reuse property a Delta/Iceberg `MERGE INTO` provides,
+  * with the same atomic-visibility contract. `compact` collapses long
+  * chains as a maintenance job, exactly like table-format compaction.
   */
 object VersionedStore {
 
@@ -44,16 +44,88 @@ object VersionedStore {
     else { Files.deleteIfExists(lockFile(path)); () }
   }
 
-  /** Read the current snapshot (empty dataset if nothing committed). */
+  private def isDeltaVersion(path: String, v: Int): Boolean =
+    Files.exists(Paths.get(path, s"v$v", "_DELTA"))
+
+  /** Newest-first version chain ending at the most recent full snapshot
+    * (or v0). Each delta masks older versions key-by-key on read.
+    */
+  private def versionChain(path: String, cur: Int): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    var v = cur
+    while (v > 0 && isDeltaVersion(path, v)) { b += v; v -= 1 }
+    b += v
+    b.result()
+  }
+
+  /** Read the current snapshot (empty dataset if nothing committed).
+    * A delta chain resolves distributively: union the chain with a
+    * version column and keep the newest row per cuboid key — no driver-
+    * side materialization, one shuffle on the cuboid key regardless of
+    * chain depth. Chains shorten via [[compact]].
+    */
   def read(spark: SparkSession, path: String): Dataset[CuboidRow] = {
     import spark.implicits._
     currentVersion(path) match {
-      case Some(v) => CuboidStore.read(spark, s"$path/v$v")
-      case None    => spark.emptyDataset[CuboidRow]
+      case None => spark.emptyDataset[CuboidRow]
+      case Some(v) =>
+        val chain = versionChain(path, v)
+        if (chain.lengthCompare(1) == 0) CuboidStore.read(spark, s"$path/v$v")
+        else {
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions.{col, lit, row_number}
+          val union = chain.map { ver =>
+            CuboidStore.read(spark, s"$path/v$ver").toDF()
+              .withColumn("__v", lit(ver))
+          }.reduce(_ union _)
+          val w = Window
+            .partitionBy(col("lookupKey"), col("res"), col("t"), col("morton"))
+            .orderBy(col("__v").desc)
+          union.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+            .drop("__v", "__rn")
+            .as[CuboidRow]
+        }
     }
   }
 
-  /** Commit a new snapshot: write `v{n+1}`, then atomically replace
+  /** [[read]] restricted to the cuboid keys in `keys` (columns
+    * `lookupKey, res, t, morton`): every chain member is semi-joined to
+    * the (broadcast) key set BEFORE chain resolution, so reading the
+    * current state of a write's footprint costs O(touched × depth) — the
+    * Z-clustered store's row-group min/max prune does the heavy lifting
+    * inside each version scan. This is what makes a delta-commit
+    * micro-batch O(batch): without it, resolving `existing` would
+    * shuffle the whole store per batch.
+    */
+  def readForKeys(
+      spark: SparkSession,
+      path: String,
+      keys: org.apache.spark.sql.DataFrame): Dataset[CuboidRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
+    val keyCols = Seq("lookupKey", "res", "t", "morton")
+    currentVersion(path) match {
+      case None => spark.emptyDataset[CuboidRow]
+      case Some(v) =>
+        val chain = versionChain(path, v)
+        val pruned = chain.map { ver =>
+          CuboidStore.read(spark, s"$path/v$ver").toDF()
+            .join(broadcast(keys.select(keyCols.map(col): _*)), keyCols, "left_semi")
+            .withColumn("__v", lit(ver))
+        }.reduce(_ union _)
+        val w = Window
+          .partitionBy(col("lookupKey"), col("res"), col("t"), col("morton"))
+          .orderBy(col("__v").desc)
+        pruned.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .drop("__v", "__rn")
+          .as[CuboidRow]
+    }
+  }
+
+  /** Commit a new full snapshot: write `v{n+1}`, then atomically replace
     * `_CURRENT`. Readers of the old version are unaffected (their file
     * listing is already resolved). Returns the committed version.
     *
@@ -62,7 +134,33 @@ object VersionedStore {
     * version directory; stale markers (crashed committer) expire after
     * `CommitLockTimeoutMs`.
     */
-  def commit(cuboids: Dataset[CuboidRow], path: String): Int = {
+  def commit(cuboids: Dataset[CuboidRow], path: String): Int =
+    withCommitLock(path) { next =>
+      CuboidStore.write(cuboids, s"$path/v$next")
+    }
+
+  /** Commit only the cuboids a write touched (from
+    * [[graft.engine.CuboidMerge.mergeDelta]]): the version directory gets
+    * a `_DELTA` marker (ignored by the parquet reader, like `_SUCCESS`)
+    * and [[read]] masks older versions key-by-key. Write volume scales
+    * with the write, not the store — the file-level-reuse half of what a
+    * Delta/Iceberg `MERGE INTO` would provide, with the same atomic-
+    * visibility contract.
+    */
+  def commitDelta(touched: Dataset[CuboidRow], path: String): Int =
+    withCommitLock(path) { next =>
+      CuboidStore.write(touched, s"$path/v$next")
+      Files.write(Paths.get(path, s"v$next", "_DELTA"), Array.emptyByteArray)
+      ()
+    }
+
+  /** Collapse the delta chain into a fresh full snapshot (maintenance
+    * job; readers never require it).
+    */
+  def compact(spark: SparkSession, path: String): Int =
+    commit(read(spark, path), path)
+
+  private def withCommitLock(path: String)(write: Int => Unit): Int = {
     if (isLocked(path))
       throw new IllegalStateException(s"store $path is write-locked")
     Files.createDirectories(Paths.get(path))
@@ -75,7 +173,7 @@ object VersionedStore {
     }
     try {
       val next = currentVersion(path).getOrElse(-1) + 1
-      CuboidStore.write(cuboids, s"$path/v$next")
+      write(next)
       val tmp = Paths.get(path, s"_CURRENT.tmp$next")
       Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, currentFile(path), StandardCopyOption.ATOMIC_MOVE,

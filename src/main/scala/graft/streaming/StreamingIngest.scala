@@ -47,11 +47,21 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        // delta commit: the existing side is chain-read pruned to the
+        // batch's cuboid keys, merged, and only those cuboids are
+        // written — a micro-batch costs O(batch), not O(store), on both
+        // the read and the write side
         val incoming = CuboidCodec.fromVoxels(batch.as[VoxelRow], vt, dims)
-        val existing = VersionedStore.read(spark, storePath)
-        val merged = CuboidMerge.merge(existing, incoming, vt, mode)
-        VersionedStore.commit(merged, storePath)
-        ()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val incKeys = incoming.toDF()
+            .select(col("lookupKey"), col("res"), col("t"), col("morton")).distinct()
+          val existingTouched = VersionedStore.readForKeys(spark, storePath, incKeys)
+          val delta = CuboidMerge.mergeAll(existingTouched, incoming, vt, mode)
+          VersionedStore.commitDelta(delta, storePath)
+          ()
+        } finally { incoming.unpersist(); () }
       }
       .start()
     query.awaitTermination()

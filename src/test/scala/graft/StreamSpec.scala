@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{Region, VoxelType}
 import graft.engine.{CuboidMerge, IdReservation, MergeMode, Render, SparseOps, SpatialOps}
-import graft.storage.{CuboidCodec, VersionedStore, VolumeGen, VoxelRow}
+import graft.storage.{CuboidCodec, CuboidStore, VersionedStore, VolumeGen, VoxelRow}
 import graft.streaming.StreamingIngest
 
 /** Write-path, store, and presentation specs: streaming ingest round-trip
@@ -78,6 +78,37 @@ class StreamSpec extends AnyFunSuite {
     VersionedStore.setLock(store, locked = false)
     VersionedStore.commit(CuboidCodec.fromVoxels(v1, VoxelType.UInt64, dims), store)
     assert(VersionedStore.currentVersion(store).contains(2))
+  }
+
+  test("delta commits: chain read, shave masking, compaction") {
+    import spark.implicits._
+    val store = tmp("storeDelta")
+    def cubs(rows: (Long, Long)*) = CuboidCodec.fromVoxels(
+      rows.map { case (x, v) => VoxelRow("k", 0, 0, x, 0, 0, v) }.toDS(),
+      VoxelType.UInt64, dims)
+    // full base: voxels at x=0 (cuboid 0) and x=20 (cuboid 2)
+    VersionedStore.commit(cubs((0L, 5L), (20L, 6L)), store)
+    // delta 1: overwrite touches only cuboid 0
+    val inc1 = cubs((1L, 7L))
+    VersionedStore.commitDelta(
+      CuboidMerge.mergeDelta(VersionedStore.read(spark, store), inc1,
+        VoxelType.UInt64, MergeMode.Overwrite), store)
+    // delta 2: shave erases x=20 (touches only cuboid 2)
+    val inc2 = cubs((20L, 1L))
+    VersionedStore.commitDelta(
+      CuboidMerge.mergeDelta(VersionedStore.read(spark, store), inc2,
+        VoxelType.UInt64, MergeMode.Shave), store)
+    assert(VersionedStore.currentVersion(store).contains(2))
+    def state() = CuboidCodec.toVoxels(
+      VersionedStore.read(spark, store), VoxelType.UInt64, dims)
+      .collect().map(r => (r.x, r.value)).toSet
+    assert(state() == Set((0L, 5L), (1L, 7L))) // x=20 shaved, x=0 kept, x=1 added
+    // delta v1 holds only the touched cuboid (write scaled with the write)
+    assert(CuboidStore.read(spark, s"$store/v1").count() == 1)
+    // compaction collapses the chain without changing the content
+    VersionedStore.compact(spark, store)
+    assert(VersionedStore.currentVersion(store).contains(3))
+    assert(state() == Set((0L, 5L), (1L, 7L)))
   }
 
   test("concurrent commits serialize on the commit lock (no version race)") {
