@@ -53,8 +53,9 @@ final class GraftDB(
   /** `SpatialDB.write_cuboid` (`spatialdb.py:719`): merge-write a voxel
     * set into the channel. `toBlack = true` treats the input as an erase
     * mask (W8 cutout-to-black); otherwise non-zero voxels overwrite (M1).
-    * One atomic snapshot commit replaces the reference's write-buffer /
-    * page-out pipeline. Returns the committed version.
+    * One atomic DELTA commit replaces the reference's write-buffer /
+    * page-out pipeline: the chain read and the write both cost O(write),
+    * never O(store). Returns the committed version.
     */
   def writeCuboid(voxels: DataFrame, res: Int = 0, toBlack: Boolean = false): Int = {
     import spark.implicits._
@@ -64,9 +65,15 @@ final class GraftDB(
           col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
         .as[VoxelRow],
       vt, dims)
-    val existing = VersionedStore.read(spark, storeRoot)
-    val mode = if (toBlack) MergeMode.Shave else MergeMode.Overwrite
-    VersionedStore.commit(CuboidMerge.merge(existing, incoming, vt, mode), storeRoot)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val incKeys = incoming.toDF()
+        .select(col("lookupKey"), col("res"), col("t"), col("morton")).distinct()
+      val existingTouched = VersionedStore.readForKeys(spark, storeRoot, incKeys)
+      val mode = if (toBlack) MergeMode.Shave else MergeMode.Overwrite
+      VersionedStore.commitDelta(
+        CuboidMerge.mergeAll(existingTouched, incoming, vt, mode), storeRoot)
+    } finally { incoming.unpersist(); () }
   }
 
   /** `SpatialDB.get_ids_in_region` (`spatialdb.py:924`). */
