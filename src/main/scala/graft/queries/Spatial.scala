@@ -291,6 +291,40 @@ object Spatial {
               |FROM v WHERE id <> 0
               |ORDER BY id, morton""".stripMargin.replace("\n", " "))),
 
+    // S3/S6 existence probe over real cuboid keys: the covering grid of
+    // a request box (extending past the occupied volume) semi/anti-
+    // joined against the stored key set — the reference's
+    // cuboids_exist() miss/hit split before any page-in.
+    "q62_cuboids_exist" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.storage.{CuboidCodec, VoxelRow}
+        import graft.core.VoxelType
+        val stored = CuboidCodec.fromVoxels(
+          vox(s, dir).select(col("lookupKey"), col("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+            .as[VoxelRow], VoxelType.UInt64, dims)
+        val requested = SpatialOps
+          .coveringMortonsDf(s, Box(0, 96, 0, 256, 0, 24), dims)
+          .crossJoin(s.range(2).select(col("id").cast("int").as("t")))
+          .select(lit(LK).as("lookupKey"), lit(0).as("res"), col("t"), col("morton"))
+        val (hit, miss) = SpatialOps.cuboidsExist(requested, stored)
+        hit.withColumn("present", lit(true))
+          .union(miss.withColumn("present", lit(false)))
+          .select(col("t").cast("long").as("t"), col("morton"), col("present"))
+          .orderBy(col("t"), col("morton"))
+      },
+      Some(s"""WITH $V, stored AS (
+              |  SELECT DISTINCT t, ${cuboidMortonSql(dims)} AS morton FROM v),
+              |grid AS (
+              |  SELECT CAST(tt.t AS BIGINT) AS t,
+              |         ${Morton.encodeSql("gx.x", "gy.y", "gz.z")} AS morton
+              |  FROM range(0, 6) gx(x), range(0, 16) gy(y), range(0, 6) gz(z),
+              |       (VALUES (0), (1)) tt(t))
+              |SELECT g.t, g.morton,
+              |       EXISTS(SELECT 1 FROM stored s WHERE s.t = g.t AND s.morton = g.morton) AS present
+              |FROM grid g ORDER BY t, morton""".stripMargin.replace("\n", " "))),
+
     // A9 id_index with overflow-chunk rows (the reference's 400 KB item
     // split; here the giant-row OOM guard). chunkSize 64 on a ≤256-
     // cuboid-per-id view forces real multi-chunk ids.
