@@ -344,6 +344,24 @@ object Spatial {
               |       min(morton) AS m_min, max(morton) AS m_max
               |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
+    // S7 incremental index maintenance: the t=0 index merged with a
+    // t=1 write delta must equal the full rebuild — the upsert path that
+    // runs on every write at scale, checked against the same relational
+    // oracle as q26.
+    "q63_index_merge" -> QueryDef(
+      (s, dir) => {
+        val v = vox(s, dir)
+        val merged = SpatialOps.mergeCuboidIndex(
+          SpatialOps.buildCuboidIndex(v.where(col("t") === 0), dims),
+          SpatialOps.buildCuboidIndex(v.where(col("t") === 1), dims))
+        out(merged
+          .select(col("t"), col("morton"), explode(col("id_set")).as("id"))
+          .orderBy(col("t"), col("morton"), col("id")))
+      },
+      Some(s"""WITH $V SELECT DISTINCT t, ${cuboidMortonSql(dims)} AS morton, id
+              |FROM v WHERE id <> 0
+              |ORDER BY t, morton, id""".stripMargin.replace("\n", " "))),
+
     // A3 loose bbox for every id, from the id_index (cuboid-granular).
     "q28_bbox_loose" -> QueryDef(
       (s, dir) =>
