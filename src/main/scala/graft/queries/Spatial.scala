@@ -298,12 +298,18 @@ object Spatial {
     "q62_cuboids_exist" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        import graft.storage.{CuboidCodec, VoxelRow}
-        import graft.core.VoxelType
-        val stored = CuboidCodec.fromVoxels(
-          vox(s, dir).select(col("lookupKey"), col("res"),
-            col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
-            .as[VoxelRow], VoxelType.UInt64, dims)
+        import graft.storage.{CuboidRow, VoxelRow}
+        // the probe consumes only cuboid KEYS — deriving them as a
+        // distinct projection (what the store's file listing gives for
+        // free) instead of encoding blobs that would be thrown away
+        val stored = vox(s, dir)
+          .select(col("lookupKey"), col("res"), col("t").cast("int").as("t"),
+            Morton.morton_encode(
+              expr(s"x div ${dims.x}"), expr(s"y div ${dims.y}"),
+              expr(s"z div ${dims.z}")).as("morton"))
+          .distinct()
+          .withColumn("data", lit(Array.emptyByteArray))
+          .as[CuboidRow]
         val requested = SpatialOps
           .coveringMortonsDf(s, Box(0, 96, 0, 256, 0, 24), dims)
           .crossJoin(s.range(2).select(col("id").cast("int").as("t")))
