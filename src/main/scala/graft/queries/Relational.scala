@@ -135,6 +135,34 @@ object Relational {
              |FROM events GROUP BY bucket, event_type
              |ORDER BY bucket, event_type""".stripMargin.replace("\n", " "))),
 
+    // The streaming form of q05: the same tumbling-bucket aggregation
+    // computed by Structured Streaming (AvailableNow over the events
+    // parquet, complete-mode memory sink) — proving the streaming engine
+    // and the batch oracle agree bucket for bucket.
+    "q64_stream_window" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = tbl(s, dir, "events").schema
+        val name = s"q64_mem_${System.nanoTime()}"
+        // the file-stream source requires a directory; glob-filter the
+        // events file out of the shared sf dir
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(expr("ts div 300000000000").as("bucket"), col("event_type"))
+          .groupBy(col("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("complete")
+          .format("memory").queryName(name)
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("bucket"), col("event_type"))
+      },
+      Some("""SELECT epoch_ns(ts) // 300000000000 AS bucket, event_type, count(*) AS n
+             |FROM events GROUP BY bucket, event_type
+             |ORDER BY bucket, event_type""".stripMargin.replace("\n", " "))),
+
     // J1/S3 existence semi-join (requested-keys x cache-contents shape).
     "q06_semi_join" -> QueryDef(
       (s, dir) => {
