@@ -412,6 +412,35 @@ object Spatial {
               |  AND t >= 0 AND t < 2 AND value <> 0
               |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
 
+    // The uint8 image path through the same store machinery as q50: the
+    // codec's 1-byte width (and its unsigned widening) is oracle-checked,
+    // not just spec-covered — ids ≤ 51 fit uint8 so values are identical
+    // to the uint64 derivation.
+    "q65_store_u8" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.storage.{CuboidCodec, CuboidStore, VoxelRow}
+        import graft.core.VoxelType
+        val deduped = VoxelView.df(s, dir)
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(col("id")).as("value"))
+          .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .as[VoxelRow]
+        val path = java.nio.file.Files.createTempDirectory("q65store").toString
+        CuboidStore.write(CuboidCodec.fromVoxels(deduped, VoxelType.UInt8, dims), path)
+        SpatialOps.cutoutFromStore(s, path, LK, 0, Box(8, 40, 32, 160, 2, 10),
+          0 until 2, VoxelType.UInt8, dims)
+          .select(col("t").cast("long").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z, max(id) AS value FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT t, x, y, z, value FROM g
+              |WHERE x >= 8 AND x < 40 AND y >= 32 AND y < 160 AND z >= 2 AND z < 10
+              |  AND t >= 0 AND t < 2 AND value <> 0
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
     // W1-W3/S8-S11 streaming write path, oracle-checked end to end:
     // voxel write events land as files, Structured Streaming drains them
     // with AvailableNow in 1-file micro-batches (each a cuboid-plane
