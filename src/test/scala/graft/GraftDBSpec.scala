@@ -60,6 +60,24 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.cutout((0, 0, 0), (1, 1, 1)).where($"value" =!= 0).count() == 0)
   }
 
+  test("sequential writes compose across a deep delta chain (time-offset case)") {
+    import spark.implicits._
+    val db = newDb()
+    // five writes at offset times [2,5) with a missing step (t=3), one
+    // delta commit each — the chain read must compose all of them
+    for (i <- 0 until 5) {
+      val t = if (i % 2 == 0) 2L else 4L
+      db.writeCuboid(Seq((t, i.toLong, 0L, 0L, (i + 1).toLong)).toDF("t", "x", "y", "z", "value"))
+    }
+    // overwrite chain: the same cell rewritten twice — last write wins
+    db.writeCuboid(Seq((2L, 0L, 0L, 0L, 99L)).toDF("t", "x", "y", "z", "value"))
+    val got = db.cutout((0, 0, 0), (8, 8, 4), tRange = 2 until 5)
+      .select($"t", $"x", $"value").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 0L, 99L), (2L, 2L, 3L), (2L, 4L, 5L), (4L, 1L, 2L), (4L, 3L, 4L)))
+    // absent time step yields no rows (sparse semantics, W7 contract)
+    assert(db.cutout((0, 0, 0), (8, 8, 4), tRange = 3 until 4).count() == 0)
+  }
+
   test("ids-in-region, stringified egress, bounding boxes") {
     import spark.implicits._
     val db = newDb()
