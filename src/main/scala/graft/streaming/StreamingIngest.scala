@@ -34,7 +34,8 @@ object StreamingIngest {
       vt: VoxelType = VoxelType.UInt64,
       dims: Region.CuboidDims = Region.CuboidDims(),
       mode: MergeMode = MergeMode.Overwrite,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Int = 0): Unit = {
     import spark.implicits._
     val reader = spark.readStream
       .schema(spark.emptyDataset[VoxelRow].schema)
@@ -59,7 +60,12 @@ object StreamingIngest {
             .select(col("lookupKey"), col("res"), col("t"), col("morton")).distinct()
           val existingTouched = VersionedStore.readForKeys(spark, storePath, incKeys)
           val delta = CuboidMerge.mergeAll(existingTouched, incoming, vt, mode)
-          VersionedStore.commitDelta(delta, storePath)
+          val v = VersionedStore.commitDelta(delta, storePath)
+          // bounded-chain policy: every `compactEvery` commits, fold the
+          // chain into a full snapshot so read cost stays O(1) versions —
+          // the table-format compaction job, inlined into the drain
+          if (compactEvery > 0 && v > 0 && (v + 1) % compactEvery == 0)
+            VersionedStore.compact(spark, storePath)
           ()
         } finally { incoming.unpersist(); () }
       }

@@ -80,6 +80,23 @@ class StreamSpec extends AnyFunSuite {
     assert(VersionedStore.currentVersion(store).contains(2))
   }
 
+  test("streaming ingest with periodic compaction bounds the chain") {
+    import spark.implicits._
+    val rows = (0 until 24).map(i => VoxelRow("k", 0, 0, i.toLong, 0, 0, (i % 7 + 1).toLong))
+    val events = tmp("eventsC")
+    rows.toDS().repartitionByRange(6, col("x")).write.mode("overwrite").parquet(events)
+    val store = tmp("storeC")
+    StreamingIngest.runAvailableNow(spark, events, store, tmp("ckptC"),
+      VoxelType.UInt64, dims, maxFilesPerTrigger = Some(1), compactEvery = 3)
+    // every 3rd commit compacts, so the final read resolves a short chain
+    // and still equals the full write set
+    val got = CuboidCodec.toVoxels(VersionedStore.read(spark, store), VoxelType.UInt64, dims)
+      .collect().map(r => (r.x, r.value)).toSet
+    assert(got == rows.map(r => (r.x, r.value)).toSet)
+    val v = VersionedStore.currentVersion(store).get
+    assert(v >= 6) // 6 delta batches + interleaved compaction commits
+  }
+
   test("delta commits: chain read, shave masking, compaction") {
     import spark.implicits._
     val store = tmp("storeDelta")
