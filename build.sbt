@@ -15,6 +15,10 @@ run / fork := true
 // LoggedOutput prepends "[info] " to every line, which made the driver's
 // bench-JSON parser fail in rounds 1-2 ("parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+// ... and the JSON must also be the LAST stdout line: round 3 still had
+// "parsed": null because sbt appends "[success] Total time: ..." after
+// the metric line. Suppress the success banner globally.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,7 +22,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_ONLY=q54,q57 restricts the sweep — local iteration knob
+    // only; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
     // Warmup: execute everything once (ignoring failures and times).
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }

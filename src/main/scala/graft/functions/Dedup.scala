@@ -114,22 +114,24 @@ object Dedup {
        |JOIN sizes zb ON zb.$idCol = c.doc_b""".stripMargin.replace("\n", " ")
   }
 
-  /** Exact character n-gram Jaccard over pairs sharing a *rare* n-gram.
+  /** Exact character n-gram Jaccard over pairs sharing *rare* n-grams.
     *
-    * Candidate generation is an inverted-index self-join: gram → doc
-    * postings, joined on the gram, restricted to grams whose document
-    * frequency is in [2, maxDf]. The df cap is what survives 100 TB — a
-    * stop-gram ("the quick") appearing in 10^9 docs would otherwise
-    * produce a 10^18-row join; capped postings bound each gram's join
-    * output at maxDf². Candidates additionally need ≥ `minShared` shared
-    * rare grams — on a templated corpus a single shared rare gram admits
-    * ~10% of ALL pairs into exact verification (1.09M pairs at sf0.1,
-    * 97 s), while a true Jaccard-0.25 near-dup of a ~300-gram doc shares
-    * hundreds; the count-based prefilter cut candidates 73× with an
-    * unchanged result set at every SF. Intersections are then computed
-    * *exactly* over the full (uncapped) gram sets with the gram in the
-    * join key (an equi-join per (doc, gram), never candidate × grams_a ×
-    * grams_b).
+    * Candidate generation is an inverted index: gram → doc postings,
+    * restricted to grams whose document frequency is in [2, maxDf], with
+    * each rare gram's ≤ maxDf postings collected into one list that emits
+    * its ordered pairs directly. The df cap is what survives 100 TB — a
+    * stop-gram ("the quick") appearing in 10^9 docs is dropped by the
+    * (map-side partial) count before any postings list exists, and every
+    * surviving list yields ≤ maxDf·(maxDf-1)/2 pairs. Candidates
+    * additionally need ≥ `minShared` shared rare grams — on a templated
+    * corpus a single shared rare gram admits ~10% of ALL pairs into exact
+    * verification (1.09M pairs at sf0.1, 97 s), while a true Jaccard-0.25
+    * near-dup of a ~300-gram doc shares hundreds; the count-based
+    * prefilter cut candidates 73× with an unchanged result set at every
+    * SF. Intersections are then computed *exactly* over the full
+    * (uncapped) gram sets, but only for documents that appear in some
+    * candidate pair (broadcast semi-join), with the gram in the join key
+    * (an equi-join per (doc, gram), never candidate × grams_a × grams_b).
     *
     * Returns (doc_a < doc_b, inter, uni, is_dup = Jaccard ≥ 1/2),
     * restricted to verified pairs with Jaccard ≥ 1/4 (the emission
@@ -143,35 +145,56 @@ object Dedup {
       n: Int = 12,
       maxDf: Int = 16,
       minShared: Int = 8): DataFrame = {
-    val grams = df
-      .where(length(col(textCol)) >= n)
-      .select(col(idCol),
-        explode(expr(s"transform(sequence(0, length($textCol)-$n), i -> substring($textCol, i+1, $n))")).as("g"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (id, gram) duplicates only ever arise WITHIN one document, so a
+    // per-row array_distinct replaces the full-corpus distinct() shuffle
+    // the first version paid (10M-row exchange at sf0.1, pure overhead).
+    val garrExpr = expr(
+      s"array_distinct(transform(sequence(0, length($textCol)-$n), i -> substring($textCol, i+1, $n)))")
+    val grams = df.where(length(col(textCol)) >= n)
+      .select(col(idCol), explode(garrExpr).as("g"))
+    // Shuffle 1: gram document frequencies (map-side partial count, so the
+    // exchange carries one row per distinct (partition, gram), not per
+    // posting). Hot stop-grams are dropped HERE, before any list is
+    // materialized — at 100 TB a df-10^9 gram costs one counter, never a
+    // collected postings list.
     val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
       .select(col("g"))
-    // co-partitioned + persisted: the self-join then reads one cached,
-    // already-hash-distributed table twice (no recompute of the df-cap
-    // aggregation per side, no re-shuffle of either side)
-    val posting = grams.join(rare, "g").repartition(col("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = posting.select(col("g"), col(idCol).as("doc_a"))
-      .join(posting.select(col("g"), col(idCol).as("doc_b")), "g")
-      .where(col("doc_a") < col("doc_b"))
+    // Shuffle 2: postings join. Its output is already hash-partitioned by
+    // g, so the collect_list below runs shuffle-free; every collected list
+    // is df-capped (≤ maxDf ids → ≤ maxDf·(maxDf-1)/2 pairs per gram),
+    // which is what makes the list-based pair generation skew-safe.
+    val pairGen = "flatten(transform(ids, (x, i) -> " +
+      "transform(slice(ids, i + 2, size(ids)), y -> named_struct('doc_a', x, 'doc_b', y))))"
+    val cand = grams.join(rare, "g")
+      .groupBy(col("g")).agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .select(explode(expr(pairGen)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
       .select(col("doc_a"), col("doc_b"))
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("ng"))
-    val inter = cand
-      .join(grams.select(col(idCol).as("doc_a"), col("g")), "doc_a")
-      .join(grams.select(col(idCol).as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact verification needs the FULL gram sets (a shared gram above the
+    // df cap still counts toward the intersection), but only for docs that
+    // appear in some candidate pair — a broadcast semi-join shrinks the
+    // corpus to that handful before any gram re-expansion.
+    val candIds = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val sub = df.where(length(col(textCol)) >= n)
+      .join(broadcast(candIds), idCol)
+      .select(col(idCol), garrExpr.as("garr"))
+      .select(col(idCol), col("garr"), size(col("garr")).cast("long").as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gsub = sub.select(col(idCol), explode(col("garr")).as("g"))
+    val inter = broadcast(cand)
+      .join(gsub.select(col(idCol).as("doc_a"), col("g")), "doc_a")
+      .join(gsub.select(col(idCol).as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sizes = sub.select(col(idCol), col("ng"))
     cand
       .join(inter, Seq("doc_a", "doc_b"), "left_outer").na.fill(0L, Seq("inter"))
-      .join(sizes.select(col(idCol).as("doc_a"), col("ng").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("ng").as("nb")), "doc_b")
+      .join(broadcast(sizes.select(col(idCol).as("doc_a"), col("ng").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col(idCol).as("doc_b"), col("ng").as("nb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"),
         (col("inter") * 2 >= col("na") + col("nb") - col("inter")).as("is_dup"))
