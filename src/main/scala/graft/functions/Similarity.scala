@@ -159,10 +159,12 @@ object Similarity {
     import spark.implicits._
     val withVec = df.select(col(idCol), col(embCol),
       array_to_vector(col(embCol).cast("array<float>")).as("fv"))
-    // a coarse quantizer needs rough cells, not convergence: 5 Lloyd
-    // iterations place centroids well enough for the nprobe rerank
-    // (recall is governed by nprobe, and asserted in PipelineSpec)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5).setFeaturesCol("fv")
+    // a coarse quantizer needs rough cells, not convergence: random init
+    // (k-means|| costs ~2 extra full passes for placement quality the
+    // nprobe rerank doesn't need) and 5 Lloyd iterations place centroids
+    // well enough (recall is governed by nprobe, asserted in PipelineSpec)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setInitMode("random").setFeaturesCol("fv")
       .fit(withVec.select("fv"))
     val assigned = model.transform(withVec)
       .select(col(idCol), quantize(col(embCol)).as("qe"), col("prediction").as("cell"))
