@@ -209,6 +209,86 @@ object Pipeline {
     // IVF ANN: KMeans coarse quantizer, nprobe-cell exact rerank. The
     // clustering is not SQL-expressible, so this entry takes the driver's
     // rows-only check; PipelineSpec asserts recall against brute force.
+    // Stratified deterministic sampling: k docs per language by portable
+    // hash rank — the reproducible per-source quota sampler a training
+    // mix needs (same rows on any cluster, any partitioning, any run).
+    "q70_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
+        tbl(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextOps.portableHash(col("doc_id").cast("string")).as("hv"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("doc_id"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some(s"""WITH h AS (SELECT lang, doc_id,
+             |  ${TextOps.portableHashSql("CAST(doc_id AS VARCHAR)")} AS hv FROM documents),
+             |r AS (SELECT lang, doc_id,
+             |  row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h)
+             |SELECT lang, rk, doc_id FROM r WHERE rk <= 5
+             |ORDER BY lang, rk""".stripMargin.replace("\n", " "))),
+
+    // KMV (bottom-k) distinct-count sketch over user ids: the k smallest
+    // portable-hash values. Mergeable (union = k smallest of both sets),
+    // tiny (k·8 bytes), and exactly reproducible — the estimate
+    // (k-1)·2^60/h_k is asserted in PipelineSpec.
+    "q72_kmv_sketch" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        tbl(s, dir, "events")
+          .select(col("user_id")).distinct()
+          .select(TextOps.portableHash(col("user_id").cast("string")).as("hv"))
+          .orderBy(col("hv")).limit(32)
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("hv"))).cast("long"))
+          .select(col("rk"), col("hv"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |h AS (SELECT ${TextOps.portableHashSql("CAST(user_id AS VARCHAR)")} AS hv FROM u)
+             |SELECT row_number() OVER (ORDER BY hv) AS rk, hv FROM h
+             |ORDER BY hv LIMIT 32""".stripMargin.replace("\n", " "))),
+
+    // HLL-style registers (64 buckets, max leading-zero rank of the
+    // 54-bit hash remainder): the mergeable distinct sketch itself, as
+    // rows — max() makes it distributive, so registers combine map-side
+    // and across stores. Estimate accuracy asserted in PipelineSpec.
+    "q73_hll_registers" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        tbl(s, dir, "events")
+          .select(col("user_id")).distinct()
+          .select(TextOps.portableHash(col("user_id").cast("string")).as("hv"))
+          .select((col("hv") % 64).as("bucket"), expr("hv div 64").as("rest"))
+          .select(col("bucket"),
+            (lit(55) - length(expr("trim(LEADING '0' FROM bin(rest))"))).cast("long").as("rho"))
+          .groupBy(col("bucket"))
+          .agg(max(col("rho")).as("max_rho"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |h AS (SELECT ${TextOps.portableHashSql("CAST(user_id AS VARCHAR)")} AS hv FROM u),
+             |b AS (SELECT hv % 64 AS bucket, hv // 64 AS rest FROM h)
+             |SELECT bucket, max(55 - length(ltrim(bin(rest), '0'))) AS max_rho
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " "))),
+
+    // Global vocabulary top-k: explode → count → TakeOrdered (no full
+    // sort); the heavy-hitters shape of corpus token stats.
+    "q74_vocab_topk" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(20),
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |c AS (SELECT tok, count(*) AS n FROM w WHERE tok <> '' GROUP BY tok)
+             |SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 20""".stripMargin.replace("\n", " "))),
+
     "q55_ann_ivf" -> QueryDef(
       (s, dir) =>
         Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",

@@ -281,6 +281,157 @@ object Relational {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin.replace("\n", " "))),
 
+    // CUBE with grouping_id: all 4 subtotal combinations in one pass
+    // (Spark expands grouping sets below the aggregate — one shuffle, not
+    // one scan per grouping set).
+    "q66_cube" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("price_c"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("<all>")).as("st"),
+            coalesce(col("o_orderpriority"), lit("<all>")).as("pri"),
+            col("gid"), col("n"), col("price_c"))
+          .orderBy(col("gid"), col("st"), col("pri")),
+      Some(s"""SELECT coalesce(o_orderstatus,'<all>') AS st,
+             |coalesce(o_orderpriority,'<all>') AS pri,
+             |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             |count(*) AS n,
+             |CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS price_c
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, st, pri""".stripMargin.replace("\n", " "))),
+
+    // Pivot: event-type counts as columns per user bucket. Spark's pivot
+    // with an explicit value list plans as ONE aggregate (no per-column
+    // scan); the oracle is the equivalent conditional aggregation.
+    "q67_pivot" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = tbl(s, dir, "events")
+          .select((col("user_id") % 10).as("ub"), col("event_type"))
+          .groupBy(col("ub"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("ub") +: types.map(t =>
+            coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+          .orderBy(col("ub"))
+      },
+      Some("""SELECT user_id % 10 AS ub,
+             |count(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+             |count(CASE WHEN event_type='error' THEN 1 END) AS n_error,
+             |count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase,
+             |count(CASE WHEN event_type='signup' THEN 1 END) AS n_signup,
+             |count(CASE WHEN event_type='view' THEN 1 END) AS n_view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
+    // As-of join: each purchase matched to the user's latest click at or
+    // before it. The scalable shape is NOT a range join: both streams
+    // union into one (user-partitioned, time-sorted) window pass and the
+    // click carries forward via last(ignoreNulls) — one shuffle on
+    // user_id, linear scan per partition, no per-pair work. Ties at equal
+    // ts resolve deterministically (clicks sort before purchases, then by
+    // event_id, so an equal-ts click is visible and the highest event_id
+    // wins).
+    "q68_asof_join" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tn"), col("pr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts").as("tn"), col("event_id"), col("event_type"))
+          .withColumn("pr", when(col("event_type") === "click", 0).otherwise(1))
+          .withColumn("ctn", when(col("event_type") === "click", col("tn")))
+          .withColumn("cid", when(col("event_type") === "click", col("event_id")))
+          .withColumn("click_tn", last(col("ctn"), ignoreNulls = true).over(w))
+          .withColumn("click_id", last(col("cid"), ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tn"), col("click_tn"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type
+             |  FROM events WHERE event_type IN ('click','purchase')),
+             |m AS (SELECT user_id, tn, event_id, event_type,
+             |  CASE WHEN event_type='click' THEN 0 ELSE 1 END AS pr,
+             |  CASE WHEN event_type='click' THEN tn END AS ctn,
+             |  CASE WHEN event_type='click' THEN event_id END AS cid FROM e),
+             |w AS (SELECT *,
+             |  last_value(ctn IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tn, pr, event_id ROWS UNBOUNDED PRECEDING) AS click_tn,
+             |  last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tn, pr, event_id ROWS UNBOUNDED PRECEDING) AS click_id
+             |  FROM m)
+             |SELECT event_id, user_id, tn, click_tn, click_id FROM w
+             |WHERE event_type='purchase' ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // Exact discrete quantiles (p50/p90) per group via a single window
+    // pass — position ceil(p·n) in (value, event_id) order, all-integer so
+    // no interpolation float ever appears in the output.
+    "q69_quantiles" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val wr = Window.partitionBy(col("event_type")).orderBy(col("vc"), col("event_id"))
+        val wn = Window.partitionBy(col("event_type"))
+        tbl(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value").cast("double") * 100).cast("long").as("vc"),
+            col("event_id"))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            max(expr("CASE WHEN rn = (n+1) div 2 THEN vc END")).as("p50_c"),
+            max(expr("CASE WHEN rn = (9*n+9) div 10 THEN vc END")).as("p90_c"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (SELECT event_type, CAST(round(CAST(value AS DOUBLE)*100) AS BIGINT) AS vc, event_id FROM events),
+             |r AS (SELECT event_type, vc,
+             |  row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn,
+             |  count(*) OVER (PARTITION BY event_type) AS n FROM v)
+             |SELECT event_type, max(n) AS n,
+             |  max(CASE WHEN rn = (n+1)//2 THEN vc END) AS p50_c,
+             |  max(CASE WHEN rn = (9*n+9)//10 THEN vc END) AS p90_c
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // Interval/range join, bucketed: events within 24h before each
+    // purchase by the same user. The scalable shape replaces the
+    // inequality join (per-user cartesian) with an equi-join on
+    // (user, time-bucket): bucket width = window length, so each probe
+    // checks exactly 2 buckets and the matcher side shuffles once on a
+    // compact key AQE can skew-split.
+    "q71_range_join" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val win = 86400000000000L // 24h in ns
+        val e = tbl(s, dir, "events")
+        val matcher = e.select(col("user_id"), col("ts").as("tn"), col("event_id"))
+          .withColumn("bucket", expr(s"tn div $win"))
+        val probes = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("ptn"), col("event_id").as("p_event_id"))
+        val fanned = probes.withColumn("bucket",
+          explode(array(expr(s"ptn div $win"), expr(s"ptn div $win - 1"))))
+        val counts = fanned.join(matcher, Seq("user_id", "bucket"))
+          .where(col("tn") >= col("ptn") - win && col("tn") <= col("ptn") &&
+            col("event_id") =!= col("p_event_id"))
+          .groupBy(col("p_event_id")).agg(count(lit(1)).as("n_24h"))
+        probes.select(col("p_event_id"))
+          .join(counts, Seq("p_event_id"), "left_outer")
+          .na.fill(0L, Seq("n_24h"))
+          .select(col("p_event_id").as("event_id"), col("n_24h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, event_id FROM events),
+             |p AS (SELECT user_id, epoch_ns(ts) AS tn, event_id FROM events WHERE event_type='purchase')
+             |SELECT p.event_id, CAST(count(e.event_id) AS BIGINT) AS n_24h
+             |FROM p LEFT JOIN e ON e.user_id = p.user_id AND e.event_id <> p.event_id
+             |  AND e.tn BETWEEN p.tn - 86400000000000 AND p.tn
+             |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin.replace("\n", " "))),
+
     "q10_intersect_ids" -> QueryDef(
       (s, dir) =>
         tbl(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk")).distinct()

@@ -168,6 +168,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(r10.frame_bytes.toSeq == (0 until 64 by 2).map(f10.frame_bytes(_)))
   }
 
+  test("KMV and HLL sketches estimate distinct counts within tolerance") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = 5000
+    val ids = spark.range(n).select(col("id").cast("string").as("s"))
+      .select(TextOps.portableHash(col("s")).as("hv"))
+    // KMV: (k-1) * 2^60 / h_k
+    val k = 256
+    val hk = ids.orderBy(col("hv")).limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(col("hv"))))
+      .where(col("rk") === k).select(col("hv")).as[Long].head()
+    val kmvEst = (k - 1).toDouble * math.pow(2, 60) / hk.toDouble
+    assert(math.abs(kmvEst - n) / n < 0.15, s"KMV estimate $kmvEst vs $n")
+    // HLL (m=64): alpha_m * m^2 / sum(2^-M_j), registers from the same
+    // bucket/rho decomposition the q73 query emits
+    val m = 64
+    val regs = ids
+      .select((col("hv") % m).as("bucket"), expr("hv div 64").as("rest"))
+      .select(col("bucket"),
+        (lit(55) - length(expr("trim(LEADING '0' FROM bin(rest))"))).cast("int").as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("mr"))
+      .as[(Long, Int)].collect().toMap
+    val zsum = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0).toDouble)).sum
+    val alpha = 0.709 // alpha_64
+    val hllEst = alpha * m * m / zsum
+    assert(math.abs(hllEst - n) / n < 0.20, s"HLL estimate $hllEst vs $n")
+  }
+
   test("blobMeta matches decodeMeta on byte length and format") {
     import spark.implicits._
     val blobs = Seq((1L, "hello world".getBytes("UTF-8"))).toDF("doc_id", "blob")
