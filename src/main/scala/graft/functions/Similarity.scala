@@ -190,6 +190,116 @@ object Similarity {
       .where(col("rk") <= k)
   }
 
+  /** [[ivfTopK]] with a fully deterministic integer Lloyd quantizer in
+    * place of KMeans, making the whole IVF path oracle-checkable
+    * bit-for-bit: init = the `nlist` lowest-id vectors; assignment = min
+    * integer L2 with lowest-cell tie-break; update = per-dimension
+    * floor(sum/count) (floor, NOT truncation — Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, and component sums go
+    * negative); empty cells keep their previous centroid. Per iteration
+    * the 16×dim centroid table is collected to the driver and
+    * re-broadcast as literals — exactly how any ANN trainer ships its
+    * model, and the only driver-side state is O(nlist·dim).
+    */
+  def ivfTopKDet(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val qv = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+    import df.sparkSession.implicits._
+    def l2(cent: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("qe"), array(cent.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    // argmin over the per-centroid distance array; array_position takes
+    // the FIRST match so ties resolve to the lowest cell id
+    def assign(cents: IndexedSeq[Seq[Long]]) = {
+      val dists = array(cents.map(l2): _*)
+      qv.withColumn("cell",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }
+    var cents: IndexedSeq[Seq[Long]] = qv.orderBy(col(idCol)).limit(nlist)
+      .select(col("qe")).as[Seq[Long]].collect().toIndexedSeq
+    for (_ <- 1 to iters) {
+      val means = assign(cents)
+        .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)").as("qe"))
+        .as[(Int, Seq[Long])].collect().toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    val assigned = assign(cents)
+    val qDists = array(cents.map(l2): _*)
+    val queries = qv.where(queryPred)
+      .withColumn("ds", qDists)
+      .select(col(idCol).as("query_id"), col("qe").as("qv"),
+        posexplode(col("ds")).as(Seq("cell", "cdist")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
+      .where(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col(idCol))
+    broadcast(queries).join(assigned, "cell")
+      .select(col("query_id"), col(idCol), col("cell").cast("long").as("cell"),
+        dotQ(col("qv"), col("qe")).as("dot"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /** DuckDB equivalent of [[ivfTopKDet]]: the same init / assignment /
+    * floor-mean update unrolled as CTE chains, one assignment+update pair
+    * per Lloyd iteration.
+    */
+  def ivfTopKDetSql(
+      tbl: String,
+      idCol: String,
+      embCol: String,
+      queryPredSql: String,
+      k: Int,
+      dim: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2): String = {
+    def dist(v: String, c: String) =
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+    // one Lloyd step: assign to cs{j-1}, mean per (cell, dim), carry empty cells
+    def step(j: Int): String =
+      s"""a$j AS (SELECT $idCol, qe, cell FROM (
+         |  SELECT v.$idCol, v.qe, c.cell,
+         |    row_number() OVER (PARTITION BY v.$idCol ORDER BY ${dist("v.qe", "c.qe")}, c.cell) AS rn
+         |  FROM qv v CROSS JOIN cs${j - 1} c) t WHERE rn = 1),
+         |d$j AS (SELECT cell, i, qe[i] AS val FROM a$j CROSS JOIN UNNEST(range(1, ${dim + 1})) AS t(i)),
+         |m$j AS (SELECT cell, i, CAST(floor(CAST(sum(val) AS DOUBLE)/count(*)) AS BIGINT) AS mv
+         |        FROM d$j GROUP BY cell, i),
+         |n$j AS (SELECT cell, list(mv ORDER BY i) AS qe FROM m$j GROUP BY cell),
+         |cs$j AS (SELECT p.cell, coalesce(n$j.qe, p.qe) AS qe FROM cs${j - 1} p LEFT JOIN n$j USING (cell))"""
+    val steps = (1 to iters).map(step).mkString(",\n")
+    s"""WITH qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
+       |cs0 AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cell, qe
+       |        FROM qv ORDER BY $idCol LIMIT $nlist),
+       |$steps,
+       |asgn AS (SELECT $idCol, qe, cell FROM (
+       |  SELECT v.$idCol, v.qe, c.cell,
+       |    row_number() OVER (PARTITION BY v.$idCol ORDER BY ${dist("v.qe", "c.qe")}, c.cell) AS rn
+       |  FROM qv v CROSS JOIN cs$iters c) t WHERE rn = 1),
+       |q AS (SELECT $idCol AS query_id, qe AS qv FROM qv WHERE $queryPredSql),
+       |qc AS (SELECT query_id, qv, cell FROM (
+       |  SELECT q.query_id, q.qv, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${dist("q.qv", "c.qe")}, c.cell) AS crk
+       |  FROM q CROSS JOIN cs$iters c) t WHERE crk <= $nprobe)
+       |SELECT query_id, $idCol, cell, dot, rk FROM (
+       |  SELECT qc.query_id, a.$idCol, qc.cell, ${dotQSql("qc.qv", "a.qe", dim)} AS dot,
+       |    row_number() OVER (PARTITION BY qc.query_id ORDER BY ${dotQSql("qc.qv", "a.qe", dim)} DESC, a.$idCol) AS rk
+       |  FROM qc JOIN asgn a ON a.cell = qc.cell) t WHERE rk <= $k""".stripMargin.replace("\n", " ")
+  }
+
   /** Bucketed ANN: assign every vector an LSH bucket, then rank only
     * bucket-mates of each query by quantized dot. Returns
     * (query_id, id, bucket, dot, rk ≤ k). Recall is tunable via

@@ -289,6 +289,17 @@ object Pipeline {
              |c AS (SELECT tok, count(*) AS n FROM w WHERE tok <> '' GROUP BY tok)
              |SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // IVF ANN with the deterministic integer Lloyd quantizer: the full
+    // train → assign → probe → rerank path, oracle-checked end to end
+    // (q55 keeps the KMeans variant, rows-only).
+    "q75_ann_ivf_det" -> QueryDef(
+      (s, dir) =>
+        Similarity.ivfTopKDet(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, 5)
+          .orderBy(col("query_id"), col("rk")),
+      Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
+        "vec_id < 10", 5, DIM) + " ORDER BY query_id, rk")),
+
     "q55_ann_ivf" -> QueryDef(
       (s, dir) =>
         Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",

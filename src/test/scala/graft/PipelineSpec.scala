@@ -141,6 +141,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopKDet clusters deterministically and stays within the query's cluster") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.fill(8)(base + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def run() = Similarity.ivfTopKDet(df, "vec_id", "embedding", col("vec_id") < 4, 3,
+      nlist = 4, nprobe = 2)
+      .select($"query_id", $"vec_id", $"rk").as[(Long, Long, Long)].collect().toSeq
+    val rows = run()
+    (0L until 4L).foreach { q =>
+      val mine = rows.filter(_._1 == q)
+      assert(mine.length == 3, s"query $q must fill top-3 from its probed cells")
+      mine.foreach { case (_, v, _) => assert(v % 2 == q % 2) }
+    }
+    // determinism: identical output across runs (no library RNG anywhere)
+    assert(run() == rows)
+  }
+
+  test("saltedJoin matches the plain join and spreads the hot key") {
+    import spark.implicits._
+    import graft.functions.Skew
+    // 90% of fact rows share key 1 — the classic hot-key shuffle shape
+    val fact = (0 until 1000).map(i => (if (i < 900) 1L else i.toLong % 50, i.toLong))
+      .toDF("k", "payload")
+    val dim = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k")).select($"k", $"payload", $"attr")
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), salts = 8)
+      .select($"k", $"payload", $"attr")
+    assert(salted.collect().toSet == plain.collect().toSet)
+    assert(salted.count() == plain.count())
+    // the hot key's rows must actually occupy several sub-keys
+    val spread = fact.where($"k" === 1L)
+      .withColumn("s", pmod(xxhash64(fact.columns.map(col): _*), lit(8)))
+      .select($"s").distinct().count()
+    assert(spread >= 4, s"hot key spread over only $spread of 8 salts")
+  }
+
   test("multimodal decodeMeta and sampleFrames run partition-batched over binary") {
     import spark.implicits._
     val blobs = Seq(
