@@ -289,6 +289,39 @@ object Pipeline {
              |c AS (SELECT tok, count(*) AS n FROM w WHERE tok <> '' GROUP BY tok)
              |SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // Gopher-style repetition filter: the most frequent bigram's share of
+    // each document's bigrams (per-mille, all-integer — positive `div`
+    // and `//` agree). High-repetition docs are the classic boilerplate /
+    // template-spam cut in a training-data mix.
+    "q76_repetition" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wr = Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("bg"))
+        val wt = Window.partitionBy(col("doc_id"))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))")).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("total_n", sum(col("n")).over(wt))
+          .where(col("rk") === 1)
+          .select(col("doc_id"), col("bg").as("top_bigram"), col("n").as("top_n"),
+            col("total_n"), expr("(n * 1000) div total_n").as("rep_permille"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+             |  WHERE len(string_split(text,' ')) >= 2),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM tk),
+             |c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
+             |r AS (SELECT doc_id, bg, n,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rk,
+             |  CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS total_n FROM c)
+             |SELECT doc_id, bg AS top_bigram, n AS top_n, total_n,
+             |  (n * 1000) // total_n AS rep_permille
+             |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // IVF ANN with the deterministic integer Lloyd quantizer: the full
     // train → assign → probe → rerank path, oracle-checked end to end
     // (q55 keeps the KMeans variant, rows-only).

@@ -352,7 +352,11 @@ object Relational {
           .withColumn("click_tn", last(col("ctn"), ignoreNulls = true).over(w))
           .withColumn("click_id", last(col("cid"), ignoreNulls = true).over(w))
           .where(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("tn"), col("click_tn"), col("click_id"))
+          // no-match as -1, not NULL: a nullable int64 column round-trips
+          // through pandas as float64 on one side of the driver's hasher
+          .select(col("event_id"), col("user_id"), col("tn"),
+            coalesce(col("click_tn"), lit(-1L)).as("click_tn"),
+            coalesce(col("click_id"), lit(-1L)).as("click_id"))
           .orderBy(col("event_id"))
       },
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type
@@ -365,7 +369,8 @@ object Relational {
              |  last_value(ctn IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tn, pr, event_id ROWS UNBOUNDED PRECEDING) AS click_tn,
              |  last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tn, pr, event_id ROWS UNBOUNDED PRECEDING) AS click_id
              |  FROM m)
-             |SELECT event_id, user_id, tn, click_tn, click_id FROM w
+             |SELECT event_id, user_id, tn, coalesce(click_tn, -1) AS click_tn,
+             |  coalesce(click_id, -1) AS click_id FROM w
              |WHERE event_type='purchase' ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
     // Exact discrete quantiles (p50/p90) per group via a single window
