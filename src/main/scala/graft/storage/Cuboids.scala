@@ -120,11 +120,20 @@ object CuboidCodec {
   */
 object CuboidStore {
 
-  def write(cuboids: Dataset[CuboidRow], path: String, mode: String = "overwrite"): Unit = {
-    cuboids
-      .repartitionByRange(col("morton"))
-      .sortWithinPartitions("morton", "t")
-      .write
+  def write(
+      cuboids: Dataset[CuboidRow],
+      path: String,
+      mode: String = "overwrite",
+      clustered: Boolean = true): Unit = {
+    // clustered=false skips the Z-order range shuffle (and its boundary-
+    // sampling pass) — right for short-lived delta commits whose footprint
+    // the chain read resolves by key anyway; compaction restores global
+    // clustering when it folds the chain.
+    val arranged =
+      if (clustered)
+        cuboids.repartitionByRange(col("morton")).sortWithinPartitions("morton", "t")
+      else cuboids.sortWithinPartitions("morton", "t")
+    arranged.write
       .mode(mode)
       .partitionBy("lookupKey", "res")
       .parquet(path)

@@ -149,7 +149,7 @@ object VersionedStore {
     */
   def commitDelta(touched: Dataset[CuboidRow], path: String): Int =
     withCommitLock(path) { next =>
-      CuboidStore.write(touched, s"$path/v$next")
+      CuboidStore.write(touched, s"$path/v$next", clustered = false)
       Files.write(Paths.get(path, s"v$next", "_DELTA"), Array.emptyByteArray)
       ()
     }
