@@ -38,6 +38,24 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
+  /** Stream-stream interval join: correlate a write stream with its ack
+    * stream on the cuboid key, accepting acks within `within` after the
+    * write. Both sides carry watermarks, so Spark bounds the join state
+    * (a write's buffered row is dropped once the ack watermark passes
+    * `w_ts + within`) — the property that keeps a continuous 100 TB
+    * ingest's state finite. Columns: writes(w_key, w_ts, …),
+    * acks(a_key, a_ts, …).
+    */
+  def ackJoin(
+      writes: DataFrame,
+      acks: DataFrame,
+      within: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    writes.withWatermark("w_ts", watermark)
+      .join(
+        acks.withWatermark("a_ts", watermark),
+        expr(s"w_key = a_key AND a_ts >= w_ts AND a_ts <= w_ts + interval $within"))
+
   /** W2 page-out dedup: first event per cuboid key wins while the key is
     * in-flight; later events for the same key are suppressed (the
     * reference's `in_page_out` gate — losers there became delayed writes,

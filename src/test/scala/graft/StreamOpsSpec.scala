@@ -65,6 +65,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(out.map(w => (w.morton, w.seq)).toSet == Set((5L, 1L), (9L, 3L)))
   }
 
+  test("stream-stream ack join matches within the interval and bounds state by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val writes = MemoryStream[(String, Timestamp)]
+    val acks = MemoryStream[(String, Timestamp)]
+    val q = StreamOps.ackJoin(
+      writes.toDF().toDF("w_key", "w_ts"),
+      acks.toDF().toDF("a_key", "a_ts"),
+      within = "5 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("ackjoin")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    writes.addData(("k1", t(0)), ("k2", t(0)))
+    // k1 acked in-window (+2 min); k2 acked out-of-window (+20 min);
+    // an ack for an unknown key never matches
+    acks.addData(("k1", t(2)), ("k2", t(20)), ("k9", t(1)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ackjoin")
+      .select($"w_key", $"a_ts").as[(String, Timestamp)].collect()
+    assert(out.toSeq == Seq(("k1", t(2))))
+  }
+
   test("morton functions usable from SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
