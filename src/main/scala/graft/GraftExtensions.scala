@@ -17,8 +17,10 @@ import graft.functions.DotProductQ
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupedTopKStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -47,11 +47,12 @@ object Similarity {
     val corpus = df.select(col(idCol), quantize(col(embCol)).as("qe"))
     val queries = corpus.where(queryPred)
       .select(col(idCol).as("query_id"), col("qe").as("qv"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col(idCol))
-    broadcast(queries).join(corpus)
+    val scored = broadcast(queries).join(corpus)
       .select(col("query_id"), col(idCol), dotQ(col("qv"), col("qe")).as("dot"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
+    // custom bounded-heap rank operator instead of the row_number window:
+    // per-query state is k rows, and no task ever sorts the full corpus
+    // slice (the per-query fan-in IS the corpus for brute force)
+    TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
   }
 
   /** Deterministic pseudo-random hyperplane j as a LITERAL array — the

@@ -1,0 +1,74 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Physical grouped top-k: hash-cluster on `keys` (EnsureRequirements
+  * inserts the exchange), then one linear pass per partition maintaining
+  * a size-`k` bounded heap per key — no sort of the input, task memory
+  * capped at keysInPartition×k row copies regardless of group fan-in.
+  * Rows emit per key in rank order (rank 1 = lowest under `ordering`,
+  * exactly row_number semantics including ties broken by the ordering's
+  * tie-break columns).
+  */
+final case class GroupedTopKExec(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrders = ordering
+    val limit = k
+    val outAttrs = output
+    child.execute().mapPartitions ({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord: Ordering[InternalRow] =
+        GenerateOrdering.generate(sortOrders, childOutput)
+      // max-heap under `ord`: head = worst of the kept k, evicted when a
+      // better row arrives
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            h += row.copy()
+            heaps.put(key.copy(), h)
+          case Some(h) =>
+            if (h.size < limit) h += row.copy()
+            else if (ord.compare(row, h.head) < 0) { h.dequeue(); h += row.copy() }
+        }
+      }
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      val project = UnsafeProjection.create(outAttrs, outAttrs)
+      heaps.iterator.flatMap { case (_, h) =>
+        // dequeueAll drains worst-first; reverse => rank-ascending
+        val best = h.dequeueAll.reverseIterator
+        best.zipWithIndex.map { case (row, i) =>
+          rankRow.setLong(0, i + 1L)
+          project(joined(row, rankRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
+    copy(child = newChild)
+}
