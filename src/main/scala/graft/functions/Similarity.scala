@@ -211,7 +211,10 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       iters: Int = 2): DataFrame = {
+    // consumed iters+2 times (each Lloyd pass, final assignment, query
+    // side) — persist so quantization runs once, not per pass
     val qv = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import df.sparkSession.implicits._
     def l2(cent: Seq[Long]): Column =
       aggregate(
