@@ -30,6 +30,7 @@ object Bench {
     // Warmup: execute everything once (ignoring failures and times).
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // Two timed passes, per-query minimum. The passes are FULL SWEEPS
     // (q01..q53, then q01..q53 again), not back-to-back runs of the same
@@ -40,9 +41,13 @@ object Bench {
     val passes = 2
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
+      // Queries persist() intermediates for intra-query reuse; release
+      // them after each run so cached blocks can't accumulate across the
+      // 76-query sweep and distort later timings.
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      finally spark.catalog.clearCache()
     }
     val sweeps: Seq[Seq[Either[String, Double]]] =
       (1 to passes).map(_ => queries.map { case (_, fn) => timeOnce(fn) })

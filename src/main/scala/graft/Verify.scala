@@ -18,7 +18,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // A crashing query must still leave a trace (round 1's q05 silently
     // vanished from CORRECTNESS): write an _err marker file per failure.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -26,6 +29,9 @@ object Verify {
         Files.writeString(Paths.get(s"$outDir/${name}._err"),
           s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}\n")
       }
+      // Release per-query persist()s so cached blocks don't pile up
+      // across the sweep.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -176,25 +176,29 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Exact verification needs the FULL gram sets (a shared gram above the
     // df cap still counts toward the intersection), but only for docs that
-    // appear in some candidate pair — a broadcast semi-join shrinks the
-    // corpus to that handful before any gram re-expansion.
+    // appear in some candidate pair — a semi-join shrinks the corpus to
+    // that handful before any gram re-expansion. No broadcast hints on
+    // these joins: the candidate set scales with near-dup density (20-50%
+    // on web corpora), so a forced broadcast is an unbounded driver OOM at
+    // scale — AQE observes the actual candidate size at runtime and picks
+    // broadcast only when it genuinely fits.
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
     val sub = df.where(length(col(textCol)) >= n)
-      .join(broadcast(candIds), idCol)
+      .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), garrExpr.as("garr"))
       .select(col(idCol), col("garr"), size(col("garr")).cast("long").as("ng"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gsub = sub.select(col(idCol), explode(col("garr")).as("g"))
-    val inter = broadcast(cand)
+    val inter = cand
       .join(gsub.select(col(idCol).as("doc_a"), col("g")), "doc_a")
       .join(gsub.select(col(idCol).as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val sizes = sub.select(col(idCol), col("ng"))
     cand
       .join(inter, Seq("doc_a", "doc_b"), "left_outer").na.fill(0L, Seq("inter"))
-      .join(broadcast(sizes.select(col(idCol).as("doc_a"), col("ng").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col(idCol).as("doc_b"), col("ng").as("nb"))), "doc_b")
+      .join(sizes.select(col(idCol).as("doc_a"), col("ng").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("ng").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"),
         (col("inter") * 2 >= col("na") + col("nb") - col("inter")).as("is_dup"))

@@ -343,9 +343,13 @@ object Relational {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("tn"), col("pr"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // tn at MICROsecond resolution on both sides: the oracle DuckDB
+        // truncates parquet timestamp[ns] to a us-resolution TIMESTAMP on
+        // read, so raw ns values (and ns-resolution orderings) can never
+        // hash-match — truncate at the source instead.
         tbl(s, dir, "events")
           .where(col("event_type").isin("click", "purchase"))
-          .select(col("user_id"), col("ts").as("tn"), col("event_id"), col("event_type"))
+          .select(col("user_id"), expr("ts div 1000").as("tn"), col("event_id"), col("event_type"))
           .withColumn("pr", when(col("event_type") === "click", 0).otherwise(1))
           .withColumn("ctn", when(col("event_type") === "click", col("tn")))
           .withColumn("cid", when(col("event_type") === "click", col("event_id")))
@@ -359,7 +363,7 @@ object Relational {
             coalesce(col("click_id"), lit(-1L)).as("click_id"))
           .orderBy(col("event_id"))
       },
-      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tn, event_id, event_type
              |  FROM events WHERE event_type IN ('click','purchase')),
              |m AS (SELECT user_id, tn, event_id, event_type,
              |  CASE WHEN event_type='click' THEN 0 ELSE 1 END AS pr,

@@ -31,9 +31,13 @@ object EventLog {
     StructField("props", StringType),
     StructField("_corrupt", StringType)))
 
+  // The raw string carries no zone, so parse with an explicit UTC offset
+  // appended — to_timestamp alone resolves in the SESSION time zone, and
+  // tn would silently shift on any deployment not pinned to UTC.
   private def normalize(df: DataFrame): DataFrame =
     df.withColumn("tn",
-      (unix_micros(to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")) * 1000L))
+      (unix_micros(to_timestamp(concat(col("ts"), lit("+00:00")),
+        "yyyy-MM-dd HH:mm:ss.SSSSSSXXX")) * 1000L))
       .select(col("event_id"), col("tn"), col("user_id"),
         col("event_type"), col("value"), col("props"), col("_corrupt"))
 
@@ -62,7 +66,15 @@ object EventLog {
     */
   def partitionValid(df: DataFrame): (DataFrame, DataFrame) = {
     val parsed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (parsed.where(col("_corrupt").isNull && col("event_id").isNotNull).drop("_corrupt"),
-      parsed.where(col("_corrupt").isNotNull).select(col("_corrupt")))
+    // A structurally-valid row whose ts failed to parse (tn IS NULL) is
+    // quarantined too — it would otherwise pass as 'valid' with a null
+    // timestamp and poison every time-keyed downstream op.
+    val tnOk = if (parsed.columns.contains("tn")) col("tn").isNotNull else lit(true)
+    (parsed.where(col("_corrupt").isNull && col("event_id").isNotNull && tnOk)
+        .drop("_corrupt"),
+      parsed.where(col("_corrupt").isNotNull ||
+          (col("event_id").isNotNull && !tnOk))
+        .select(coalesce(col("_corrupt"), to_json(struct(parsed.columns.filter(_ != "_corrupt")
+          .map(col): _*))).as("_corrupt")))
   }
 }
