@@ -148,10 +148,22 @@ object Dedup {
     // (id, gram) duplicates only ever arise WITHIN one document, so a
     // per-row array_distinct replaces the full-corpus distinct() shuffle
     // the first version paid (10M-row exchange at sf0.1, pure overhead).
+    // Grams are xxhash64'd AT THE SOURCE: every downstream exchange,
+    // join key, and aggregation buffer then carries an 8-byte long
+    // instead of an n-char string — the df count, the postings join,
+    // and the verification intersection all compare/ship fixed-width
+    // ints. Only intersection COUNTS reach the output, so results are
+    // unchanged unless two distinct grams of one corpus collide in
+    // 64-bit space (~N²/2^65: ~1e-8 at 1e6 distinct grams; a handful of
+    // count-off-by-ones at 1e12 — noise for near-dup detection).
     val garrExpr = expr(
-      s"array_distinct(transform(sequence(0, length($textCol)-$n), i -> substring($textCol, i+1, $n)))")
+      s"array_distinct(transform(sequence(0, length($textCol)-$n), " +
+        s"i -> xxhash64(substring($textCol, i+1, $n))))")
+    // Both the df count and the postings join consume the exploded grams;
+    // persist (~16 bytes/row) so the HOF gram scan runs once, not twice.
     val grams = df.where(length(col(textCol)) >= n)
       .select(col(idCol), explode(garrExpr).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Shuffle 1: gram document frequencies (map-side partial count, so the
     // exchange carries one row per distinct (partition, gram), not per
     // posting). Hot stop-grams are dropped HERE, before any list is
