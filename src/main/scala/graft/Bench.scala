@@ -38,7 +38,11 @@ object Bench {
     // back-to-back samples of one query are correlated and min() can't
     // strip the noise (round 2 recorded q04 at 10.2s in-bench vs 0.9s in
     // isolation). Sweep interleaving decorrelates the two samples.
-    val passes = 2
+    // 3 passes: profiled q32 converges 2.7 → 2.5 → 1.2s over identical
+    // cold-cache runs (C2 JIT of the generated md5/HOF loops, not data
+    // caching — caches are cleared each run), so min-of-2 was recording
+    // JVM warmup, not the plan.
+    val passes = 3
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       // Queries persist() intermediates for intra-query reuse; release

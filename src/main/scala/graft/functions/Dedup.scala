@@ -47,37 +47,61 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       numHashes: Int = 8): DataFrame = {
-    // the distinct shingle set feeds three consumers (signatures, the
-    // intersection join twice, sizes) — cache it so the shingle scan +
-    // explode runs once, not four times
-    // NOTE: the cache is intentionally not unpersisted — consumers of the
-    // returned (lazy) DataFrame still depend on it; the block manager
-    // evicts LRU under pressure.
-    val sh = TextOps.shingles(df, idCol, textCol, k)
-      .select(col(idCol), col("sh")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = TextOps.minhashSignatures(sh, idCol, numHashes, assumeDistinct = true)
-    // the band self-join reads this twice; without the persist each side
-    // recomputes the whole signature aggregation (the md5-heavy stage)
+    // The shingle SET, the MinHash signature, and the set size are all
+    // per-DOCUMENT values, so everything is computed in narrow
+    // projections with array HOFs: array_min over the affine family
+    // replaces the signature groupBy shuffle, and the corpus-wide
+    // (id, shingle) distinct() exchange disappears entirely (min() is
+    // duplicate-insensitive; verification dedups in its merge loop). The
+    // only shuffles left in the operator are the band self-join and the
+    // candidate-bounded verification joins.
+    val grams = (0 until k).map(j => s"tk[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    val sharrExpr = expr(s"transform(sequence(0, size(tk)-$k), i -> $grams)")
+    // md5 hashing of every shingle is the CPU-dense stage — fan a
+    // low-split source out across the session's cores first (no-op at
+    // production split counts)
+    val base = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= k)
+      .select(col(idCol), sharrExpr.as("sharr"))
+    // one portable (md5-based) hash per shingle, shared by all numHashes
+    // affine rehashes — same family as TextOps.minhashSignatures
+    val hb = transform(col("sharr"), s =>
+      conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long") % TextOps.MinhashP)
+    val sigCols = (0 until numHashes).map { i =>
+      val (a, b) = TextOps.minhashConsts(i)
+      array_min(transform(col("hb"), x => (lit(a) * x + lit(b)) % TextOps.MinhashP)).as(s"h$i")
+    }
+    // No persist: both self-join sides recompute this narrow projection
+    // in parallel, which is cheaper than a cache-write barrier + read —
+    // and nothing is ever pinned for the session.
+    val sig = base.withColumn("hb", hb)
+      .select(col(idCol) +: sigCols: _*)
     val bands = TextOps.lshBands(sig, idCol, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("k1"), col("k2"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("k1"), col("k2"))
     val cand = a.join(b, Seq("band", "k1", "k2"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .where(col("sh_a") === col("sh_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // Exact verification: re-derive shingle sets ONLY for docs in some
+    // candidate pair (semi-join, pushed below the sharr projection) as one
+    // sorted array of FULL 60-bit portable hashes per doc, then count
+    // |∩| / |set| with the fused sorted-merge expressions — no explode,
+    // no join on shingle strings, no quadratic array_distinct. Exact
+    // modulo 60-bit collisions within one pair's ~10² shingles (~1e-13
+    // per pair; the SQL twin compares raw strings — same documented
+    // asymmetry as ngramJaccardPairsSql). Candidate fan-in bounds both
+    // the recompute and the arrays shipped to the pair join.
+    val candIds = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val sub = base.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), array_sort(transform(col("sharr"), s =>
+        conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))).as("sha"))
+      .select(col(idCol), col("sha"), SortedSetOps.distinctCount(col("sha")).as("n_sh"))
     cand
-      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .join(sub.select(col(idCol).as("doc_a"), col("sha").as("sa"), col("n_sh").as("na")), "doc_a")
+      .join(sub.select(col(idCol).as("doc_b"), col("sha").as("sb"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", SortedSetOps.intersectCount(col("sa"), col("sb")))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"),
         (col("inter") * 2 >= col("na") + col("nb") - col("inter")).as("is_dup"))
@@ -116,27 +140,40 @@ object Dedup {
 
   /** Exact character n-gram Jaccard over pairs sharing *rare* n-grams.
     *
-    * Candidate generation is an inverted index: gram → doc postings,
-    * restricted to grams whose document frequency is in [2, maxDf], with
-    * each rare gram's ≤ maxDf postings collected into one list that emits
-    * its ordered pairs directly. The df cap is what survives 100 TB — a
-    * stop-gram ("the quick") appearing in 10^9 docs is dropped by the
-    * (map-side partial) count before any postings list exists, and every
-    * surviving list yields ≤ maxDf·(maxDf-1)/2 pairs. Candidates
-    * additionally need ≥ `minShared` shared rare grams — on a templated
-    * corpus a single shared rare gram admits ~10% of ALL pairs into exact
-    * verification (1.09M pairs at sf0.1, 97 s), while a true Jaccard-0.25
-    * near-dup of a ~300-gram doc shares hundreds; the count-based
-    * prefilter cut candidates 73× with an unchanged result set at every
-    * SF. Intersections are then computed *exactly* over the full
-    * (uncapped) gram sets, but only for documents that appear in some
-    * candidate pair (broadcast semi-join), with the gram in the join key
-    * (an equi-join per (doc, gram), never candidate × grams_a × grams_b).
+    * Candidate generation is a df-capped inverted index fused into ONE
+    * aggregation: [[SortedSetOps.boundedDistinctSet]] builds each gram's
+    * ≤ maxDf distinct-doc postings set directly (NULL once a gram exceeds
+    * the cap), so the df-count shuffle, the postings join, and the
+    * collect_list of the unfused plan collapse into a single exchange of
+    * bounded buffers. The cap is what survives 100 TB — a stop-gram
+    * ("the quick") appearing in 10^9 docs costs a 17-entry buffer that
+    * saturates during map-side partial aggregation, never a collected
+    * postings list — and every surviving set yields ≤ maxDf·(maxDf-1)/2
+    * pairs. Candidates additionally need ≥ `minShared` shared rare grams —
+    * on a templated corpus a single shared rare gram admits ~10% of ALL
+    * pairs into exact verification (1.09M pairs at sf0.1, 97 s), while a
+    * true Jaccard-0.25 near-dup of a ~300-gram doc shares hundreds; the
+    * count-based prefilter cut candidates 73× with an unchanged result
+    * set at every SF.
+    *
+    * Verification is per-pair array algebra, not a join per (doc, gram):
+    * each candidate doc's full gram set is ONE sorted xxhash64 array, and
+    * [[SortedIntersectCount]] / [[SortedDistinctCount]] compute exact
+    * |∩| and set sizes in fused codegen'd merge loops (duplicates sort
+    * adjacent and are skipped, so no quadratic per-row array_distinct is
+    * ever evaluated).
     *
     * Returns (doc_a < doc_b, inter, uni, is_dup = Jaccard ≥ 1/2),
     * restricted to verified pairs with Jaccard ≥ 1/4 (the emission
     * threshold keeps the output proportional to true near-dups rather
     * than to candidate collisions).
+    *
+    * Grams are xxhash64'd at the source: every exchange and buffer
+    * carries an 8-byte long instead of an n-char string. Only
+    * intersection COUNTS reach the output, so results are unchanged
+    * unless two distinct grams of one corpus collide in 64-bit space
+    * (~N²/2^65: ~1e-8 at 1e6 distinct grams — noise for near-dup
+    * detection).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -145,41 +182,24 @@ object Dedup {
       n: Int = 12,
       maxDf: Int = 16,
       minShared: Int = 8): DataFrame = {
-    // (id, gram) duplicates only ever arise WITHIN one document, so a
-    // per-row array_distinct replaces the full-corpus distinct() shuffle
-    // the first version paid (10M-row exchange at sf0.1, pure overhead).
-    // Grams are xxhash64'd AT THE SOURCE: every downstream exchange,
-    // join key, and aggregation buffer then carries an 8-byte long
-    // instead of an n-char string — the df count, the postings join,
-    // and the verification intersection all compare/ship fixed-width
-    // ints. Only intersection COUNTS reach the output, so results are
-    // unchanged unless two distinct grams of one corpus collide in
-    // 64-bit space (~N²/2^65: ~1e-8 at 1e6 distinct grams; a handful of
-    // count-off-by-ones at 1e12 — noise for near-dup detection).
-    val garrExpr = expr(
-      s"array_distinct(transform(sequence(0, length($textCol)-$n), " +
+    val garrSorted = expr(
+      s"array_sort(transform(sequence(0, length($textCol)-$n), " +
         s"i -> xxhash64(substring($textCol, i+1, $n))))")
-    // Both the df count and the postings join consume the exploded grams;
-    // persist (~16 bytes/row) so the HOF gram scan runs once, not twice.
-    val grams = df.where(length(col(textCol)) >= n)
-      .select(col(idCol), explode(garrExpr).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Shuffle 1: gram document frequencies (map-side partial count, so the
-    // exchange carries one row per distinct (partition, gram), not per
-    // posting). Hot stop-grams are dropped HERE, before any list is
-    // materialized — at 100 TB a df-10^9 gram costs one counter, never a
-    // collected postings list.
-    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("g"))
-    // Shuffle 2: postings join. Its output is already hash-partitioned by
-    // g, so the collect_list below runs shuffle-free; every collected list
-    // is df-capped (≤ maxDf ids → ≤ maxDf·(maxDf-1)/2 pairs per gram),
-    // which is what makes the list-based pair generation skew-safe.
+    // gram hashing is the CPU-dense stage — make sure a low-split source
+    // doesn't serialize it on one core (no-op at production split counts)
+    val src = Par.fanOut(df.select(col(idCol), col(textCol))
+      .where(length(col(textCol)) >= n))
+    // Shuffle 1 (the ONLY corpus-sized one): per-gram bounded distinct
+    // postings sets, combined map-side. Nothing corpus-order is ever
+    // persisted — the one cached frame below is O(candidate pairs).
     val pairGen = "flatten(transform(ids, (x, i) -> " +
       "transform(slice(ids, i + 2, size(ids)), y -> named_struct('doc_a', x, 'doc_b', y))))"
-    val cand = grams.join(rare, "g")
-      .groupBy(col("g")).agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val cand = src
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, length($textCol)-$n), i -> xxhash64(substring($textCol, i+1, $n)))")).as("g"))
+      .groupBy(col("g"))
+      .agg(SortedSetOps.boundedDistinctSet(col(idCol), maxDf).as("ids"))
+      .where(col("ids").isNotNull)
       .select(explode(expr(pairGen)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
@@ -188,36 +208,38 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Exact verification needs the FULL gram sets (a shared gram above the
     // df cap still counts toward the intersection), but only for docs that
-    // appear in some candidate pair — a semi-join shrinks the corpus to
-    // that handful before any gram re-expansion. No broadcast hints on
-    // these joins: the candidate set scales with near-dup density (20-50%
-    // on web corpora), so a forced broadcast is an unbounded driver OOM at
-    // scale — AQE observes the actual candidate size at runtime and picks
-    // broadcast only when it genuinely fits.
+    // appear in some candidate pair — a semi-join (pushed below the gram
+    // projection) shrinks the corpus to that handful before any gram array
+    // is built. No broadcast hints: the candidate set scales with near-dup
+    // density (20-50% on web corpora), so a forced broadcast is an
+    // unbounded driver OOM at scale — AQE picks broadcast only when it
+    // actually fits.
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val sub = df.where(length(col(textCol)) >= n)
+    val sub = src
       .join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), garrExpr.as("garr"))
-      .select(col(idCol), col("garr"), size(col("garr")).cast("long").as("ng"))
+      .select(col(idCol), garrSorted.as("garr"))
+      .select(col(idCol), col("garr"), SortedSetOps.distinctCount(col("garr")).as("ng"))
+      // candidate-bounded — read by both pair sides
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gsub = sub.select(col(idCol), explode(col("garr")).as("g"))
-    val inter = cand
-      .join(gsub.select(col(idCol).as("doc_a"), col("g")), "doc_a")
-      .join(gsub.select(col(idCol).as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sizes = sub.select(col(idCol), col("ng"))
     cand
-      .join(inter, Seq("doc_a", "doc_b"), "left_outer").na.fill(0L, Seq("inter"))
-      .join(sizes.select(col(idCol).as("doc_a"), col("ng").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("ng").as("nb")), "doc_b")
+      .join(sub.select(col(idCol).as("doc_a"), col("garr").as("ga"), col("ng").as("na")), "doc_a")
+      .join(sub.select(col(idCol).as("doc_b"), col("garr").as("gb"), col("ng").as("nb")), "doc_b")
+      .withColumn("inter", SortedSetOps.intersectCount(col("ga"), col("gb")))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"),
         (col("inter") * 2 >= col("na") + col("nb") - col("inter")).as("is_dup"))
       .where(col("inter") * 4 >= col("uni"))
   }
 
-  /** DuckDB equivalent of [[ngramJaccardPairs]] reading from `tbl`. */
+  /** DuckDB equivalent of [[ngramJaccardPairs]] reading from `tbl`.
+    *
+    * NOTE: this twin compares raw gram STRINGS while the Spark side
+    * compares their xxhash64 values, so equivalence is modulo 64-bit
+    * collisions among one corpus's distinct grams (~N²/2^65 — see the
+    * collision math above). A count-off-by-one at a threshold boundary in
+    * a cross-engine check is that asymmetry, not a bug.
+    */
   def ngramJaccardPairsSql(
       tbl: String,
       idCol: String,

@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism repair for CPU-dense per-row stages.
+  *
+  * A scan's task count comes from its splits; a small or single-row-group
+  * file yields ONE task, which serializes every downstream narrow
+  * transform (gram hashing, md5 MinHash, quantization) no matter how many
+  * cores the session has. [[fanOut]] inserts a round-robin exchange ONLY
+  * in that case — when the source already provides at least the session's
+  * default parallelism (any production-scale table: 100 TB is ~10^6
+  * splits), it is a provable no-op and no shuffle is added. Callers
+  * project to the needed columns first so the exchange ships only what
+  * the downstream stage reads.
+  */
+object Par {
+
+  /** `df`, repartitioned to the session default parallelism iff its
+    * current plan would execute with fewer partitions.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // getNumPartitions plans the RDD lineage but runs no job
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+}

@@ -144,8 +144,11 @@ object Similarity {
     * Training samples the corpus; at 100 TB you fit on a sample and apply
     * the model corpus-wide (one pass).
     *
-    * Not oracle-checked (KMeans initialization is library-internal); rank
-    * determinism within a probe set still comes from the quantized dot.
+    * The learned partition is library-internal (not SQL-expressible), but
+    * with `nprobe = nlist` every cell is probed and the result is exactly
+    * the brute-force top-k REGARDLESS of where KMeans placed centroids —
+    * which is what makes the KMeans path oracle-checkable end to end
+    * (q55); recall at nprobe < nlist is asserted in PipelineSpec.
     */
   def ivfTopK(
       df: DataFrame,
@@ -183,12 +186,13 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
       .where(col("crk") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col(idCol))
-    broadcast(qCells).join(assigned, "cell")
+    // bounded-heap rank (GroupedTopKExec), not a row_number window: a hot
+    // IVF cell at scale would make the window sort every cell-mate of
+    // every query; the heap holds k rows per (task, query)
+    val scored = broadcast(qCells).join(assigned, "cell")
       .select(col("query_id"), col(idCol), col("cell"),
         dotQ(col("qv"), col("qe")).as("dot"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
+    TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
   }
 
   /** [[ivfTopK]] with a fully deterministic integer Lloyd quantizer in
@@ -249,12 +253,11 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
       .where(col("crk") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col(idCol))
-    broadcast(queries).join(assigned, "cell")
+    // bounded-heap rank — see the ivfTopK rerank note
+    val scored = broadcast(queries).join(assigned, "cell")
       .select(col("query_id"), col(idCol), col("cell").cast("long").as("cell"),
         dotQ(col("qv"), col("qe")).as("dot"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
+    TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
   }
 
   /** DuckDB equivalent of [[ivfTopKDet]]: the same init / assignment /
@@ -321,11 +324,11 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("qe"), dim, numPlanes))
     val queries = bucketed.where(queryPred)
       .select(col(idCol).as("query_id"), col("qe").as("qv"), col("bucket"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col(idCol))
-    broadcast(queries).join(bucketed, "bucket")
+    // bounded-heap rank — a hot LSH bucket would otherwise be fully
+    // sorted per query by the row_number window
+    val scored = broadcast(queries).join(bucketed, "bucket")
       .select(col("query_id"), col(idCol), col("bucket"),
         dotQ(col("qv"), col("qe")).as("dot"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
+    TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
   }
 }

@@ -1,0 +1,240 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.util.Arrays
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Sorted-set primitives for the dedup family (n-gram / shingle Jaccard).
+  *
+  * A document's gram set lives as ONE sorted long array per row (grams are
+  * xxhash64/portable-hashed at the source), so set algebra that the naive
+  * plan does with explode + shuffle-join + count — or that
+  * `array_intersect` does with an O(n·m)-ish generic path and per-row hash
+  * tables — becomes a single fused merge loop in whole-stage codegen with
+  * zero allocation. Duplicates are allowed in the inputs (they sort
+  * adjacent and are skipped in the merge), which lets callers drop the
+  * quadratic per-row `array_distinct` entirely.
+  */
+object SortedSetOps {
+
+  /** `|distinct(a) ∩ distinct(b)|` for two ASCENDING-sorted long arrays. */
+  def intersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  /** `|distinct(a)|` for an ASCENDING-sorted long array. */
+  def distinctCount(a: Column): Column =
+    Bridge.column(SortedDistinctCount(Bridge.expression(a)))
+
+  /** Distinct values of `child` per group as an ascending-sorted
+    * `array<long>`, or NULL when the group has < 2 or > `maxItems`
+    * distinct values. The buffer is HARD-BOUNDED at `maxItems`+ a
+    * saturation flag, which is the property that makes a df-capped
+    * inverted index skew-safe at 100 TB: a stop-gram seen 10^9 times
+    * costs a 17-entry buffer that saturates map-side, never a collected
+    * postings list. Partial aggregation combines map-side, so the
+    * exchange carries ≤ one bounded set per (partition, group).
+    */
+  def boundedDistinctSet(c: Column, maxItems: Int): Column =
+    Bridge.column(
+      BoundedDistinctSetAgg(Bridge.expression(c.cast("long")), maxItems)
+        .toAggregateExpression())
+}
+
+/** Count of distinct common values of two ascending-sorted long arrays
+  * (duplicates permitted): one merge pass, codegen'd.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        c += 1
+        while (i < n && x.getLong(i) == xv) i += 1
+        while (j < m && y.getLong(j) == yv) j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else {
+         |    $c++;
+         |    while ($i < $n && $a.getLong($i) == $xv) { $i++; }
+         |    while ($j < $m && $b.getLong($j) == $yv) { $j++; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of distinct values of an ascending-sorted long array (duplicates
+  * permitted): one linear pass, codegen'd.
+  */
+case class SortedDistinctCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0) 0L
+    else {
+      var c = 1L; var i = 1
+      while (i < n) {
+        if (x.getLong(i) != x.getLong(i - 1)) c += 1
+        i += 1
+      }
+      c
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |long $c = $n == 0 ? 0L : 1L;
+         |for (int $i = 1; $i < $n; $i++) {
+         |  if ($a.getLong($i) != $a.getLong($i - 1)) { $c++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Mutable buffer for [[BoundedDistinctSetAgg]]: an ascending-sorted
+  * array of the ≤ `max` distinct values seen, or `saturated` once the
+  * (max+1)-th distinct value appears — after which nothing is stored.
+  */
+final class BoundedSetBuf(var arr: Array[Long], var n: Int, var saturated: Boolean) {
+  def add(v: Long, max: Int): Unit = {
+    if (saturated) return
+    val idx = Arrays.binarySearch(arr, 0, n, v)
+    if (idx >= 0) return
+    if (n == max) { saturated = true; n = 0; return }
+    val ins = -idx - 1
+    System.arraycopy(arr, ins, arr, ins + 1, n - ins)
+    arr(ins) = v
+    n += 1
+  }
+}
+
+/** Per-group ascending-sorted distinct `array<long>`, NULL when the group
+  * holds < 2 or > `maxItems` distinct values — the fused
+  * "df-capped postings list" aggregate: one shuffle replaces the
+  * df-count aggregate + postings join + collect_list chain, and the
+  * bounded buffer makes hot groups cost O(maxItems) instead of a
+  * collected list. See [[SortedSetOps.boundedDistinctSet]].
+  */
+case class BoundedDistinctSetAgg(
+    child: Expression,
+    maxItems: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BoundedSetBuf] {
+  require(maxItems >= 2, "BoundedDistinctSetAgg requires maxItems >= 2")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): BoundedSetBuf =
+    new BoundedSetBuf(new Array[Long](maxItems), 0, saturated = false)
+
+  override def update(b: BoundedSetBuf, input: InternalRow): BoundedSetBuf = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Long], maxItems)
+    b
+  }
+
+  override def merge(a: BoundedSetBuf, b: BoundedSetBuf): BoundedSetBuf = {
+    if (a.saturated || b.saturated) { a.saturated = true; a.n = 0; return a }
+    // merge-union two sorted arrays; saturate past maxItems
+    val out = new Array[Long](maxItems)
+    var i = 0; var j = 0; var k = 0
+    while ((i < a.n || j < b.n) && k <= maxItems) {
+      val takeA = j >= b.n || (i < a.n && a.arr(i) <= b.arr(j))
+      val v = if (takeA) a.arr(i) else b.arr(j)
+      if (takeA) i += 1 else j += 1
+      if (k == 0 || out(k - 1) != v) {
+        if (k == maxItems) { a.saturated = true; a.n = 0; return a }
+        out(k) = v; k += 1
+      }
+    }
+    a.arr = out; a.n = k
+    a
+  }
+
+  override def eval(b: BoundedSetBuf): Any =
+    if (b.saturated || b.n < 2) null
+    else new GenericArrayData(Arrays.copyOfRange(b.arr, 0, b.n))
+
+  override def serialize(b: BoundedSetBuf): Array[Byte] = {
+    val out = ByteBuffer.allocate(5 + b.n * 8)
+    out.put(if (b.saturated) 1.toByte else 0.toByte)
+    out.putInt(b.n)
+    var i = 0
+    while (i < b.n) { out.putLong(b.arr(i)); i += 1 }
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedSetBuf = {
+    val in = ByteBuffer.wrap(bytes)
+    val saturated = in.get() == 1
+    val n = in.getInt()
+    val arr = new Array[Long](maxItems)
+    var i = 0
+    while (i < n) { arr(i) = in.getLong(); i += 1 }
+    new BoundedSetBuf(arr, n, saturated)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedDistinctSetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedDistinctSetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedDistinctSetAgg =
+    copy(child = newChildren(0))
+}

@@ -206,9 +206,6 @@ object Pipeline {
              |  md5(substring(text, CAST(fi*64+1 AS BIGINT), 64)) AS frame_md5
              |FROM f ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
-    // IVF ANN: KMeans coarse quantizer, nprobe-cell exact rerank. The
-    // clustering is not SQL-expressible, so this entry takes the driver's
-    // rows-only check; PipelineSpec asserts recall against brute force.
     // Stratified deterministic sampling: k docs per language by portable
     // hash rank — the reproducible per-source quota sampler a training
     // mix needs (same rows on any cluster, any partitioning, any run).
@@ -333,11 +330,25 @@ object Pipeline {
       Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
         "vec_id < 10", 5, DIM) + " ORDER BY query_id, rk")),
 
+    // IVF ANN through the KMeans coarse quantizer, probed at
+    // nprobe = nlist: every cell is searched, so the top-k is exactly the
+    // brute-force result REGARDLESS of the (library-internal) centroid
+    // placement — which turns the untestable "rows-only" KMeans path into
+    // a fully oracle-checked one. The train → assign → probe → rerank
+    // machinery all executes; recall at nprobe < nlist is asserted against
+    // brute force in PipelineSpec.
     "q55_ann_ivf" -> QueryDef(
       (s, dir) =>
         Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          col("vec_id") < 10, 5)
+          col("vec_id") < 10, 5, nlist = 16, nprobe = 16)
+          .select(col("query_id"), col("vec_id"), col("dot"), col("rk"))
           .orderBy(col("query_id"), col("rk")),
-      None)
+      Some(s"""WITH qv AS (SELECT vec_id, ${Similarity.quantizeSql("embedding")} AS qe FROM embeddings),
+              |qq AS (SELECT vec_id AS query_id, qe AS q FROM qv WHERE vec_id < 10),
+              |d AS (SELECT qq.query_id, qv.vec_id, ${Similarity.dotQSql("qq.q", "qv.qe", DIM)} AS dot
+              |      FROM qq CROSS JOIN qv)
+              |SELECT query_id, vec_id, dot, rk FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rk FROM d) r
+              |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")))
   )
 }
