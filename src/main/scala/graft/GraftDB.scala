@@ -58,6 +58,13 @@ final class GraftDB(
     * never O(store). Returns the committed version.
     */
   def writeCuboid(voxels: DataFrame, res: Int = 0, toBlack: Boolean = false): Int = {
+    // behavioral parity with the reference's resolution guard
+    // (`spatialdb.py:746-752`): writes land only at the channel's base
+    // resolution or one level above it — anything else is a caller bug
+    // (derived levels are rebuilt by `buildHierarchy`, never written).
+    val baseRes = resource.channel.baseResolution
+    require(res == baseRes || res == baseRes + 1,
+      s"Resolution Mismatch: writes allowed only at base resolution $baseRes or ${baseRes + 1}, got $res")
     import spark.implicits._
     val incoming = CuboidCodec.fromVoxels(
       voxels

@@ -215,8 +215,10 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       iters: Int = 2): DataFrame = {
-    // consumed iters+2 times (each Lloyd pass, final assignment, query
-    // side) — persist so quantization runs once, not per pass
+    // consumed iters+1 times by the EAGER training collects below —
+    // persist so quantization runs once per pass, then RELEASED before
+    // returning: the final (lazy) plan re-derives quantization from `df`
+    // so no corpus-order cache outlives the call
     val qv = df.select(col(idCol), quantize(col(embCol)).as("qe"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import df.sparkSession.implicits._
@@ -226,15 +228,15 @@ object Similarity {
         lit(0L), (acc, v) => acc + v)
     // argmin over the per-centroid distance array; array_position takes
     // the FIRST match so ties resolve to the lowest cell id
-    def assign(cents: IndexedSeq[Seq[Long]]) = {
+    def assign(src: DataFrame, cents: IndexedSeq[Seq[Long]]) = {
       val dists = array(cents.map(l2): _*)
-      qv.withColumn("cell",
+      src.withColumn("cell",
         (array_position(dists, array_min(dists)) - 1).cast("int"))
     }
     var cents: IndexedSeq[Seq[Long]] = qv.orderBy(col(idCol)).limit(nlist)
       .select(col("qe")).as[Seq[Long]].collect().toIndexedSeq
     for (_ <- 1 to iters) {
-      val means = assign(cents)
+      val means = assign(qv, cents)
         .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
@@ -243,9 +245,11 @@ object Similarity {
         .as[(Int, Seq[Long])].collect().toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
-    val assigned = assign(cents)
+    val qv2 = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+    qv.unpersist()
+    val assigned = assign(qv2, cents)
     val qDists = array(cents.map(l2): _*)
-    val queries = qv.where(queryPred)
+    val queries = qv2.where(queryPred)
       .withColumn("ds", qDists)
       .select(col(idCol).as("query_id"), col("qe").as("qv"),
         posexplode(col("ds")).as(Seq("cell", "cdist")))

@@ -441,6 +441,39 @@ object Spatial {
               |  AND t >= 0 AND t < 2 AND value <> 0
               |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
 
+    // The uint16 path (`imagecube.py:153`, `cube.py:442-451` treat uint16
+    // as first-class) through the same store machinery: ids are scaled to
+    // [1200, 51200] so every non-zero value EXCEEDS one byte — the
+    // codec's 2-byte little-endian branch and its unsigned widening are
+    // what the hash checks (q50 covers 8-byte, q65 1-byte).
+    "q77_store_u16" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.storage.{CuboidCodec, CuboidStore, VoxelRow}
+        import graft.core.VoxelType
+        val deduped = VoxelView.df(s, dir)
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(col("id")).as("mid"))
+          .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"),
+            when(col("mid") === 0, 0L).otherwise(col("mid") * 1000L + 200L).as("value"))
+          .as[VoxelRow]
+        val path = java.nio.file.Files.createTempDirectory("q77store").toString
+        CuboidStore.write(CuboidCodec.fromVoxels(deduped, VoxelType.UInt16, dims), path)
+        SpatialOps.cutoutFromStore(s, path, LK, 0, Box(8, 40, 32, 160, 2, 10),
+          0 until 2, VoxelType.UInt16, dims)
+          .select(col("t").cast("long").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z,
+              |         CASE WHEN max(id) = 0 THEN 0 ELSE max(id) * 1000 + 200 END AS value
+              |  FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT t, x, y, z, value FROM g
+              |WHERE x >= 8 AND x < 40 AND y >= 32 AND y < 160 AND z >= 2 AND z < 10
+              |  AND t >= 0 AND t < 2 AND value <> 0
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
     // W1-W3/S8-S11 streaming write path, oracle-checked end to end:
     // voxel write events land as files, Structured Streaming drains them
     // with AvailableNow in 1-file micro-batches (each a cuboid-plane

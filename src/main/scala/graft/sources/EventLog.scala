@@ -34,10 +34,14 @@ object EventLog {
   // The raw string carries no zone, so parse with an explicit UTC offset
   // appended — to_timestamp alone resolves in the SESSION time zone, and
   // tn would silently shift on any deployment not pinned to UTC.
+  // try_to_timestamp, not to_timestamp: under ANSI semantics (Spark 4
+  // default) the latter THROWS on a malformed ts, so one bad log line
+  // would kill the ingest job — the exact failure mode the quarantine
+  // split exists to prevent. NULL here routes the row to quarantine.
   private def normalize(df: DataFrame): DataFrame =
     df.withColumn("tn",
-      (unix_micros(to_timestamp(concat(col("ts"), lit("+00:00")),
-        "yyyy-MM-dd HH:mm:ss.SSSSSSXXX")) * 1000L))
+      (unix_micros(try_to_timestamp(concat(col("ts"), lit("+00:00")),
+        lit("yyyy-MM-dd HH:mm:ss.SSSSSSXXX"))) * 1000L))
       .select(col("event_id"), col("tn"), col("user_id"),
         col("event_type"), col("value"), col("props"), col("_corrupt"))
 
@@ -70,10 +74,15 @@ object EventLog {
     // quarantined too — it would otherwise pass as 'valid' with a null
     // timestamp and poison every time-keyed downstream op.
     val tnOk = if (parsed.columns.contains("tn")) col("tn").isNotNull else lit(true)
-    (parsed.where(col("_corrupt").isNull && col("event_id").isNotNull && tnOk)
-        .drop("_corrupt"),
-      parsed.where(col("_corrupt").isNotNull ||
-          (col("event_id").isNotNull && !tnOk))
+    val valid = col("_corrupt").isNull && col("event_id").isNotNull && tnOk
+    // Quarantine is the EXACT complement of valid (every predicate is an
+    // is[Not]Null form, so the split is total — no three-valued-logic row
+    // class can fall through). An earlier version required `_corrupt OR
+    // (event_id AND !tnOk)`, which silently DROPPED parseable rows with a
+    // null event_id — at ingest scale that is silent data loss, the one
+    // failure mode a quarantine split exists to prevent.
+    (parsed.where(valid).drop("_corrupt"),
+      parsed.where(!valid)
         .select(coalesce(col("_corrupt"), to_json(struct(parsed.columns.filter(_ != "_corrupt")
           .map(col): _*))).as("_corrupt")))
   }

@@ -45,6 +45,17 @@ class GraftDBSpec extends AnyFunSuite {
       .subsetOf(someIds.toSet))
   }
 
+  test("write resolution guard: only base resolution and base+1 accepted") {
+    import spark.implicits._
+    val db = newDb()
+    val v = Seq((0L, 0L, 0L, 0L, 5L)).toDF("t", "x", "y", "z", "value")
+    db.writeCuboid(v, res = 0) // base
+    db.writeCuboid(v, res = 1) // base + 1
+    // parity with spatialdb.py:746-752: anything else is rejected
+    val e = intercept[IllegalArgumentException](db.writeCuboid(v, res = 2))
+    assert(e.getMessage.contains("Resolution Mismatch"))
+  }
+
   test("overwrite merge semantics and to-black erase across writes") {
     import spark.implicits._
     val db = newDb()

@@ -41,4 +41,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(jRows.head._2 == 1704103200000001000L)
     assert(jc.as[String].collect().toSeq == Seq("this is not json"))
   }
+
+  test("valid ∪ quarantine ≡ input: every row class lands on exactly one side") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("srcspec2").toString
+    val jl = s"$dir/events.jsonl"
+    Files.write(java.nio.file.Paths.get(jl), java.util.Arrays.asList(
+      // valid
+      """{"event_id":1,"ts":"2024-01-01 10:00:00.000001","user_id":7,"event_type":"click","value":1.5,"props":"{}"}""",
+      // parseable but event_id null — the row class a non-complement
+      // quarantine predicate silently dropped
+      """{"ts":"2024-01-01 10:00:02.000000","user_id":9,"event_type":"view","value":3.0,"props":"{}"}""",
+      // parseable but unparseable timestamp
+      """{"event_id":3,"ts":"not a time","user_id":10,"event_type":"view","value":4.0,"props":"{}"}""",
+      // structurally corrupt
+      """{{{"""))
+    val parsed = EventLog.jsonl(spark, jl)
+    val (valid, quarantine) = EventLog.partitionValid(parsed)
+    assert(valid.count() + quarantine.count() === parsed.count())
+    assert(valid.as[(Long, Long, Long, String, Double, String)].collect().map(_._1).toSeq == Seq(1L))
+    // the null-event_id and bad-ts rows are quarantined as re-serialized
+    // JSON, the corrupt line verbatim
+    val q = quarantine.as[String].collect()
+    assert(q.length === 3)
+    assert(q.count(_.contains("\"user_id\":9")) === 1)
+    assert(q.count(_.contains("\"event_id\":3")) === 1)
+    assert(q.count(_.startsWith("{{{")) === 1)
+  }
 }
