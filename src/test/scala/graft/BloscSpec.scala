@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Region, VoxelType}
+import graft.sources.{BloscCodec, BloscIngest}
+
+/** The blosc ingest-compat codec: format-level fixtures (hand-built
+  * frames and blosclz streams that pin the c-blosc 1.11 wire layout the
+  * reference's blosc==1.5.0 emits) plus round-trips through every
+  * compressor path, and the Spark bulk-load into CuboidRows.
+  */
+class BloscSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-blosc-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def le(bs: ByteBuffer): ByteBuffer = bs.order(ByteOrder.LITTLE_ENDIAN)
+
+  test("hand-built memcpy frame decodes to its payload") {
+    val payload = (0 until 40).map(_.toByte).toArray
+    val frame = le(ByteBuffer.allocate(16 + payload.length))
+      .put(2.toByte).put(1.toByte).put(0x2.toByte).put(8.toByte)
+      .putInt(payload.length).putInt(16384).putInt(16 + payload.length)
+      .put(payload).array()
+    assert(BloscCodec.decompress(frame).toSeq == payload.toSeq)
+  }
+
+  test("hand-built blosclz stream: literals, short match, RLE run, extended length") {
+    // literal run of 4: token 3, bytes 1,2,3,4
+    // match len 4 dist 4 (d=3): token (2<<5)|0, byte 3  -> copies 1,2,3,4
+    // RLE: match dist 1 (d=0) len 5: token (3<<5)|0, byte 0 -> 4,4,4,4,4
+    val stream = Array[Byte](3, 1, 2, 3, 4, (2 << 5).toByte, 3, (3 << 5).toByte, 0)
+    val out = new Array[Byte](13)
+    val n = BloscCodec.lzDecompress(stream, 0, stream.length, out, 0, out.length)
+    assert(n == 13)
+    assert(out.toSeq == Seq[Byte](1, 2, 3, 4, 1, 2, 3, 4, 4, 4, 4, 4, 4))
+    // extended length: literal 1 byte 7, then match d=0 len code 7 with
+    // ext byte 4 -> len = 6+4+3 = 13 copies of 7
+    val s2 = Array[Byte](0, 7, (7 << 5).toByte, 4, 0)
+    val out2 = new Array[Byte](14)
+    val n2 = BloscCodec.lzDecompress(s2, 0, s2.length, out2, 0, out2.length)
+    assert(n2 == 14 && out2.toSeq.forall(_ == 7.toByte))
+  }
+
+  test("compress/decompress round-trips across dtypes, sizes and entropy") {
+    val rnd = new scala.util.Random(5)
+    val cases = Seq(
+      ("u8-zeros", Array.fill[Byte](64 * 64 * 4)(0), 8),
+      ("u8-random", Array.fill[Byte](10000)(rnd.nextInt(256).toByte), 8),
+      ("u16-repeat", Array.tabulate[Byte](32768)(i => (i % 6).toByte), 16),
+      ("u64-sparse", {
+        val a = new Array[Byte](65536)
+        (0 until 100).foreach(_ => a(rnd.nextInt(a.length)) = rnd.nextInt(256).toByte)
+        a
+      }, 64),
+      ("tiny", Array[Byte](1, 2, 3), 8),
+      ("empty", Array.empty[Byte], 8),
+      // non-multiple-of-typesize tail exercises the shuffle leftover path
+      ("ragged", Array.fill[Byte](1003)(rnd.nextInt(4).toByte), 16))
+    cases.foreach { case (name, data, ts) =>
+      val frame = BloscCodec.compress(data, ts)
+      val hdr = le(ByteBuffer.wrap(frame))
+      assert(hdr.getInt(12) == frame.length, s"$name: cbytes header")
+      assert(hdr.getInt(4) == data.length, s"$name: nbytes header")
+      val back = BloscCodec.decompress(frame)
+      assert(back.toSeq == data.toSeq, s"$name: round-trip")
+      // compressible inputs must actually shrink (not memcpy-fallback)
+      if (name == "u8-zeros" || name == "u16-repeat" || name == "u64-sparse")
+        assert(frame.length < data.length, s"$name: expected compression, got ${frame.length}")
+    }
+  }
+
+  test("shuffle/unshuffle are exact inverses incl. ragged tail") {
+    val rnd = new scala.util.Random(9)
+    val data = Array.fill[Byte](1001)(rnd.nextInt(256).toByte)
+    val sh = new Array[Byte](1001)
+    val back = new Array[Byte](1001)
+    BloscCodec.shuffleBytes(8, data, 0, sh, data.length)
+    BloscCodec.unshuffle(8, sh, data.length, back, 0)
+    assert(back.toSeq == data.toSeq)
+  }
+
+  test("bulk-load: blosc blobs -> CuboidRows -> voxels matches the source volume") {
+    import spark.implicits._
+    import graft.storage.{CuboidCodec, VoxelRow}
+    val dims = Region.CuboidDims(8, 8, 4)
+    val vt = VoxelType.UInt16
+    // a dense source cuboid with values > 255 (2-byte path), packed the
+    // reference way: C-order [z,y,x] LE bytes, typesize = itemsize*8
+    val vox = for {
+      z <- 0 until 4; y <- 0 until 8; x <- 0 until 8
+    } yield VoxelRow("chan", 0, 0, x.toLong, y.toLong, z.toLong, (300 + x + 10 * y + 100 * z).toLong)
+    val raw = new Array[Byte](8 * 8 * 4 * 2)
+    val bb = le(ByteBuffer.wrap(raw))
+    vox.foreach(v => bb.putShort(((v.z * 64 + v.y * 8 + v.x) * 2).toInt, (v.value & 0xffff).toShort))
+    val blob = BloscCodec.compress(raw, typesize = 16) // itemsize*8 quirk
+    val blobs = Seq(("chan", 0, 0, 0L, blob)).toDF("lookupKey", "res", "t", "morton", "blob")
+    val rows = BloscIngest.cuboidsFromBlosc(blobs, vt, dims)
+    val got = CuboidCodec.toVoxels(rows, vt, dims).collect().map(v => (v.x, v.y, v.z) -> v.value).toMap
+    assert(got.size == vox.size)
+    vox.foreach(v => assert(got((v.x, v.y, v.z)) == v.value))
+  }
+}
