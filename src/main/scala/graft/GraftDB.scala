@@ -78,8 +78,12 @@ final class GraftDB(
         .select(col("lookupKey"), col("res"), col("t"), col("morton")).distinct()
       val existingTouched = VersionedStore.readForKeys(spark, storeRoot, incKeys)
       val mode = if (toBlack) MergeMode.Shave else MergeMode.Overwrite
-      VersionedStore.commitDelta(
+      val v = VersionedStore.commitDelta(
         CuboidMerge.mergeAll(existingTouched, incoming, vt, mode), storeRoot)
+      // a committed base write makes any built hierarchy stale
+      if (downsampleStatus == GraftDB.Downsampled)
+        setDownsampleStatus(GraftDB.NotDownsampled)
+      v
     } finally { incoming.unpersist(); () }
   }
 
@@ -119,11 +123,34 @@ final class GraftDB(
   def reserveIds(numIds: Long, res: Int = 0): (Long, Long) =
     IdReservation.reserve(s"$storeRoot/_ids", lk, res, numIds)
 
+  /** Downsample/propagation status of the channel's hierarchy — the
+    * reference's state machine (`ndtype.py:43-45` NOT_PROPAGATED /
+    * UNDER_PROPAGATION / PROPAGATED; `resource.py:243-256`
+    * `Channel.downsample_status` carries the string form): without it a
+    * reader cannot tell whether level-k data reflects the current base.
+    * Persisted next to the snapshot pointer so the status survives
+    * sessions and is visible to every reader of the store.
+    */
+  def downsampleStatus: String = {
+    val p = java.nio.file.Paths.get(storeRoot, "_DOWNSAMPLE_STATUS")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    else GraftDB.NotDownsampled
+  }
+
+  private def setDownsampleStatus(s: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(storeRoot, "_DOWNSAMPLE_STATUS"),
+      s.getBytes("UTF-8"))
+
   /** The hierarchy job: build and commit all levels of the current
-    * snapshot's base-resolution data (A5/A6 per level).
+    * snapshot's base-resolution data (A5/A6 per level). Walks the
+    * downsample-status machine: IN_PROGRESS while building, DOWNSAMPLED
+    * once the snapshot with all levels is committed, back to
+    * NOT_DOWNSAMPLED on failure.
     */
   def buildHierarchy(numLevels: Int = 0): Int = {
     import spark.implicits._
+    setDownsampleStatus(GraftDB.InProgress)
     val levels = if (numLevels > 0) numLevels else resource.experiment.numHierarchyLevels
     val base = CuboidCodec.toVoxels(
       VersionedStore.read(spark, storeRoot)
@@ -136,6 +163,21 @@ final class GraftDB(
     val allLevels = pyramid.map { case (_, v) =>
       CuboidCodec.fromVoxels(v.as[VoxelRow], vt, dims)
     }.reduce(_ union _)
-    VersionedStore.commit(allLevels, storeRoot)
+    try {
+      val v = VersionedStore.commit(allLevels, storeRoot)
+      setDownsampleStatus(GraftDB.Downsampled)
+      v
+    } catch {
+      case e: Throwable => setDownsampleStatus(GraftDB.NotDownsampled); throw e
+    }
   }
+}
+
+object GraftDB {
+  /** `Channel.downsample_status` values (`resource_setup.py:44`,
+    * `test_basicresource.py:168`; numeric twins in `ndtype.py:43-45`).
+    */
+  val NotDownsampled = "NOT_DOWNSAMPLED"
+  val InProgress = "IN_PROGRESS"
+  val Downsampled = "DOWNSAMPLED"
 }

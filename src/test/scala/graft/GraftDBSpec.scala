@@ -114,12 +114,19 @@ class GraftDBSpec extends AnyFunSuite {
     val vol = VolumeGen.voxels(spark, db.resource.lookupKey, 0, Box(0, 16, 0, 16, 0, 4),
       0 until 1, VoxelType.UInt64, seed = 53).toDF()
     db.writeCuboid(vol)
+    // downsample-status machine (ndtype.py:43-45): fresh channel is
+    // NOT_DOWNSAMPLED, a successful build lands on DOWNSAMPLED, and a
+    // new base write invalidates back to NOT_DOWNSAMPLED
+    assert(db.downsampleStatus == GraftDB.NotDownsampled)
     db.buildHierarchy(3)
+    assert(db.downsampleStatus == GraftDB.Downsampled)
     // levels 1 and 2 exist in the committed snapshot with shrunken extents
     val snap = graft.storage.VersionedStore.read(spark, db.storeRoot).toDF()
     assert(snap.select("res").distinct().as[Int].collect().toSet == Set(0, 1, 2))
     val l1 = db.cutout((0, 0, 0), (8, 8, 4), res = 1)
     assert(l1.count() > 0)
     assert(l1.agg(max($"x")).as[Long].head() <= 7)
+    db.writeCuboid(Seq((0L, 0L, 0L, 0L, 9L)).toDF("t", "x", "y", "z", "value"))
+    assert(db.downsampleStatus == GraftDB.NotDownsampled)
   }
 }
