@@ -44,7 +44,10 @@ object Similarity {
     * per group, no global sort).
     */
   def dotTopK(df: DataFrame, idCol: String, embCol: String, queryPred: Column, k: Int): DataFrame = {
-    val corpus = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+    // scoring is CPU-dense per row — fan a low-split source out first
+    // (no-op at production split counts)
+    val corpus = Par.fanOut(df.select(col(idCol), col(embCol)))
+      .select(col(idCol), quantize(col(embCol)).as("qe"))
     val queries = corpus.where(queryPred)
       .select(col(idCol).as("query_id"), col("qe").as("qv"))
     val scored = broadcast(queries).join(corpus)
@@ -100,7 +103,8 @@ object Similarity {
       tauNum: Long,
       tauDen: Long,
       numPlanes: Int = 4): DataFrame = {
-    val bucketed = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+    val bucketed = Par.fanOut(df.select(col(idCol), col(embCol)))
+      .select(col(idCol), quantize(col(embCol)).as("qe"))
       .withColumn("bucket", lshBucket(col("qe"), dim, numPlanes))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
     val a = bucketed.select(col(idCol).as("id_a"), col("qe").as("qa"),
@@ -161,8 +165,9 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val withVec = df.select(col(idCol), col(embCol),
-      array_to_vector(col(embCol).cast("array<float>")).as("fv"))
+    val withVec = Par.fanOut(df.select(col(idCol), col(embCol)))
+      .select(col(idCol), col(embCol),
+        array_to_vector(col(embCol).cast("array<float>")).as("fv"))
     // a coarse quantizer needs rough cells, not convergence: random init
     // (k-means|| costs ~2 extra full passes for placement quality the
     // nprobe rerank doesn't need) and 5 Lloyd iterations place centroids
@@ -179,9 +184,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("qe").as("qv"))
     val qCells = queries.join(centroidDf)
       .withColumn("cdist",
-        aggregate(zip_with(col("qv"),
-          transform(col("centroid"), c => round(c * 1000).cast("long")),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
+        SqDistQ(col("qv"), transform(col("centroid"), c => round(c * 1000).cast("long"))))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
       .where(col("crk") <= nprobe)
@@ -219,13 +222,14 @@ object Similarity {
     // persist so quantization runs once per pass, then RELEASED before
     // returning: the final (lazy) plan re-derives quantization from `df`
     // so no corpus-order cache outlives the call
-    val qv = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+    val src = Par.fanOut(df.select(col(idCol), col(embCol)))
+    val qv = src.select(col(idCol), quantize(col(embCol)).as("qe"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import df.sparkSession.implicits._
+    // fused codegen'd Σ(a-b)² — with nlist centroid literals per
+    // assignment the zip_with form generated pathological code volume
     def l2(cent: Seq[Long]): Column =
-      aggregate(
-        zip_with(col("qe"), array(cent.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
+      SqDistQ(col("qe"), array(cent.map(lit(_)): _*))
     // argmin over the per-centroid distance array; array_position takes
     // the FIRST match so ties resolve to the lowest cell id
     def assign(src: DataFrame, cents: IndexedSeq[Seq[Long]]) = {
@@ -245,7 +249,7 @@ object Similarity {
         .as[(Int, Seq[Long])].collect().toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
-    val qv2 = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+    val qv2 = src.select(col(idCol), quantize(col(embCol)).as("qe"))
     qv.unpersist()
     val assigned = assign(qv2, cents)
     val qDists = array(cents.map(l2): _*)
@@ -324,7 +328,8 @@ object Similarity {
       k: Int,
       dim: Int,
       numPlanes: Int = 4): DataFrame = {
-    val bucketed = df.select(col(idCol), quantize(col(embCol)).as("qe"))
+    val bucketed = Par.fanOut(df.select(col(idCol), col(embCol)))
+      .select(col(idCol), quantize(col(embCol)).as("qe"))
       .withColumn("bucket", lshBucket(col("qe"), dim, numPlanes))
     val queries = bucketed.where(queryPred)
       .select(col(idCol).as("query_id"), col("qe").as("qv"), col("bucket"))
