@@ -54,6 +54,13 @@ object PipelineStress {
       Dedup.nearDupPairs(docs, "doc_id", "text").count()
     }
     println(s"[stress]   near-dup pairs found: $pairs")
+    // maxDf must exceed the copy multiplicity: every 12-gram of a base
+    // doc recurs in all `mult` near-copies, so the production cap of 16
+    // would (correctly) treat them as stop-grams and emit nothing
+    val npairs = timed("ngram Jaccard near-dup (bounded-agg)") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDf = 4 * mult).count()
+    }
+    println(s"[stress]   ngram near-dup pairs found: $npairs")
     timed("simhash") {
       TextOps.simhash(docs, "doc_id", "text").count()
     }
@@ -88,6 +95,10 @@ object PipelineStress {
     timed("embedding near-dups (LSH buckets)") {
       Similarity.embeddingNearDups(emb, "vec_id", "embedding", 64,
         tauNum = 3, tauDen = 10).count()
+    }
+    timed("IVF det ANN (train + probe, 100 queries)") {
+      Similarity.ivfTopKDet(emb, "vec_id", "embedding",
+        col("vec_id") < 100, 5).count()
     }
     println(f"[stress] done: $n docs, ${n / 1e3}%.0fk-doc corpus held all pipeline shapes")
     spark.stop()

@@ -22,6 +22,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * the file-level-reuse property a Delta/Iceberg `MERGE INTO` provides,
   * with the same atomic-visibility contract. `compact` collapses long
   * chains as a maintenance job, exactly like table-format compaction.
+  *
+  * Commit-coordination caveat: the writer mutex relies on
+  * `Files.createFile` being atomic, which holds on POSIX filesystems and
+  * HDFS but NOT on plain S3 (no create-if-absent until S3 conditional
+  * writes; and `_CURRENT` replace needs read-after-write consistency).
+  * Deploying the store on object storage means swapping `tryAcquire` /
+  * the pointer swing for S3 `If-None-Match` conditional PUTs or a DynamoDB
+  * lock row — the table-format playbook (Delta's LogStore, Iceberg's
+  * lock-manager) — while every other code path is storage-agnostic
+  * through the Hadoop FS layer.
   */
 object VersionedStore {
 
