@@ -75,8 +75,7 @@ object PipelineStress {
       TextOps.tokenCounts(docs, "doc_id", "text").count()
     }
     timed("winnowing fingerprints") {
-      TextOps.winnowFingerprints(
-        TextOps.shingles(docs, "doc_id", "text"), "doc_id").count()
+      TextOps.winnowFromText(docs, "doc_id", "text").count()
     }
 
     // embeddings: mult x 500 vectors via per-copy sign flips

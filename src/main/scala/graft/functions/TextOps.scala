@@ -149,10 +149,34 @@ object TextOps {
        |  GROUP BY $idCol) s""".stripMargin.replace("\n", " ")
   }
 
+  /** Winnowing fingerprints computed per-row from the text: the shingle
+    * hash sequence, the sliding-window minima and the dedup are all
+    * array HOFs inside one narrow projection, so the operator runs
+    * shuffle-free end to end — where the exploded-input variant
+    * ([[winnowFingerprints]]) pays two WindowExec passes (a per-doc sort
+    * each) to compute the same minima. Semantics are identical: min
+    * [[portableHash]] per window of `w` consecutive k-shingles, full
+    * windows only, deduplicated per doc. Returns (id, fp) rows.
+    */
+  def winnowFromText(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = (0 until k).map(j => s"tk[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= k + w - 1) // at least one full window
+      .select(col(idCol), expr(s"transform(sequence(0, size(tk)-$k), i -> $grams)").as("sharr"))
+      .select(col(idCol), transform(col("sharr"), s => portableHash(s)).as("hv"))
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(1, size(hv)-${w - 1}), i -> array_min(slice(hv, i, $w))))")).as("fp"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): min k-gram hash per
     * sliding window of `w` consecutive shingles, deduplicated — the
     * standard document-fingerprinting scheme for plagiarism/near-dup
-    * detection. Returns (id, fp) rows.
+    * detection. Returns (id, fp) rows. Generic-input variant over
+    * pre-exploded (id, pos, sh) rows; when the shingles come straight
+    * from a text column, [[winnowFromText]] computes the same result
+    * without the two window passes.
     */
   def winnowFingerprints(shingleDf: DataFrame, idCol: String, w: Int = 4): DataFrame = {
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -107,8 +107,7 @@ object Pipeline {
     // Winnowing document fingerprints (window w=4 over 3-gram hashes).
     "q38_fingerprint_winnow" -> QueryDef(
       (s, dir) =>
-        TextOps.winnowFingerprints(
-          TextOps.shingles(tbl(s, dir, "documents"), "doc_id", "text"), "doc_id")
+        TextOps.winnowFromText(tbl(s, dir, "documents"), "doc_id", "text")
           .orderBy(col("doc_id"), col("fp")),
       // the min-window must be computed BEFORE the full-window filter
       // (SQL applies WHERE before window functions; Spark's withColumn

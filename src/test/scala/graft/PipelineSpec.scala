@@ -78,6 +78,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("winnowFromText equals the window-based winnowFingerprints on real docs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaText = TextOps.winnowFromText(d, "doc_id", "text")
+    val viaWindows = TextOps.winnowFingerprints(
+      TextOps.shingles(d, "doc_id", "text"), "doc_id")
+    assert(viaText.count() > 0)
+    assert(viaText.exceptAll(viaWindows).count() === 0)
+    assert(viaWindows.exceptAll(viaText).count() === 0)
+    // a doc with shingles but no full window yields no fingerprints
+    import spark.implicits._
+    val short = Seq((1L, "a b c d")).toDF("doc_id", "text") // 2 shingles < w=4
+    assert(TextOps.winnowFromText(short, "doc_id", "text").count() === 0)
+  }
+
   test("shingles are k consecutive tokens; short docs yield none") {
     import spark.implicits._
     val d = docs((1L, "a b c d"), (2L, "x y"))
