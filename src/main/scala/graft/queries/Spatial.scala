@@ -441,6 +441,40 @@ object Spatial {
               |  AND t >= 0 AND t < 2 AND value <> 0
               |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
 
+    // F9 blosc serde, oracle-checked end to end: voxels → dense blobs →
+    // blosc frames (the exact bytes a reference deployment stores,
+    // `cube.py:127-140`, typesize = itemsize*8) → BloscIngest bulk-load →
+    // pruned cutout. Same relational contract as q50, so any codec bit
+    // error breaks the hash.
+    "q78_blosc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.sources.{BloscCodec, BloscIngest}
+        import graft.storage.{CuboidCodec, VoxelRow}
+        import graft.core.VoxelType
+        val deduped = VoxelView.df(s, dir)
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(col("id")).as("value"))
+          .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .as[VoxelRow]
+        val blobs = CuboidCodec.fromVoxels(deduped, VoxelType.UInt64, dims)
+          .map(c => (c.lookupKey, c.res, c.t, c.morton,
+            BloscCodec.compress(c.data, typesize = 64))) // itemsize*8 quirk
+          .toDF("lookupKey", "res", "t", "morton", "blob")
+        SpatialOps.cutoutFromCuboids(
+          BloscIngest.cuboidsFromBlosc(blobs, VoxelType.UInt64, dims),
+          LK, 0, Box(8, 40, 32, 160, 2, 10), 0 until 2, VoxelType.UInt64, dims)
+          .select(col("t").cast("long").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z, max(id) AS value FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT t, x, y, z, value FROM g
+              |WHERE x >= 8 AND x < 40 AND y >= 32 AND y < 160 AND z >= 2 AND z < 10
+              |  AND t >= 0 AND t < 2 AND value <> 0
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
     // The uint16 path (`imagecube.py:153`, `cube.py:442-451` treat uint16
     // as first-class) through the same store machinery: ids are scaled to
     // [1200, 51200] so every non-zero value EXCEEDS one byte — the
