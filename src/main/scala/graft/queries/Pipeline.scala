@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
+import graft.functions.{Dedup, Multimodal, Similarity, TextOps, TopK}
 
 /** Oracle-checked queries for the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal columns) over the
@@ -210,13 +210,13 @@ object Pipeline {
     // mix needs (same rows on any cluster, any partitioning, any run).
     "q70_stratified_sample" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
-        tbl(s, dir, "documents")
+        // bounded-heap rank, not a lang-partitioned window: a stratum at
+        // corpus scale is millions of docs, and WindowExec would sort
+        // every one of them to keep 5
+        val hashed = tbl(s, dir, "documents")
           .select(col("lang"), col("doc_id"),
             TextOps.portableHash(col("doc_id").cast("string")).as("hv"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .where(col("rk") <= 5)
+        TopK.perKey(hashed, Seq("lang"), Seq(("hv", false), ("doc_id", false)), 5)
           .select(col("lang"), col("rk"), col("doc_id"))
           .orderBy(col("lang"), col("rk"))
       },
