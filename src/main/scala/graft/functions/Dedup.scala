@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -17,15 +16,17 @@ object Dedup {
 
   /** Exact dedup: keep the lowest-id document of each identical-text
     * group. Returns (id, text_hash, n_copies) for the kept rows.
+    *
+    * One hash aggregate, not a text_hash-partitioned window: min/count
+    * combine map-side, so a virally-duplicated document (10^6 copies of
+    * one hash at corpus scale) costs a counter per partition instead of
+    * a single task sorting the whole group.
     */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("text_hash")).orderBy(col(idCol))
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("text_hash"))))
-      .where(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("text_hash"), col("n_copies"))
 
   /** DuckDB equivalent of [[exactDedup]] reading from `tbl`. */
   def exactDedupSql(tbl: String, idCol: String, textCol: String): String =
