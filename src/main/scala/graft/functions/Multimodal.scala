@@ -104,6 +104,39 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction over sampled frames: a byte-value histogram per
+    * frame (`bins` buckets over 0..255), emitted as (doc_id, frame_idx,
+    * bin, n) rows — the batch-imperative extractor stage of a multimodal
+    * pipeline. The histogram is a real, deterministic feature (not a
+    * stub), and the `mapPartitions` shape — one extractor/model handle
+    * per partition, a reused scratch buffer, frames streamed through —
+    * is exactly where an ONNX/JNI embedding model slots in behind the
+    * same signature. Only non-empty bins are emitted, so output size is
+    * bounded by occupied buckets, not `bins`.
+    */
+  def extractFeatures(frames: Dataset[MediaFrame], bins: Int = 16): DataFrame = {
+    require(256 % bins == 0, s"bins $bins must divide 256")
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val width = 256 / bins
+    frames.mapPartitions { it =>
+      // model/extractor init would happen HERE, once per partition; the
+      // scratch histogram is reused across frames (strict per-frame
+      // materialization below, so reuse is safe)
+      val hist = new Array[Long](bins)
+      it.flatMap { f =>
+        java.util.Arrays.fill(hist, 0L)
+        var i = 0
+        while (i < f.frame_bytes.length) {
+          hist((f.frame_bytes(i) & 0xff) / width) += 1
+          i += 1
+        }
+        (0 until bins).withFilter(hist(_) > 0)
+          .map(b => (f.doc_id, f.frame_idx, b, hist(b))).toVector
+      }
+    }.toDF("doc_id", "frame_idx", "bin", "n")
+  }
+
   /** Column-only metadata (no decode): blob length and a format tag by
     * length mod — the part of [[decodeMeta]] that stays in codegen, used
     * by the oracle-checked query.

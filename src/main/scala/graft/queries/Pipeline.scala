@@ -329,6 +329,28 @@ object Pipeline {
       Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
         "vec_id < 10", 5, DIM) + " ORDER BY query_id, rk")),
 
+    // Feature extraction over sampled frames: per-frame byte histogram
+    // (16 bins) via the partition-batched extractor — the multimodal
+    // decode → frames → features chain, oracle-checked end to end (the
+    // corpus is pure ASCII, so DuckDB's char-ord histogram over the same
+    // windows is byte-exact).
+    "q79_frame_features" -> QueryDef(
+      (s, dir) => {
+        val frames = Multimodal.sampleFrames(
+          tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
+          "doc_id", "blob")
+        Multimodal.extractFeatures(frames)
+          .orderBy(col("doc_id"), col("frame_idx"), col("bin"))
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(0, len(text)//64, 4)) AS fi, text FROM documents),
+             |fr AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+             |       substring(text, CAST(fi*64+1 AS BIGINT), 64) AS s FROM f),
+             |b AS (SELECT doc_id, frame_idx,
+             |       unnest(list_transform(range(len(s)), i -> ord(substr(s, CAST(i+1 AS BIGINT), 1)) // 16)) AS bin
+             |       FROM fr)
+             |SELECT doc_id, frame_idx, CAST(bin AS INT) AS bin, count(*) AS n
+             |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "))),
+
     // IVF ANN through the KMeans coarse quantizer, probed at
     // nprobe = nlist: every cell is searched, so the top-k is exactly the
     // brute-force result REGARDLESS of the (library-internal) centroid
