@@ -272,6 +272,36 @@ object Pipeline {
              |SELECT bucket, max(55 - length(ltrim(bin(rest), '0'))) AS max_rho
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " "))),
 
+    // Bloom-filter build as rows (4096 bits / 128 32-bit words, k=3
+    // salted portable hashes): bit_or is distributive, so words combine
+    // map-side and across shards — the mergeable membership sketch a
+    // dedup pipeline ships between corpus partitions. Bit-exact across
+    // engines (every step is integer hashing and bit arithmetic).
+    "q80_bloom_bits" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val m = 4096
+        val hashes = (0 until 3).map(j =>
+          TextOps.portableHash(col("user_id").cast("string"), s"b$j:") % m)
+        tbl(s, dir, "events")
+          .select(col("user_id")).distinct()
+          .select(explode(array(hashes: _*)).as("pos"))
+          .select(expr("CAST(pos div 32 AS INT)").as("widx"),
+            expr("CAST(pos % 32 AS INT)").as("bit"))
+          .groupBy(col("widx"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("word"))
+          .orderBy(col("widx"))
+      },
+      Some {
+        val hs = (0 until 3).map(j =>
+          s"(${TextOps.portableHashSql("CAST(user_id AS VARCHAR)", s"b$j:")}) % 4096")
+        s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+           |p AS (SELECT unnest([${hs.mkString(", ")}]) AS pos FROM u)
+           |SELECT CAST(pos // 32 AS INT) AS widx,
+           |       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+      }),
+
     // Global vocabulary top-k: explode → count → TakeOrdered (no full
     // sort); the heavy-hitters shape of corpus token stats.
     "q74_vocab_topk" -> QueryDef(
