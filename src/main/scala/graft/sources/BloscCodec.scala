@@ -64,6 +64,10 @@ object BloscCodec {
           math.max(typesize, 1)
         else 1
       val neblock = bsize / nsplits
+      // compliant frames always split exactly (blosc forces blocksize to
+      // a typesize multiple); fail loudly rather than drop a remainder
+      require(neblock * nsplits == bsize,
+        s"blosc block $j: $bsize bytes not coverable by $nsplits streams")
       var ip = bstart
       var op = 0
       var s = 0
@@ -151,11 +155,13 @@ object BloscCodec {
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize out of byte range")
     val nbytes = data.length
     val doShuffle = shuffle && typesize > 1
-    // block size: 16 KiB rounded down to a typesize multiple (any
-    // blocksize is self-describing via the header)
+    // block size: ≤16 KiB, rounded DOWN to a typesize multiple — like
+    // c-blosc, so split streams (bsize/nsplits) always cover the block
+    // exactly; a trailing non-multiple remainder becomes a leftover
+    // block, which is never split
     val blocksize =
       if (nbytes == 0) 1
-      else math.max(typesize, math.min(nbytes, 16384 / typesize * typesize))
+      else math.max(typesize, math.min(nbytes, 16384) / typesize * typesize)
     val nblocks = if (nbytes == 0) 0 else (nbytes + blocksize - 1) / blocksize
     val outBuf = ByteBuffer.allocate(16 + 4 * nblocks + nbytes + 4 * nblocks * math.max(typesize, 1) + 64)
       .order(ByteOrder.LITTLE_ENDIAN)

@@ -77,6 +77,21 @@ class BloscSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized round-trips: sizes x typesizes x entropy profiles") {
+    val rnd = new scala.util.Random(42)
+    for (ts <- Seq(1, 2, 4, 8, 16, 64, 255); trial <- 0 until 6) {
+      val n = rnd.nextInt(70000)
+      val data = new Array[Byte](n)
+      trial % 3 match {
+        case 0 => rnd.nextBytes(data) // incompressible
+        case 1 => (0 until n).foreach(i => data(i) = (i % 7).toByte) // repetitive
+        case 2 => (0 until n / 50).foreach(_ => data(rnd.nextInt(math.max(n, 1))) = 1) // sparse
+      }
+      val back = BloscCodec.decompress(BloscCodec.compress(data, ts))
+      assert(back.toSeq == data.toSeq, s"typesize=$ts trial=$trial n=$n")
+    }
+  }
+
   test("shuffle/unshuffle are exact inverses incl. ragged tail") {
     val rnd = new scala.util.Random(9)
     val data = Array.fill[Byte](1001)(rnd.nextInt(256).toByte)
