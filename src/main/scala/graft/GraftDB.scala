@@ -98,6 +98,18 @@ final class GraftDB(
       cutout(corner, extent, res, tRange), box(corner, extent), tRange)
   }
 
+  /** `SpatialDB.resource_locked` (`spatialdb.py:741-746`,
+    * `state.py:157-185`): the channel-level circuit breaker an operator
+    * throws after excessive write errors. Writes refuse while it is set
+    * (every commit checks it — [[writeCuboid]] and [[buildHierarchy]]
+    * both fail with "write-locked"); reads never block.
+    */
+  def resourceLocked: Boolean = VersionedStore.isLocked(storeRoot)
+
+  /** Set/clear the write lock (`RedisKVIO.set_cache_lock` analog). */
+  def setResourceLock(locked: Boolean): Unit =
+    VersionedStore.setLock(storeRoot, locked)
+
   /** Id egress helper: the reference stringifies uint64 ids in JSON
     * results to survive HTTP/JS (`object.py:828-831`).
     */

@@ -45,6 +45,20 @@ class GraftDBSpec extends AnyFunSuite {
       .subsetOf(someIds.toSet))
   }
 
+  test("resource lock refuses writes until cleared (spatialdb.py:741-746)") {
+    import spark.implicits._
+    val db = newDb()
+    val v = Seq((0L, 0L, 0L, 0L, 3L)).toDF("t", "x", "y", "z", "value")
+    assert(!db.resourceLocked)
+    db.setResourceLock(true)
+    assert(db.resourceLocked)
+    val e = intercept[IllegalStateException](db.writeCuboid(v))
+    assert(e.getMessage.contains("write-locked"))
+    db.setResourceLock(false)
+    db.writeCuboid(v)
+    assert(db.cutout((0, 0, 0), (1, 1, 1)).select("value").as[Long].head() == 3L)
+  }
+
   test("write resolution guard: only base resolution and base+1 accepted") {
     import spark.implicits._
     val db = newDb()
