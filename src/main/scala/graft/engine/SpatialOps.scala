@@ -486,7 +486,7 @@ object SpatialOps {
     * `element_at`.
     */
   def recolor(voxels: DataFrame, palette: Array[Long]): DataFrame = {
-    val pal = array(palette.map(lit(_)): _*)
+    val pal = array(palette.toIndexedSeq.map(lit(_)): _*)
     voxels.withColumn("rgb",
       when(col("value") =!= 0, element_at(pal, (col("value") % palette.length).cast("int") + 1))
         .otherwise(0L))

@@ -83,7 +83,7 @@ object EventLog {
     // failure mode a quarantine split exists to prevent.
     (parsed.where(valid).drop("_corrupt"),
       parsed.where(!valid)
-        .select(coalesce(col("_corrupt"), to_json(struct(parsed.columns.filter(_ != "_corrupt")
+        .select(coalesce(col("_corrupt"), to_json(struct(parsed.columns.filter(_ != "_corrupt").toIndexedSeq
           .map(col): _*))).as("_corrupt")))
   }
 }
