@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.core.{MortonDecode, MortonEncode}
-import graft.functions.DotProductQ
+import graft.functions.{DotProductQ, SortedDistinctCount, SortedIntersectCount, SqDistQ}
 
 /** SQL surface for the custom Catalyst expressions: registers
   * `morton_encode(x,y,z)` and `morton_x/y/z(m)` so `spark.sql(...)`
@@ -46,6 +46,24 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_q(a, b)")
         DotProductQ(args(0), args(1))
+      }),
+    (FunctionIdentifier("sqdist_q"),
+      new ExpressionInfo(classOf[SqDistQ].getName, "sqdist_q"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sqdist_q(a, b)")
+        SqDistQ(args(0), args(1))
+      }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(a, b)")
+        SortedIntersectCount(args(0), args(1))
+      }),
+    (FunctionIdentifier("sorted_distinct_count"),
+      new ExpressionInfo(classOf[SortedDistinctCount].getName, "sorted_distinct_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "sorted_distinct_count(a)")
+        SortedDistinctCount(args.head)
       }))
 
   /** Register the functions on an existing session. */

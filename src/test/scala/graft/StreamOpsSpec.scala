@@ -96,6 +96,15 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(0) == graft.core.Morton.encode(3, 5, 7))
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 5L, 7L)))
+    // similarity/set primitives ride the same registry
+    val s2 = spark.sql(
+      "SELECT dot_q(array(1L,2L,3L), array(4L,5L,6L)) AS d," +
+        " sqdist_q(array(1L,2L), array(4L,6L)) AS sq," +
+        " sorted_intersect_count(array(1L,2L,2L,5L), array(2L,5L,9L)) AS ic," +
+        " sorted_distinct_count(array(1L,1L,2L,7L,7L)) AS dc")
+      .collect().head
+    assert(s2.getLong(0) == 32L && s2.getLong(1) == 25L)
+    assert(s2.getLong(2) == 2L && s2.getLong(3) == 3L)
     // extension class injects the same builders
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders validated above
