@@ -150,9 +150,11 @@ final class GraftDB(
     else GraftDB.NotDownsampled
   }
 
-  private def setDownsampleStatus(s: String): Unit =
+  private def setDownsampleStatus(s: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeRoot))
     java.nio.file.Files.write(java.nio.file.Paths.get(storeRoot, "_DOWNSAMPLE_STATUS"),
       s.getBytes("UTF-8"))
+  }
 
   /** The hierarchy job: build and commit all levels of the current
     * snapshot's base-resolution data (A5/A6 per level). Walks the
@@ -163,21 +165,34 @@ final class GraftDB(
   def buildHierarchy(numLevels: Int = 0): Int = {
     import spark.implicits._
     setDownsampleStatus(GraftDB.InProgress)
-    val levels = if (numLevels > 0) numLevels else resource.experiment.numHierarchyLevels
-    val base = CuboidCodec.toVoxels(
-      VersionedStore.read(spark, storeRoot)
-        .where(col("res") === 0).as[graft.storage.CuboidRow],
-      vt, dims).toDF()
-    val pyramid = SpatialOps.buildPyramid(
-      base, levels,
-      annotation = resource.channel.channelType == ChannelType.Annotation,
-      isoLevel = resource.isotropicLevel)
-    val allLevels = pyramid.map { case (_, v) =>
-      CuboidCodec.fromVoxels(v.as[VoxelRow], vt, dims)
-    }.reduce(_ union _)
+    // EVERYTHING after the IN_PROGRESS write is inside the try: a plan
+    // construction failure must not leave the status stuck at
+    // IN_PROGRESS (nothing else ever resets it)
     try {
+      // base version the pyramid derives from — rechecked after the
+      // commit to catch a concurrent base write racing this build
+      val baseV = VersionedStore.currentVersion(storeRoot)
+      val levels = if (numLevels > 0) numLevels else resource.experiment.numHierarchyLevels
+      val base = CuboidCodec.toVoxels(
+        VersionedStore.read(spark, storeRoot)
+          .where(col("res") === 0).as[graft.storage.CuboidRow],
+        vt, dims).toDF()
+      val pyramid = SpatialOps.buildPyramid(
+        base, levels,
+        annotation = resource.channel.channelType == ChannelType.Annotation,
+        isoLevel = resource.isotropicLevel)
+      val allLevels = pyramid.map { case (_, v) =>
+        CuboidCodec.fromVoxels(v.as[VoxelRow], vt, dims)
+      }.reduce(_ union _)
+      val preCommit = VersionedStore.currentVersion(storeRoot)
       val v = VersionedStore.commit(allLevels, storeRoot)
-      setDownsampleStatus(GraftDB.Downsampled)
+      // if another session advanced the base while we built, the pyramid
+      // we just committed is already stale — advertise that, don't lie.
+      // (A commit landing in the tiny window between the re-check and
+      // our commit still slips through; single downsample worker per
+      // channel is the deployment contract, as in the reference.)
+      setDownsampleStatus(
+        if (preCommit == baseV) GraftDB.Downsampled else GraftDB.NotDownsampled)
       v
     } catch {
       case e: Throwable => setDownsampleStatus(GraftDB.NotDownsampled); throw e

@@ -56,19 +56,16 @@ object Dedup {
     // duplicate-insensitive; verification dedups in its merge loop). The
     // only shuffles left in the operator are the band self-join and the
     // candidate-bounded verification joins.
-    val grams = (0 until k).map(j => s"tk[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
-    val sharrExpr = expr(s"transform(sequence(0, size(tk)-$k), i -> $grams)")
     // md5 hashing of every shingle is the CPU-dense stage — fan a
     // low-split source out across the session's cores first (no-op at
     // production split counts)
     val base = Par.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= k)
-      .select(col(idCol), sharrExpr.as("sharr"))
-    // one portable (md5-based) hash per shingle, shared by all numHashes
-    // affine rehashes — same family as TextOps.minhashSignatures
-    val hb = transform(col("sharr"), s =>
-      conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long") % TextOps.MinhashP)
+      .select(col(idCol), TextOps.shingleArr(k).as("sharr"))
+    // one portable hash per shingle, shared by all numHashes affine
+    // rehashes — same family as TextOps.minhashSignatures
+    val hb = transform(col("sharr"), s => TextOps.portableHash(s) % TextOps.MinhashP)
     val sigCols = (0 until numHashes).map { i =>
       val (a, b) = TextOps.minhashConsts(i)
       array_min(transform(col("hb"), x => (lit(a) * x + lit(b)) % TextOps.MinhashP)).as(s"h$i")
@@ -96,8 +93,8 @@ object Dedup {
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
     val sub = base.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), array_sort(transform(col("sharr"), s =>
-        conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))).as("sha"))
+      .select(col(idCol),
+        array_sort(transform(col("sharr"), s => TextOps.portableHash(s))).as("sha"))
       .select(col(idCol), col("sha"), SortedSetOps.distinctCount(col("sha")).as("n_sh"))
     cand
       .join(sub.select(col(idCol).as("doc_a"), col("sha").as("sa"), col("n_sh").as("na")), "doc_a")
@@ -183,6 +180,13 @@ object Dedup {
       n: Int = 12,
       maxDf: Int = 16,
       minShared: Int = 8): DataFrame = {
+    // the bounded-set aggregate carries ids as longs; a string id would
+    // cast to NULL (non-ANSI) and silently produce zero pairs — refuse
+    // loudly instead (hash non-numeric ids to longs upstream if needed)
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(idCol).dataType)
+    }, s"ngramJaccardPairs requires an integral id column; $idCol is ${df.schema(idCol).dataType}")
     val garrSorted = expr(
       s"array_sort(transform(sequence(0, length($textCol)-$n), " +
         s"i -> xxhash64(substring($textCol, i+1, $n))))")

@@ -18,10 +18,26 @@ object Par {
 
   /** `df`, repartitioned to the session default parallelism iff its
     * current plan would execute with fewer partitions.
+    *
+    * Only scan-shaped plans are probed: if the plan already contains a
+    * shuffle-introducing operator (aggregate, join, distinct, sort,
+    * repartition, window), its exchange output is already
+    * `spark.sql.shuffle.partitions` wide, so fan-out would be a no-op —
+    * and probing `.rdd` there would be actively harmful, because under
+    * AQE it materializes every upstream shuffle stage (real jobs whose
+    * results the actual action cannot reuse). For exchange-free plans,
+    * `.rdd` only plans the lineage; no job runs.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions plans the RDD lineage but runs no job
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val hasExchange = df.queryExecution.analyzed.collectFirst {
+      case _: Aggregate | _: Join | _: Distinct | _: Deduplicate | _: Sort |
+          _: RepartitionOperation | _: Window => ()
+    }.isDefined
+    if (hasExchange) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 }

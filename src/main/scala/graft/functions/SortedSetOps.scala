@@ -35,7 +35,10 @@ object SortedSetOps {
 
   /** Distinct values of `child` per group as an ascending-sorted
     * `array<long>`, or NULL when the group has < 2 or > `maxItems`
-    * distinct values. The buffer is HARD-BOUNDED at `maxItems`+ a
+    * distinct values. The input is cast to long — callers MUST pass an
+    * integral column (a non-numeric id would cast to NULL under
+    * non-ANSI semantics and silently empty every set; operators built
+    * on this guard their id column's type eagerly). The buffer is HARD-BOUNDED at `maxItems`+ a
     * saturation flag, which is the property that makes a df-capped
     * inverted index skew-safe at 100 TB: a stop-gram seen 10^9 times
     * costs a 17-entry buffer that saturates map-side, never a collected

@@ -8,7 +8,11 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Fused int64 squared L2 distance of two long-array columns:
-  * `Σ (a(i)-b(i))²` over `min(|a|,|b|)` elements. The IVF trainer and
+  * `Σ (a(i)-b(i))²` over `min(|a|,|b|)` elements — the same
+  * truncate-to-shorter contract as [[DotProductQ]] (callers compare
+  * equal-dimension vectors; a malformed shorter vector truncates rather
+  * than erroring, so validate dimensions upstream if inputs are
+  * untrusted). The IVF trainer and
   * probe evaluate this once per (row, centroid) — as
   * `aggregate(zip_with(...))` that is an allocated intermediate array and
   * a wall of generated code per centroid; the fused loop keeps the

@@ -31,6 +31,17 @@ object TextOps {
   /** Whitespace tokens (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Per-row shingle ARRAY over a `tk` token-array column: the k-gram
+    * strings in document order (duplicates kept). The one place the
+    * cross-engine shingle construction lives for the array-HOF operators
+    * (near-dup verification, winnowing); [[shingles]] is the exploded-row
+    * form of the same contract.
+    */
+  def shingleArr(k: Int): Column = {
+    val grams = (0 until k).map(j => s"tk[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    expr(s"transform(sequence(0, size(tk)-$k), i -> $grams)")
+  }
+
   /** Word k-gram shingles with positions: one row per (id, pos, shingle).
     * Documents shorter than k words yield no rows.
     */
@@ -160,11 +171,10 @@ object TextOps {
     */
   def winnowFromText(
       df: DataFrame, idCol: String, textCol: String, k: Int = 3, w: Int = 4): DataFrame = {
-    val grams = (0 until k).map(j => s"tk[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
     Par.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= k + w - 1) // at least one full window
-      .select(col(idCol), expr(s"transform(sequence(0, size(tk)-$k), i -> $grams)").as("sharr"))
+      .select(col(idCol), shingleArr(k).as("sharr"))
       .select(col(idCol), transform(col("sharr"), s => portableHash(s)).as("hv"))
       .select(col(idCol), explode(expr(
         s"array_distinct(transform(sequence(1, size(hv)-${w - 1}), i -> array_min(slice(hv, i, $w))))")).as("fp"))

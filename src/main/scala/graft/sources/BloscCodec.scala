@@ -45,6 +45,10 @@ object BloscCodec {
     require(cbytes == frame.length,
       s"blosc frame length ${frame.length} != header cbytes $cbytes")
     require((flags >>> 5) == 0, s"unsupported compressor code ${flags >>> 5} (blosclz only)")
+    // fail loudly on filters we do not implement — decoding a BITSHUFFLE
+    // (0x4) or DELTA (0x8) frame as plain bytes would return garbage of
+    // the CORRECT length, sailing straight past callers' size checks
+    require((flags & 0xc) == 0, s"unsupported blosc filter flags 0x${flags.toHexString}")
     val out = new Array[Byte](nbytes)
     if (nbytes == 0) return out
     if ((flags & 0x2) != 0) { // memcpy frame: raw original buffer
