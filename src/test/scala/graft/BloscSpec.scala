@@ -49,6 +49,17 @@ class BloscSpec extends AnyFunSuite {
     assert(n2 == 14 && out2.toSeq.forall(_ == 7.toByte))
   }
 
+  test("unsupported filter flags are rejected, not decoded as garbage") {
+    val payload = Array.fill[Byte](32)(1)
+    def frame(flags: Int) = le(ByteBuffer.allocate(16 + payload.length))
+      .put(2.toByte).put(1.toByte).put(flags.toByte).put(8.toByte)
+      .putInt(payload.length).putInt(16384).putInt(16 + payload.length)
+      .put(payload).array()
+    intercept[IllegalArgumentException](BloscCodec.decompress(frame(0x4))) // bitshuffle
+    intercept[IllegalArgumentException](BloscCodec.decompress(frame(0x8))) // delta
+    intercept[IllegalArgumentException](BloscCodec.decompress(frame(0x2 | (1 << 5)))) // lz4 code
+  }
+
   test("compress/decompress round-trips across dtypes, sizes and entropy") {
     val rnd = new scala.util.Random(5)
     val cases = Seq(

@@ -78,6 +78,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("ngramJaccardPairs refuses non-integral id columns") {
+    val d = docs((1L, "x")).select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairs(d, "doc_id", "text"))
+    assert(e.getMessage.contains("integral id column"))
+  }
+
+  test("Par.fanOut: repartitions low-split scans, leaves exchange-bearing plans alone") {
+    import graft.functions.Par
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def hasRepartition(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+      }.isDefined
+    // single-row-group file < session parallelism -> fan out
+    assert(hasRepartition(Par.fanOut(d)))
+    // an aggregate already owns a shuffle.partitions-wide exchange -> no
+    // probe, no extra repartition
+    val agged = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    assert(!hasRepartition(Par.fanOut(agged)))
+    assert(Par.fanOut(agged) eq agged)
+  }
+
   test("winnowFromText equals the window-based winnowFingerprints on real docs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
