@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small graph algebra for dedup pipelines: near-dup detection emits
+  * PAIRS, but the keep-one-representative decision needs the transitive
+  * closure — two docs are duplicates of each other through a chain even
+  * if no band/gram ever put them in the same bucket.
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation: every
+    * vertex of the `(aCol, bCol)` edge list gets `component` = the
+    * minimum vertex id reachable from it. The loop is a driver-side
+    * fixpoint over DataFrames — each pass is one join + one min
+    * aggregate (both on the vertex key), and the driver sees only the
+    * changed-row COUNT, never data. Passes needed = graph diameter;
+    * near-dup clusters are dense (diameter ≤ ~2), so the loop converges
+    * in 2-3 passes on real corpora — for adversarially long chains cap
+    * `maxIter` and the final labels are still a valid refinement
+    * (documented below). At 100 TB each pass shuffles O(E) compact
+    * (id, label) pairs; nothing vertex- or edge-shaped ever reaches the
+    * driver.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager), NOT persist: each pass derives from the
+    // previous labels, so without lineage truncation the logical plan
+    // doubles per iteration — planning itself becomes the bottleneck
+    // (and eventually OOMs building plan strings). Truncating per pass
+    // is the standard shape for iterative DataFrame algorithms; swap in
+    // reliable checkpoint() against a checkpoint dir when executor loss
+    // must be recoverable mid-algorithm.
+    var labels = edges.select(col("u").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor minimum: for each vertex, the smallest label among its
+      // neighbors and itself
+      val next = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("component")).as("nbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("component"), col("nbr")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** DuckDB twin of [[connectedComponents]] over a CTE named `pairs`
+    * with columns (aCol, bCol): recursive transitive closure, then
+    * component = min reachable vertex. Exact for any graph the closure
+    * fits; the Spark side scales where this cannot.
+    */
+  def connectedComponentsSql(aCol: String, bCol: String): String =
+    s"""e AS (SELECT $aCol AS u, $bCol AS v FROM pairs
+       |      UNION SELECT $bCol, $aCol FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v)
+       |SELECT u AS id, least(u, min(v)) AS component
+       |FROM reach GROUP BY u""".stripMargin.replace("\n", " ")
+}

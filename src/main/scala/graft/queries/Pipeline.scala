@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextOps, TopK}
+import graft.functions.{Dedup, Graph, Multimodal, Similarity, TextOps, TopK}
 
 /** Oracle-checked queries for the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal columns) over the
@@ -271,6 +271,24 @@ object Pipeline {
              |b AS (SELECT hv % 64 AS bucket, hv // 64 AS rest FROM h)
              |SELECT bucket, max(55 - length(ltrim(bin(rest), '0'))) AS max_rho
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " "))),
+
+    // Duplicate-cluster resolution: connected components over the
+    // verified near-dup pair graph (min-label propagation; the oracle
+    // computes the same closure with a recursive CTE) — the step that
+    // turns pairwise near-dups into keep-one-per-cluster decisions, and
+    // catches chains no single LSH bucket ever joined.
+    "q81_dup_clusters" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text")
+          .where(col("is_dup"))
+        Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT doc_a, doc_b FROM (${Dedup.nearDupPairsSql("documents", "doc_id", "text")}) p
+              |  WHERE is_dup),
+              |${Graph.connectedComponentsSql("doc_a", "doc_b")}
+              |ORDER BY id""".stripMargin.replace("\n", " "))),
 
     // Bloom-filter build as rows (4096 bits / 128 32-bit words, k=3
     // salted portable hashes): bit_or is distributive, so words combine

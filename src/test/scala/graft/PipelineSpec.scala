@@ -78,6 +78,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    import spark.implicits._
+    import graft.functions.Graph
+    val rnd = new scala.util.Random(21)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = vertices.groupBy(find).values
+        .flatMap(vs => vs.map(_ -> vs.min)).toMap
+      val got = Graph.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("ngramJaccardPairs refuses non-integral id columns") {
     val d = docs((1L, "x")).select(col("doc_id").cast("string").as("doc_id"), col("text"))
     val e = intercept[IllegalArgumentException](
