@@ -28,10 +28,10 @@ object Graph {
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions; min-aggregation semantics
+    // make duplicate edges harmless, so no distinct() exchange
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (eager), NOT persist: each pass derives from the
     // previous labels, so without lineage truncation the logical plan
@@ -40,25 +40,43 @@ object Graph {
     // is the standard shape for iterative DataFrame algorithms; swap in
     // reliable checkpoint() against a checkpoint dir when executor loss
     // must be recoverable mid-algorithm.
-    var labels = edges.select(col("u").as("id"))
-      .distinct()
-      .select(col("id"), col("id").as("component"))
+    //
+    // Smart init: distance-1 minima come straight off the edge list (one
+    // aggregate, no join) — the first propagation pass for free.
+    var labels = edges
+      .groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("component"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // neighbor minimum: for each vertex, the smallest label among its
-      // neighbors and itself
-      val next = edges
+      // neighbors and itself. The previous label rides along so the
+      // convergence check is a scan of the checkpointed result, not
+      // another join job.
+      val prop = edges
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("component")).as("nbr"))
         .join(labels, "id")
-        .select(col("id"), least(col("component"), col("nbr")).as("component"))
+        .select(col("id"), least(col("component"), col("nbr")).as("component"),
+          col("component").as("old"))
+      // pointer jump (path doubling): follow the fresh label one hop
+      // through itself, so label distance-to-minimum halves per pass and
+      // the loop converges in O(log diameter) passes instead of
+      // O(diameter) — chain-shaped near-dup graphs (cosine neighbors)
+      // otherwise force a pass per link. Labels only decrease
+      // (component(x) ≤ x invariant), so least() keeps correctness.
+      val next = prop
+        .join(prop.select(col("id").as("component"), col("component").as("cc")),
+          Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("cc"), col("component"))).as("component"),
+          col("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).count()
-      labels = next
+      val changed = next.where(col("component") =!= col("old")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }

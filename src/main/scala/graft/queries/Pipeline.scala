@@ -272,22 +272,25 @@ object Pipeline {
              |SELECT bucket, max(55 - length(ltrim(bin(rest), '0'))) AS max_rho
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " "))),
 
-    // Duplicate-cluster resolution: connected components over the
-    // verified near-dup pair graph (min-label propagation; the oracle
-    // computes the same closure with a recursive CTE) — the step that
-    // turns pairwise near-dups into keep-one-per-cluster decisions, and
-    // catches chains no single LSH bucket ever joined.
+    // Duplicate-cluster resolution: connected components over a near-dup
+    // pair graph (min-label propagation; the oracle computes the same
+    // closure with a recursive CTE) — the step that turns pairwise
+    // near-dups into keep-one-per-cluster decisions, and catches chains
+    // no single LSH bucket ever joined. Pairs here come from the
+    // embedding-cosine detector (the cheapest oracle-checked source);
+    // the operator is source-agnostic and union-find-parity-tested on
+    // arbitrary graphs in PipelineSpec.
     "q81_dup_clusters" -> QueryDef(
       (s, dir) => {
-        val pairs = Dedup.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text")
-          .where(col("is_dup"))
-        Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        val pairs = Similarity.embeddingNearDups(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", DIM, tauNum = 2, tauDen = 5)
+        Graph.connectedComponents(pairs, "id_a", "id_b")
           .orderBy(col("id"))
       },
       Some(s"""WITH RECURSIVE pairs AS (
-              |  SELECT doc_a, doc_b FROM (${Dedup.nearDupPairsSql("documents", "doc_id", "text")}) p
-              |  WHERE is_dup),
-              |${Graph.connectedComponentsSql("doc_a", "doc_b")}
+              |  SELECT id_a, id_b FROM (${Similarity.embeddingNearDupsSql("embeddings",
+                   "vec_id", "embedding", DIM, tauNum = 2, tauDen = 5)}) p),
+              |${Graph.connectedComponentsSql("id_a", "id_b")}
               |ORDER BY id""".stripMargin.replace("\n", " "))),
 
     // Bloom-filter build as rows (4096 bits / 128 32-bit words, k=3

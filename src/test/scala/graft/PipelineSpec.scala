@@ -101,6 +101,12 @@ class PipelineSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toMap
       assert(got === want, s"trial $trial")
     }
+    // a 30-link chain: worst case for plain propagation, exercises the
+    // pointer-jumping convergence (must finish within default maxIter)
+    val chain = (0L until 30L).map(i => (i + 1, i)).toDF("a", "b")
+    val gotChain = Graph.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(gotChain.size == 31 && gotChain.values.forall(_ == 0L))
   }
 
   test("ngramJaccardPairs refuses non-integral id columns") {
