@@ -43,6 +43,10 @@ class GraftDBSpec extends AnyFunSuite {
     val filtered = db.cutout((2, 3, 1), (10, 11, 6), filterIds = Some(someIds))
     assert(filtered.where($"value" =!= 0).select("value").as[Long].collect().toSet
       .subsetOf(someIds.toSet))
+    // ids absent from the region filter to an empty result, not an error
+    // (int_test_spatialdb.py:709 test_filtered_cutout_bad_id_list)
+    val bad = db.cutout((2, 3, 1), (10, 11, 6), filterIds = Some(Seq(999999L, 888888L)))
+    assert(bad.where($"value" =!= 0).count() == 0)
   }
 
   test("resource lock refuses writes until cleared (spatialdb.py:741-746)") {
