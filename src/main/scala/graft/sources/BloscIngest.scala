@@ -46,4 +46,20 @@ object BloscIngest {
         CuboidRow(lk, res, t, m, data)
       }
   }
+
+  /** Inverse of [[cuboidsFromBlosc]]: pack cuboids into the exact frames
+    * the reference's `Cube.from_blosc` reads back (typesize =
+    * itemsize*8, per `cube.py:140`) — the reverse-migration / hybrid-
+    * deployment egress. Same executor-side one-in-one-out shape.
+    */
+  def blobsFromCuboids(
+      cuboids: Dataset[CuboidRow],
+      vt: VoxelType): DataFrame = {
+    val spark = cuboids.sparkSession
+    import spark.implicits._
+    cuboids
+      .map(c => (c.lookupKey, c.res, c.t, c.morton,
+        BloscCodec.compress(c.data, typesize = vt.byteWidth * 8)))
+      .toDF("lookupKey", "res", "t", "morton", "blob")
+  }
 }

@@ -113,6 +113,23 @@ class BloscSpec extends AnyFunSuite {
     assert(back.toSeq == data.toSeq)
   }
 
+  test("bidirectional migration: cuboids -> blosc egress -> bulk-load round-trips") {
+    import spark.implicits._
+    import graft.storage.CuboidRow
+    val dims = Region.CuboidDims(8, 8, 4)
+    val vt = VoxelType.UInt64
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 4).map { i =>
+      val data = new Array[Byte](8 * 8 * 4 * 8)
+      rnd.nextBytes(data)
+      CuboidRow("chan", 0, 0, i.toLong, data)
+    }
+    val blobs = BloscIngest.blobsFromCuboids(spark.createDataset(rows), vt)
+    val back = BloscIngest.cuboidsFromBlosc(blobs, vt, dims).collect()
+      .map(c => c.morton -> c.data.toSeq).toMap
+    rows.foreach(r => assert(back(r.morton) == r.data.toSeq))
+  }
+
   test("bulk-load: blosc blobs -> CuboidRows -> voxels matches the source volume") {
     import spark.implicits._
     import graft.storage.{CuboidCodec, VoxelRow}
