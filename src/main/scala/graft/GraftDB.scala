@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{ChannelType, Region, Resource, VoxelType}
 import graft.engine.{CuboidMerge, IdReservation, MergeMode, SpatialOps}
-import graft.storage.{CuboidCodec, VersionedStore, VoxelRow}
+import graft.storage.{CuboidCodec, CuboidStore, IndexStore, VersionedStore, VoxelRow}
 
 /** The engine façade — a 1:1 migration target for the reference's
   * `SpatialDB` entry points (`spdb/spatialdb/spatialdb.py`): cutout,
@@ -29,6 +29,27 @@ final class GraftDB(
 
   private def vt: VoxelType = resource.channel.datatype
   private def lk: String = resource.lookupKey
+  private def indexPath: String = IndexStore.path(storeRoot)
+
+  /** Index maintenance follows the reference: only annotation channels
+    * carry id indexes (`object_indices.py` writes happen on the
+    * annotation ingest path; image channels have no ids to index).
+    */
+  private def maintainsIndex: Boolean = resource.channel.isAnnotation
+
+  /** Re-derive and commit the index rows of the cuboids in a just-
+    * committed version directory (delta: exactly the touched cuboids;
+    * full snapshot: everything) — O(committed cuboids) IO, mirroring the
+    * reference's per-write DynamoDB index updates
+    * (`object_indices.py:730-817`).
+    */
+  private def commitIndexFor(version: Int, full: Boolean): Unit = {
+    val rows = IndexStore.fromCuboids(
+      CuboidStore.read(spark, s"$storeRoot/v$version"), vt)
+    if (full) IndexStore.commitFull(rows, indexPath)
+    else IndexStore.commitDelta(rows, indexPath)
+    ()
+  }
 
   private def box(corner: (Long, Long, Long), extent: (Long, Long, Long)): Box =
     Box(corner._1, corner._1 + extent._1,
@@ -80,6 +101,9 @@ final class GraftDB(
       val mode = if (toBlack) MergeMode.Shave else MergeMode.Overwrite
       val v = VersionedStore.commitDelta(
         CuboidMerge.mergeAll(existingTouched, incoming, vt, mode), storeRoot)
+      // keep the persistent id index current (reads back the committed
+      // delta directory, so the merge plan is not recomputed)
+      if (maintainsIndex) commitIndexFor(v, full = false)
       // a committed base write makes any built hierarchy stale
       if (downsampleStatus == GraftDB.Downsampled)
         setDownsampleStatus(GraftDB.NotDownsampled)
@@ -87,15 +111,24 @@ final class GraftDB(
     } finally { incoming.unpersist(); () }
   }
 
-  /** `SpatialDB.get_ids_in_region` (`spatialdb.py:924`). */
+  /** `SpatialDB.get_ids_in_region` (`spatialdb.py:924`), index-first like
+    * the reference (`object.py:778-831`): interior cuboids answer from
+    * the persistent index with no voxel IO; only boundary slabs decode.
+    * Falls back to the direct cutout when no index exists (stores written
+    * before index maintenance).
+    */
   def getIdsInRegion(
       corner: (Long, Long, Long),
       extent: (Long, Long, Long),
       res: Int = 0,
       tRange: Range = 0 until 1): DataFrame = {
     require(resource.channel.channelType == ChannelType.Annotation)
-    SpatialOps.idsInRegion(
-      cutout(corner, extent, res, tRange), box(corner, extent), tRange)
+    val b = box(corner, extent)
+    if (IndexStore.exists(indexPath))
+      SpatialOps.idsInRegionFromStore(
+        VersionedStore.read(spark, storeRoot), flatIndex(res), lk, res, b, tRange, vt, dims)
+    else
+      SpatialOps.idsInRegion(cutout(corner, extent, res, tRange), b, tRange)
   }
 
   /** `SpatialDB.resource_locked` (`spatialdb.py:741-746`,
@@ -116,19 +149,53 @@ final class GraftDB(
   def stringifyIds(ids: DataFrame): DataFrame =
     ids.select(col("id").cast("string").as("id"))
 
-  /** `SpatialDB.get_bounding_box` (`spatialdb.py:869`): tight = exact
-    * voxel extents; loose = cuboid-granular from an on-the-fly id index.
+  /** The channel's flat id index at `res`: the materialized
+    * [[IndexStore]] when one exists, else derived on the fly from a full
+    * decode — the pre-index behavior, kept only as the legacy fallback
+    * (annotation writes maintain the index, so a store written through
+    * this façade always has one).
+    */
+  private def flatIndex(res: Int): DataFrame = {
+    val base =
+      if (IndexStore.exists(indexPath)) IndexStore.read(spark, indexPath)
+      else {
+        val (ex, ey, ez) = resource.extentAt(res)
+        val nt = math.max(1, resource.experiment.numTimeSamples)
+        SpatialOps.buildFlatIndex(
+          SpatialOps.cutoutFromCuboids(
+            VersionedStore.read(spark, storeRoot), lk, res,
+            Box(0, ex, 0, ey, 0, ez), 0 until nt, vt, dims), dims)
+      }
+    base.where(col("lookupKey") === lk && col("res") === res)
+  }
+
+  /** `SpatialDB.get_bounding_box` (`spatialdb.py:869`), loose-BEFORE-tight
+    * like the reference (`object_indices.py:434-470`): the loose box
+    * comes from the persistent id index (no voxel IO), and the tight box
+    * decodes ONLY the loose box's cuboids and the id's time span — never
+    * the whole channel. The O(1)-row loose collect is the same
+    * index-lookup-then-bounded-cutout plan the reference runs; at 100 TB
+    * the tight path's IO is the id's own footprint, not the store's.
     */
   def getBoundingBox(id: Long, res: Int = 0, tight: Boolean = true): DataFrame = {
-    // bound the scan by the channel's coordinate frame (the reference
-    // derives the same bound from the resource, `object_indices.py:373`)
-    val (ex, ey, ez) = resource.extentAt(res)
-    val nt = math.max(1, resource.experiment.numTimeSamples)
-    val vox = SpatialOps.cutoutFromCuboids(
-      VersionedStore.read(spark, storeRoot), lk, res,
-      Box(0, ex, 0, ey, 0, ez), 0 until nt, vt, dims)
-    if (tight) SpatialOps.boundingBoxTight(vox, id)
-    else SpatialOps.boundingBoxLoose(SpatialOps.buildIdIndex(vox, dims), id, dims)
+    val loose = SpatialOps.boundingBoxLooseFlat(flatIndex(res), id, dims)
+    if (!tight) loose.drop("t_min", "t_max")
+    else loose.collect().headOption match {
+      case None =>
+        // absent id: empty result with the tight schema
+        import spark.implicits._
+        SpatialOps.boundingBoxTight(spark.emptyDataset[VoxelRow].toDF(), id)
+      case Some(r) =>
+        val looseBox = Box(
+          r.getAs[Long]("x_min"), r.getAs[Long]("x_max"),
+          r.getAs[Long]("y_min"), r.getAs[Long]("y_max"),
+          r.getAs[Long]("z_min"), r.getAs[Long]("z_max"))
+        // `until`, not `to`: cutout treats Range.end as exclusive
+        val tr = r.getAs[Int]("t_min") until (r.getAs[Int]("t_max") + 1)
+        SpatialOps.boundingBoxTight(
+          SpatialOps.cutoutFromCuboids(
+            VersionedStore.read(spark, storeRoot), lk, res, looseBox, tr, vt, dims), id)
+    }
   }
 
   /** `AWSObjectStore.reserve_ids` (`object_indices.py:667-728`). */
@@ -186,6 +253,9 @@ final class GraftDB(
       }.reduce(_ union _)
       val preCommit = VersionedStore.currentVersion(storeRoot)
       val v = VersionedStore.commit(allLevels, storeRoot)
+      // the full snapshot re-derived every level — rebuild the index to
+      // match (full, not delta: derived levels replace wholesale)
+      if (maintainsIndex) commitIndexFor(v, full = true)
       // if another session advanced the base while we built, the pyramid
       // we just committed is already stale — advertise that, don't lie.
       // (A commit landing in the tiny window between the re-check and

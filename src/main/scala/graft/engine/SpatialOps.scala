@@ -264,6 +264,22 @@ object SpatialOps {
           idiv(col("z"), dims.z)).as("morton"))
       .agg(sort_array(collect_set(col("value"))).as("id_set"))
 
+  /** A9 flat form: one (lookupKey, res, t, morton, id) row per cuboid×id —
+    * the layout [[graft.storage.IndexStore]] persists. Serves both index
+    * directions: group by morton for the cuboid index, filter by id for
+    * the id index.
+    */
+  def buildFlatIndex(voxels: DataFrame, dims: CuboidDims = CuboidDims()): DataFrame =
+    voxels.where(col("value") =!= 0)
+      .select(
+        col("lookupKey"), col("res"), col("t"),
+        Morton.morton_encode(
+          idiv(col("x"), dims.x),
+          idiv(col("y"), dims.y),
+          idiv(col("z"), dims.z)).as("morton"),
+        col("value").as("id"))
+      .distinct()
+
   /** A9 inverse: id→cuboids index (the reference's DynamoDB id-index). */
   def buildIdIndex(voxels: DataFrame, dims: CuboidDims = CuboidDims()): DataFrame =
     voxels.where(col("value") =!= 0)
@@ -322,6 +338,65 @@ object SpatialOps {
         (min("cx") * dims.x).as("x_min"), ((max("cx") + 1) * dims.x).as("x_max"),
         (min("cy") * dims.y).as("y_min"), ((max("cy") + 1) * dims.y).as("y_max"),
         (min("cz") * dims.z).as("z_min"), ((max("cz") + 1) * dims.z).as("z_max"))
+
+  /** A3 loose bounding box from FLAT index rows (`object_indices.py:
+    * 373-432` answered from the persistent id-index): same cuboid-granular
+    * extents as [[boundingBoxLoose]], plus the id's time-sample span —
+    * which the loose-first tight path needs to bound its cutout. No voxel
+    * IO; with an id-clustered index the `id = X` predicate prunes the
+    * index scan itself.
+    */
+  def boundingBoxLooseFlat(flatIdx: DataFrame, id: Long, dims: CuboidDims = CuboidDims()): DataFrame =
+    flatIdx.where(col("id") === id)
+      .select(
+        col("id"), col("t"),
+        Morton.morton_x(col("morton")).as("cx"),
+        Morton.morton_y(col("morton")).as("cy"),
+        Morton.morton_z(col("morton")).as("cz"))
+      .groupBy(col("id"))
+      .agg(
+        (min("cx") * dims.x).as("x_min"), ((max("cx") + 1) * dims.x).as("x_max"),
+        (min("cy") * dims.y).as("y_min"), ((max("cy") + 1) * dims.y).as("y_max"),
+        (min("cz") * dims.z).as("z_min"), ((max("cz") + 1) * dims.z).as("z_max"),
+        min("t").as("t_min"), max("t").as("t_max"))
+
+  /** A1/A2 ids-in-region against the materialized store: interior cuboids
+    * answered from flat index rows alone (NO voxel IO — the reference's
+    * index-first tactic, `object.py:778-831`), boundary slabs from
+    * morton-pruned cutouts. The union's distinct is the only shuffle.
+    */
+  def idsInRegionFromStore(
+      cuboids: Dataset[CuboidRow],
+      flatIdx: DataFrame,
+      lookupKey: String,
+      res: Int,
+      box: Box,
+      tRange: Range = 0 until 1,
+      vt: VoxelType = VoxelType.UInt64,
+      dims: CuboidDims = CuboidDims()): DataFrame = {
+    val spark = cuboids.sparkSession
+    def noIds: DataFrame = spark.range(0).select(col("id"))
+    val dec = Region.decompose(box, dims)
+    val interior: DataFrame =
+      if (dec.interior.isEmpty) noIds
+      else {
+        val ranged = flatIdx.where(col("t") >= tRange.start && col("t") < tRange.end)
+        val pruned =
+          if (Region.coveringCount(dec.interior, dims) <= 4096) {
+            val ms = Region.coveringMortons(dec.interior, dims)
+            ranged.where(col("morton") >= ms.head && col("morton") <= ms.last &&
+              col("morton").isin(ms: _*))
+          } else
+            ranged.join(coveringMortonsDf(spark, dec.interior, dims).hint("shuffle_hash"),
+              Seq("morton"), "left_semi")
+        pruned.select(col("id"))
+      }
+    val boundary = dec.boundaries.map { b =>
+      cutoutFromCuboids(cuboids, lookupKey, res, b, tRange, vt, dims)
+        .where(col("value") =!= 0).select(col("value").as("id"))
+    }.reduceOption(_ union _).getOrElse(noIds)
+    interior.union(boundary).distinct()
+  }
 
   /** A3 loose bounding box for every id at once — the batch form of
     * [[boundingBoxLoose]] (one grouped aggregate instead of per-id index

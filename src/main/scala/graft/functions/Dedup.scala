@@ -173,6 +173,37 @@ object Dedup {
     * (~N²/2^65: ~1e-8 at 1e6 distinct grams — noise for near-dup
     * detection).
     */
+  /** Candidate-generation stage of [[ngramJaccardPairs]], exposed so plan
+    * contracts can assert its shape directly (PlanContractSpec): ONE
+    * corpus-sized exchange — the per-gram bounded-distinct-postings
+    * aggregate, combined map-side — then a candidate-sized pair count.
+    * Lazy and cache-free; returns (doc_a < doc_b) pairs sharing ≥
+    * `minShared` rare grams.
+    */
+  def ngramCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 12,
+      maxDf: Int = 16,
+      minShared: Int = 8): DataFrame = {
+    val src = Par.fanOut(df.select(col(idCol), col(textCol))
+      .where(length(col(textCol)) >= n))
+    val pairGen = "flatten(transform(ids, (x, i) -> " +
+      "transform(slice(ids, i + 2, size(ids)), y -> named_struct('doc_a', x, 'doc_b', y))))"
+    src
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, length($textCol)-$n), i -> xxhash64(substring($textCol, i+1, $n)))")).as("g"))
+      .groupBy(col("g"))
+      .agg(SortedSetOps.boundedDistinctSet(col(idCol), maxDf).as("ids"))
+      .where(col("ids").isNotNull)
+      .select(explode(expr(pairGen)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -194,23 +225,15 @@ object Dedup {
     // doesn't serialize it on one core (no-op at production split counts)
     val src = Par.fanOut(df.select(col(idCol), col(textCol))
       .where(length(col(textCol)) >= n))
-    // Shuffle 1 (the ONLY corpus-sized one): per-gram bounded distinct
-    // postings sets, combined map-side. Nothing corpus-order is ever
-    // persisted — the one cached frame below is O(candidate pairs).
-    val pairGen = "flatten(transform(ids, (x, i) -> " +
-      "transform(slice(ids, i + 2, size(ids)), y -> named_struct('doc_a', x, 'doc_b', y))))"
-    val cand = src
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, length($textCol)-$n), i -> xxhash64(substring($textCol, i+1, $n)))")).as("g"))
-      .groupBy(col("g"))
-      .agg(SortedSetOps.boundedDistinctSet(col(idCol), maxDf).as("ids"))
-      .where(col("ids").isNotNull)
-      .select(explode(expr(pairGen)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
-      .select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize-and-release (the writeCuboid pattern): the candidate
+    // set is consumed three times below, so it is CHECKPOINTED eagerly —
+    // O(candidate pairs) blocks that the ContextCleaner frees once the
+    // caller drops the result — instead of persist()ed, which would pin
+    // it in the session's SQL cache until someone calls clearCache
+    // (round-7 verdict #3). Same for `sub`. Executor loss mid-call loses
+    // the blocks (single-JVM local mode cannot lose them); rerun the call.
+    val cand = ngramCandidates(df, idCol, textCol, n, maxDf, minShared)
+      .localCheckpoint(true)
     // Exact verification needs the FULL gram sets (a shared gram above the
     // df cap still counts toward the intersection), but only for docs that
     // appear in some candidate pair — a semi-join (pushed below the gram
@@ -226,7 +249,7 @@ object Dedup {
       .select(col(idCol), garrSorted.as("garr"))
       .select(col(idCol), col("garr"), SortedSetOps.distinctCount(col("garr")).as("ng"))
       // candidate-bounded — read by both pair sides
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     cand
       .join(sub.select(col(idCol).as("doc_a"), col("garr").as("ga"), col("ng").as("na")), "doc_a")
       .join(sub.select(col(idCol).as("doc_b"), col("garr").as("gb"), col("ng").as("nb")), "doc_b")

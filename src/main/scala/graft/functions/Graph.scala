@@ -51,38 +51,64 @@ object Graph {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbor minimum: for each vertex, the smallest label among its
-      // neighbors and itself. The previous label rides along so the
-      // convergence check is a scan of the checkpointed result, not
-      // another join job.
-      val prop = edges
-        .join(labels.withColumnRenamed("id", "v"), "v")
-        .groupBy(col("u").as("id"))
-        .agg(min(col("component")).as("nbr"))
-        .join(labels, "id")
-        .select(col("id"), least(col("component"), col("nbr")).as("component"),
-          col("component").as("old"))
-      // pointer jump (path doubling): follow the fresh label one hop
-      // through itself, so label distance-to-minimum halves per pass and
-      // the loop converges in O(log diameter) passes instead of
-      // O(diameter) — chain-shaped near-dup graphs (cosine neighbors)
-      // otherwise force a pass per link. Labels only decrease
-      // (component(x) ≤ x invariant), so least() keeps correctness.
-      val next = prop
-        .join(prop.select(col("id").as("component"), col("component").as("cc")),
-          Seq("component"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("cc"), col("component"))).as("component"),
-          col("old"))
-        .localCheckpoint(true)
+      val next = propagateOnce(edges, labels).localCheckpoint(true)
       val changed = next.where(col("component") =!= col("old")).count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized — release them now instead of letting
+      // them accumulate one labels-copy per pass in the block manager
+      releaseCheckpoint(labels)
       labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    // the RETURNED labels stay checkpointed (callers read them); those
+    // final blocks are freed by the ContextCleaner when the caller drops
+    // the frame. localCheckpoint blocks do not survive executor loss —
+    // swap in reliable checkpoint() against a checkpoint dir when a
+    // deployment must recover executors mid-algorithm.
     labels
   }
+
+  /** One propagation + pointer-jump pass — the plan the fixpoint loop
+    * checkpoints each round, exposed so plan contracts can assert its
+    * join strategy (PlanContractSpec: key joins, never a cartesian).
+    *
+    * Neighbor minimum: for each vertex, the smallest label among its
+    * neighbors and itself; the previous label rides along as `old` so
+    * the convergence check scans the checkpointed result instead of
+    * running another join job. Then pointer jump (path doubling): follow
+    * the fresh label one hop through itself, so distance-to-minimum
+    * halves per pass and the loop converges in O(log diameter) passes
+    * instead of O(diameter) — chain-shaped near-dup graphs (cosine
+    * neighbors) otherwise force a pass per link. Labels only decrease
+    * (component(x) ≤ x invariant), so least() keeps correctness.
+    */
+  private[graft] def propagateOnce(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val prop = edges
+      .join(labels.withColumnRenamed("id", "v"), "v")
+      .groupBy(col("u").as("id"))
+      .agg(min(col("component")).as("nbr"))
+      .join(labels, "id")
+      .select(col("id"), least(col("component"), col("nbr")).as("component"),
+        col("component").as("old"))
+    prop
+      .join(prop.select(col("id").as("component"), col("component").as("cc")),
+        Seq("component"), "left")
+      .select(col("id"),
+        least(col("component"), coalesce(col("cc"), col("component"))).as("component"),
+        col("old"))
+  }
+
+  /** Unpersist the block-manager blocks behind a localCheckpoint'd frame
+    * (a checkpointed plan is a scan of a persisted RDD — find it and drop
+    * its blocks; non-blocking, safe on non-checkpointed frames).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** DuckDB twin of [[connectedComponents]] over a CTE named `pairs`
     * with columns (aCol, bCol): recursive transitive closure, then

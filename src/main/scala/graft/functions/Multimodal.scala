@@ -20,18 +20,63 @@ final case class MediaFrame(
 /** Multimodal-column support: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-wise in `mapPartitions`.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stub ([[stubDecode]]) — but everything
-  * Spark-side is real and tested: the binary column schema, the
-  * partition-batched decode loop (one codec init per partition, not per
-  * row — the same shape a JNI/FFmpeg decoder needs), the explode to
+  * IMAGES decode for real through the JDK's `javax.imageio` (PNG, JPEG,
+  * GIF, BMP — no external codec needed): [[decodeMeta]] sniffs the magic
+  * bytes and returns true dimensions; [[imageStats]] adds decoded-pixel
+  * statistics. Audio/video blobs keep the clearly-marked deterministic
+  * stub ([[stubDecode]]) — the container ships no FFmpeg — but the
+  * Spark-side plumbing is identical either way: the binary column schema,
+  * the partition-batched decode loop (one codec init per partition, not
+  * per row — the same shape a JNI/FFmpeg decoder needs), the explode to
   * frames, and the downstream feature pipeline contract.
   */
 object Multimodal {
 
-  /** STUB decoder: derives metadata deterministically from the blob bytes.
-    * Swap for a real codec (ImageIO/FFmpeg) behind the same signature —
-    * the Spark plumbing does not change.
+  /** Magic-byte sniff: Some(format) when the JDK can decode the blob. */
+  def imageFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length < 4) None
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      Some("png")
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
+      Some("jpeg")
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8')
+      Some("gif")
+    else if (bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else None
+
+  /** Real image decode (JDK ImageIO). None when the blob is not a
+    * decodable image — callers fall back to [[stubDecode]]. Call
+    * `ImageIO.setUseCache(false)` once per partition first so decode
+    * never touches a disk cache (see [[decodeMeta]]).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
+    imageFormat(bytes).flatMap { fmt =>
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(img => (fmt, img))
+    }
+
+  /** Grayscale PNG encoder (JDK ImageIO) — the test/fixture twin of
+    * [[decodeImage]]: pixel (x, y) = `pix(x, y) & 0xff`.
+    */
+  def encodeGrayPng(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pix(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "png", out), "JDK PNG writer unavailable")
+    out.toByteArray
+  }
+
+  /** STUB decoder for non-image media: derives metadata deterministically
+    * from the blob bytes. Swap for a real codec (FFmpeg) behind the same
+    * signature — the Spark plumbing does not change.
     */
   def stubDecode(bytes: Array[Byte]): (String, Int, Int) = {
     val n = bytes.length
@@ -48,7 +93,9 @@ object Multimodal {
   }
 
   /** Decode a blob table (doc_id, blob: binary) to typed metadata rows.
-    * `mapPartitions` so a real decoder is initialized once per partition.
+    * Image blobs (magic-byte sniff) decode for REAL via ImageIO — true
+    * width/height; anything else falls back to the deterministic stub.
+    * `mapPartitions` so decoder init is once per partition.
     */
   def decodeMeta(df: DataFrame, idCol: String, blobCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -56,12 +103,48 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real codec init would happen HERE, once per partition
+        // codec init, once per partition: never let ImageIO spill its
+        // stream cache to local disk on an executor
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val (fmt, w, h) = stubDecode(bytes)
+          val (fmt, w, h) = decodeImage(bytes) match {
+            case Some((f, img)) => (f, img.getWidth, img.getHeight)
+            case None           => stubDecode(bytes)
+          }
           MediaMeta(id, bytes.length.toLong, fmt, w, h)
         }
       }
+  }
+
+  /** Decoded-pixel statistics for IMAGE blobs: (id, format, width, height,
+    * px_sum) with px_sum = Σ over all pixels of the first band's sample —
+    * integer-exact, so a PNG encode→decode round trip is oracle-checkable
+    * (q84). Non-image blobs are dropped (strict decode surface, unlike
+    * [[decodeMeta]]'s stub fallback). Same partition-batched shape as the
+    * other extractors.
+    */
+  def imageStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          decodeImage(bytes).map { case (fmt, img) =>
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            (id, fmt, w.toLong, h.toLong, sum)
+          }
+        }
+      }.toDF(idCol, "format", "width", "height", "px_sum")
   }
 
   /** Frame sampling: every `stride`-th fixed-size window of the blob as a

@@ -162,7 +162,8 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      trainCap: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val withVec = Par.fanOut(df.select(col(idCol), col(embCol)))
@@ -171,10 +172,16 @@ object Similarity {
     // a coarse quantizer needs rough cells, not convergence: random init
     // (k-means|| costs ~2 extra full passes for placement quality the
     // nprobe rerank doesn't need) and 5 Lloyd iterations place centroids
-    // well enough (recall is governed by nprobe, asserted in PipelineSpec)
+    // well enough (recall is governed by nprobe, asserted in PipelineSpec).
+    // The trainer input is CAPPED at `trainCap` rows: at 100 TB you fit
+    // the coarse quantizer on a bounded sample and assign corpus-wide —
+    // every Lloyd pass over the full corpus would be a full-corpus scan
+    // for placement quality the rerank doesn't need. (Correctness is
+    // centroid-independent: with nprobe = nlist the result equals brute
+    // force regardless of placement — the q55 oracle property.)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setInitMode("random").setFeaturesCol("fv")
-      .fit(withVec.select("fv"))
+      .fit(withVec.select("fv").limit(trainCap))
     val assigned = model.transform(withVec)
       .select(col(idCol), quantize(col(embCol)).as("qe"), col("prediction").as("cell"))
     // nprobe nearest centroids per query vector, by exact centroid distance

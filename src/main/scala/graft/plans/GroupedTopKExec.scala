@@ -16,6 +16,20 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * Rows emit per key in rank order (rank 1 = lowest under `ordering`,
   * exactly row_number semantics including ties broken by the ordering's
   * tie-break columns).
+  *
+  * MEMORY CONTRACT: per-task state is (distinct keys in the partition) ×
+  * k retained rows, on the JVM heap (not Tungsten-managed, so it cannot
+  * spill). The operator wins when fan-in per key is large relative to k
+  * — the ANN rerank shape (thousands of candidates per query, k ≈ 10).
+  * The pathological case is the opposite: key cardinality ~ row count
+  * (every key holds ≤ k rows), where the heap state approaches a copy of
+  * the partition. That degenerate shape is exactly what a plain
+  * hash-aggregate/window already handles well, so callers with
+  * per-partition distinct-keys × k × rowSize approaching task memory
+  * should raise `spark.sql.shuffle.partitions` (state divides linearly
+  * across tasks) or fall back to the window form. TopKSpec's
+  * high-cardinality case pins the behavior (correct output, state =
+  * rows) at keys ≈ rows.
   */
 final case class GroupedTopKExec(
     keys: Seq[Expression],

@@ -402,6 +402,33 @@ object Pipeline {
              |SELECT doc_id, frame_idx, CAST(bin AS INT) AS bin, count(*) AS n
              |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "))),
 
+    // REAL image decode (JDK ImageIO, no stub): deterministic grayscale
+    // PNGs are encoded per doc (width/height/pixels all formula-derived),
+    // then decoded back through the actual PNG codec — dimensions and the
+    // exact pixel sum must survive the round trip. The oracle computes
+    // the same formula relationally, so a decode bug (stride, band
+    // order, color model) breaks the hash.
+    "q84_image_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = graft.functions.Par.fanOut(tbl(s, dir, "documents").select(col("doc_id")))
+          .as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val w = (id % 31 + 2).toInt
+              val h = (id % 17 + 2).toInt
+              (id, Multimodal.encodeGrayPng(w, h, (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+            }
+          }.toDF("doc_id", "blob")
+        Multimodal.imageStats(blobs, "doc_id", "blob").orderBy(col("doc_id"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, doc_id % 31 + 2 AS w, doc_id % 17 + 2 AS h FROM documents),
+             |px AS (SELECT i.doc_id, i.w, i.h, (i.doc_id*31 + x.r*7 + y.r*13) % 256 AS p
+             |       FROM ids i JOIN range(0, 32) x(r) ON x.r < i.w JOIN range(0, 18) y(r) ON y.r < i.h)
+             |SELECT doc_id, 'png' AS format, w AS width, h AS height, CAST(sum(p) AS BIGINT) AS px_sum
+             |FROM px GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // IVF ANN through the KMeans coarse quantizer, probed at
     // nprobe = nlist: every cell is searched, so the top-k is exactly the
     // brute-force result REGARDLESS of the (library-internal) centroid

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Morton, Region}
+import graft.GraftDB
+import graft.core.{Morton, Region, Resource, VoxelType}
 import graft.engine.SpatialOps
 
 /** Oracle-checked queries for the spatial/volumetric operator surface
@@ -29,6 +30,28 @@ object Spatial {
     Morton.encodeSql(s"(x // ${dims.x})", s"(y // ${dims.y})", s"(z // ${dims.z})")
 
   private def out(df: DataFrame): DataFrame = df // readability marker
+
+  /** A populated [[GraftDB]] façade over the deduped voxel view (one
+    * `writeCuboid` commit, which also materializes the id index) — built
+    * once per testdata dir and shared by the façade-path queries
+    * (q82/q83), so the store-build cost is not paid per query.
+    */
+  private val facadeCache = new java.util.concurrent.ConcurrentHashMap[String, GraftDB]()
+  private def facadeDb(s: SparkSession, dir: String): GraftDB =
+    facadeCache.computeIfAbsent(dir, _ => {
+      val fixture = Resource.fixture(VoxelType.UInt64)
+      val res = fixture.copy(experiment = fixture.experiment.copy(numTimeSamples = 2))
+      val db = new GraftDB(
+        s, res, java.nio.file.Files.createTempDirectory("graft-facade").toString, dims)
+      // dense blob cells hold one value: dedup coordinates first (max id
+      // wins, same rule as the q50 store round-trip)
+      val deduped = VoxelView.df(s, dir)
+        .groupBy(col("t"), col("x"), col("y"), col("z"))
+        .agg(max(col("id")).as("value"))
+        .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+      db.writeCuboid(deduped)
+      db
+    })
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -367,6 +390,36 @@ object Spatial {
       Some(s"""WITH $V SELECT DISTINCT t, ${cuboidMortonSql(dims)} AS morton, id
               |FROM v WHERE id <> 0
               |ORDER BY t, morton, id""".stripMargin.replace("\n", " "))),
+
+    // A4 tight bbox through the FAÇADE (the migration surface, not the
+    // query layer): GraftDB.getBoundingBox(tight) must answer loose from
+    // the materialized id index first and decode only the loose box —
+    // this query proves that full path (write → index commit → loose
+    // lookup → bounded cutout → tight agg) against the same relational
+    // oracle as q15 restricted to one id.
+    "q82_facade_bbox_tight" -> QueryDef(
+      (s, dir) =>
+        out(facadeDb(s, dir).getBoundingBox(42L, tight = true)),
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z, max(id) AS id FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT id, min(x) AS x_min, max(x) AS x_max,
+              |       min(y) AS y_min, max(y) AS y_max,
+              |       min(z) AS z_min, max(z) AS z_max
+              |FROM g WHERE id = 42 GROUP BY id""".stripMargin.replace("\n", " "))),
+
+    // A3 loose bbox through the façade: answered from the persistent
+    // IndexStore committed by writeCuboid — no voxel IO at query time.
+    "q83_facade_bbox_loose" -> QueryDef(
+      (s, dir) =>
+        out(facadeDb(s, dir).getBoundingBox(42L, tight = false)),
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z, max(id) AS id FROM v GROUP BY 1, 2, 3, 4),
+              |c AS (SELECT DISTINCT id, x // ${dims.x} AS cx, y // ${dims.y} AS cy, z // ${dims.z} AS cz
+              |      FROM g WHERE id = 42)
+              |SELECT id, min(cx) * ${dims.x} AS x_min, (max(cx) + 1) * ${dims.x} AS x_max,
+              |       min(cy) * ${dims.y} AS y_min, (max(cy) + 1) * ${dims.y} AS y_max,
+              |       min(cz) * ${dims.z} AS z_min, (max(cz) + 1) * ${dims.z} AS z_max
+              |FROM c GROUP BY id""".stripMargin.replace("\n", " "))),
 
     // A3 loose bbox for every id, from the id_index (cuboid-granular).
     "q28_bbox_loose" -> QueryDef(

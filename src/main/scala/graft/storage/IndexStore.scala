@@ -1,0 +1,133 @@
+package graft.storage
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.VoxelType
+
+/** One materialized-index row: annotation id `id` occurs in the cuboid
+  * addressed by (lookupKey, res, t, morton). `id = 0` is a tombstone —
+  * "this cuboid key was rewritten at this version" — so a cuboid whose
+  * rewrite removed every id still masks its stale entries during chain
+  * resolution ([[IndexStore.read]] drops tombstones after masking).
+  */
+final case class IdxRow(lookupKey: String, res: Int, t: Int, morton: Long, id: Long)
+
+/** Persistent id⇄cuboid index — the engine's analog of the reference's
+  * DynamoDB id-index / s3-index pair (`spdb/spatialdb/object_indices.py:
+  * 167-347, 373-432`), which the reference maintains on every write so
+  * loose bounding boxes and interior ids-in-region never touch voxel
+  * data. One FLAT table serves both directions: group by morton and you
+  * have the s3-index (cuboid → id set); filter by id and you have the
+  * id-index (id → cuboid set). Rows are id-clustered on disk so the
+  * id-index probe — the `get_bounding_box` hot path — prunes to a few
+  * parquet row groups instead of scanning the index.
+  *
+  * Versioning piggybacks on [[VersionedStore]]'s commit machinery under
+  * `storeRoot/_index`: a write's index delta is the flat rows of exactly
+  * the touched cuboids (plus tombstones), committed with a `_DELTA`
+  * marker; readers mask older versions per cuboid key. The index commit
+  * FOLLOWS the data commit (two commits, not one transaction) — a reader
+  * between the two sees an index one write stale, the same lag window the
+  * reference's asynchronous DynamoDB index updates have.
+  */
+object IndexStore {
+
+  def path(storeRoot: String): String = s"$storeRoot/_index"
+
+  def exists(path: String): Boolean = VersionedStore.currentVersion(path).isDefined
+
+  /** Flat index rows for a cuboid set: one row per distinct non-zero id in
+    * each blob, plus one unconditional `id = 0` tombstone per cuboid key.
+    * Runs as a typed flatMap directly over the blobs — no voxel-plane
+    * explosion (a 4 MiB cuboid yields its distinct-id set, not 4M rows).
+    */
+  def fromCuboids(cuboids: Dataset[CuboidRow], vt: VoxelType): Dataset[IdxRow] = {
+    val spark = cuboids.sparkSession
+    import spark.implicits._
+    val width = vt.byteWidth
+    cuboids.flatMap { c =>
+      val buf = ByteBuffer.wrap(c.data).order(ByteOrder.LITTLE_ENDIAN)
+      val n = c.data.length / width
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var i = 0
+      while (i < n) {
+        val v = width match {
+          case 1 => (buf.get(i) & 0xffL)
+          case 2 => (buf.getShort(i * 2) & 0xffffL)
+          case _ => buf.getLong(i * 8)
+        }
+        if (v != 0L) { seen += v; () }
+        i += 1
+      }
+      Iterator.single(IdxRow(c.lookupKey, c.res, c.t, c.morton, 0L)) ++
+        seen.iterator.map(id => IdxRow(c.lookupKey, c.res, c.t, c.morton, id))
+    }
+  }
+
+  /** Commit the index rows of a write's touched cuboids as a delta version
+    * (O(write) IO; older entries for those cuboid keys are masked on read).
+    */
+  def commitDelta(rows: Dataset[IdxRow], path: String): Int =
+    VersionedStore.withCommitLock(path) { next =>
+      write(rows, s"$path/v$next", clustered = false)
+      Files.write(Paths.get(path, s"v$next", "_DELTA"), Array.emptyByteArray)
+      ()
+    }
+
+  /** Commit a full index snapshot (rebuilds — e.g. after a hierarchy
+    * build re-derives every level).
+    */
+  def commitFull(rows: Dataset[IdxRow], path: String): Int =
+    VersionedStore.withCommitLock(path) { next =>
+      write(rows, s"$path/v$next", clustered = true)
+    }
+
+  private def write(rows: Dataset[IdxRow], dir: String, clustered: Boolean): Unit = {
+    // id-clustered so `id = X` probes prune row groups (the bbox hot
+    // path); deltas skip the range shuffle like the cuboid store's
+    val arranged =
+      if (clustered) rows.repartitionByRange(col("id")).sortWithinPartitions("id", "morton")
+      else rows.sortWithinPartitions("id", "morton")
+    arranged.write.mode("overwrite").parquet(dir)
+  }
+
+  /** Resolved current index: flat (lookupKey, res, t, morton, id) rows,
+    * tombstones removed. Delta chains resolve per cuboid key — a key's
+    * rows all come from the newest version that wrote that key (max-__v
+    * masking rather than row_number, because one key legitimately holds
+    * many id rows).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    VersionedStore.currentVersion(path) match {
+      case None => spark.emptyDataset[IdxRow].toDF()
+      case Some(v) =>
+        val chain = VersionedStore.versionChain(path, v)
+        val resolved =
+          if (chain.lengthCompare(1) == 0) readVersion(spark, s"$path/v$v")
+          else {
+            import org.apache.spark.sql.expressions.Window
+            val union = chain.map { ver =>
+              readVersion(spark, s"$path/v$ver").withColumn("__v", lit(ver))
+            }.reduce(_ union _)
+            val w = Window.partitionBy(col("lookupKey"), col("res"), col("t"), col("morton"))
+            union.withColumn("__mx", max(col("__v")).over(w))
+              .where(col("__v") === col("__mx"))
+              .drop("__v", "__mx")
+          }
+        resolved.where(col("id") =!= 0L)
+    }
+  }
+
+  private def readVersion(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).select(
+      col("lookupKey").cast("string"),
+      col("res").cast("int"),
+      col("t").cast("int"),
+      col("morton").cast("long"),
+      col("id").cast("long"))
+}

@@ -60,7 +60,7 @@ object VersionedStore {
   /** Newest-first version chain ending at the most recent full snapshot
     * (or v0). Each delta masks older versions key-by-key on read.
     */
-  private def versionChain(path: String, cur: Int): Seq[Int] = {
+  private[storage] def versionChain(path: String, cur: Int): Seq[Int] = {
     val b = Seq.newBuilder[Int]
     var v = cur
     while (v > 0 && isDeltaVersion(path, v)) { b += v; v -= 1 }
@@ -170,7 +170,7 @@ object VersionedStore {
   def compact(spark: SparkSession, path: String): Int =
     commit(read(spark, path), path)
 
-  private def withCommitLock(path: String)(write: Int => Unit): Int = {
+  private[storage] def withCommitLock(path: String)(write: Int => Unit): Int = {
     if (isLocked(path))
       throw new IllegalStateException(s"store $path is write-locked")
     Files.createDirectories(Paths.get(path))

@@ -124,6 +124,37 @@ class GraftDBSpec extends AnyFunSuite {
     assert(loose.getAs[Long]("x_min") <= 1 && loose.getAs[Long]("x_max") >= 6)
   }
 
+  test("materialized id index: maintained per write, shave masks stale entries, bbox index-first") {
+    import spark.implicits._
+    import graft.storage.IndexStore
+    val db = newDb()
+    // id 42 in two cuboids: (1,1,1) → cuboid (0,0,0), (9,1,1) → cuboid (1,0,0)
+    db.writeCuboid(Seq(
+      (0L, 1L, 1L, 1L, 42L), (0L, 9L, 1L, 1L, 42L), (0L, 2L, 2L, 2L, 9L))
+      .toDF("t", "x", "y", "z", "value"))
+    val ip = IndexStore.path(db.storeRoot)
+    assert(IndexStore.exists(ip))
+    def mortonsOf(id: Long): Set[Long] =
+      IndexStore.read(spark, ip).where($"id" === id)
+        .select("morton").as[Long].collect().toSet
+    assert(mortonsOf(42L) == Set(graft.core.Morton.encode(0, 0, 0), graft.core.Morton.encode(1, 0, 0)))
+    // loose bbox spans both cuboids; tight is exact
+    val loose0 = db.getBoundingBox(42L, tight = false).collect().head
+    assert((loose0.getAs[Long]("x_min"), loose0.getAs[Long]("x_max")) == ((0L, 16L)))
+    val tight0 = db.getBoundingBox(42L).collect().head
+    assert((tight0.getAs[Long]("x_min"), tight0.getAs[Long]("x_max")) == ((1L, 9L)))
+    // shave the second cuboid's voxel: the delta's index commit must MASK
+    // the stale (cuboid 1 → 42) entry via its tombstone, not just append
+    db.writeCuboid(Seq((0L, 9L, 1L, 1L, 1L)).toDF("t", "x", "y", "z", "value"), toBlack = true)
+    assert(mortonsOf(42L) == Set(graft.core.Morton.encode(0, 0, 0)))
+    val tight1 = db.getBoundingBox(42L).collect().head
+    assert((tight1.getAs[Long]("x_min"), tight1.getAs[Long]("x_max")) == ((1L, 1L)))
+    val loose1 = db.getBoundingBox(42L, tight = false).collect().head
+    assert(loose1.getAs[Long]("x_max") == 8L)
+    // absent id: empty tight result, not an error
+    assert(db.getBoundingBox(424242L).isEmpty)
+  }
+
   test("id reservation and hierarchy build through the facade") {
     import spark.implicits._
     val db = newDb()

@@ -109,6 +109,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotChain.size == 31 && gotChain.values.forall(_ == 0L))
   }
 
+  test("ngramJaccardPairs pins nothing a caller can't release (no SQL-cache leak)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    var out: org.apache.spark.sql.DataFrame = Dedup.ngramJaccardPairs(
+      docs((1L, base), (2L, base + "!"), (3L, "totally different content here entirely")),
+      "doc_id", "text")
+    assert(out.count() >= 1)
+    // a DataFrame.persist would stay registered in the session's SQL
+    // cache until clearCache (the round-7 leak); checkpoint blocks must
+    // instead be freed by the ContextCleaner once the result is dropped
+    out = null
+    val deadline = System.currentTimeMillis() + 30000
+    var leaked = sc.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(250)
+      leaked = sc.getPersistentRDDs.keySet -- before
+    }
+    assert(leaked.isEmpty, s"blocks still pinned after GC: $leaked")
+  }
+
   test("ngramJaccardPairs refuses non-integral id columns") {
     val d = docs((1L, "x")).select(col("doc_id").cast("string").as("doc_id"), col("text"))
     val e = intercept[IllegalArgumentException](
@@ -249,6 +270,48 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("s", pmod(xxhash64(fact.columns.map(col): _*), lit(8)))
       .select($"s").distinct().count()
     assert(spread >= 4, s"hot key spread over only $spread of 8 salts")
+  }
+
+  test("image decode: checked-in PNG fixtures (independent stdlib encoder) decode exactly") {
+    import spark.implicits._
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    val df = Seq(
+      (1L, fixture("gray_8x5.png")),
+      (2L, fixture("gray_1x1.png")),
+      (3L, fixture("rgb_4x4.png"))).toDF("doc_id", "blob")
+    val got = Multimodal.imageStats(df, "doc_id", "blob")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // expected values re-derive tools/make_png_fixtures.py's formulas
+    val sum85 = (for { y <- 0 until 5; x <- 0 until 8 } yield (x * 7 + y * 13) % 256).sum.toLong
+    val sumRgb = (for { y <- 0 until 4; x <- 0 until 4 } yield (x * 40 + y * 20) % 256).sum.toLong
+    assert(got(1L) == (("png", 8L, 5L, sum85)))
+    assert(got(2L) == (("png", 1L, 1L, 200L)))
+    assert(got(3L) == (("png", 4L, 4L, sumRgb))) // band 0 = red
+    // decodeMeta reports TRUE dimensions for images (not the stub's)
+    val meta = Multimodal.decodeMeta(df, "doc_id", "blob").collect()
+      .map(m => m.doc_id -> ((m.format, m.width, m.height))).toMap
+    assert(meta(1L) == (("png", 8, 5)) && meta(3L) == (("png", 4, 4)))
+  }
+
+  test("image decode: JPEG through ImageIO — sniffed format and exact dimensions") {
+    import spark.implicits._
+    // lossy codec: pixel values shift, dimensions and format must not
+    val img = new java.awt.image.BufferedImage(13, 7, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val df = Seq((9L, out.toByteArray)).toDF("doc_id", "blob")
+    val r = Multimodal.imageStats(df, "doc_id", "blob")
+      .as[(Long, String, Long, Long, Long)].head()
+    assert(r == ((9L, "jpeg", 13L, 7L, 0L)))
+    // non-image bytes fall through imageStats (strict) but keep the
+    // stub path in decodeMeta
+    val junk = Seq((1L, Array.fill[Byte](64)(42))).toDF("doc_id", "blob")
+    assert(Multimodal.imageStats(junk, "doc_id", "blob").isEmpty)
+    assert(Multimodal.decodeMeta(junk, "doc_id", "blob").count() == 1)
   }
 
   test("multimodal decodeMeta and sampleFrames run partition-batched over binary") {

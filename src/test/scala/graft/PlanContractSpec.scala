@@ -45,15 +45,49 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup candidate generation: fused bounded-set aggregate, no cartesian anywhere") {
-    val p54 = plan("q54_ngram_jaccard")
-    assert(p54.contains("BoundedDistinctSetAgg") || p54.contains("boundeddistinctsetagg"),
-      "q54 lost the fused postings aggregate")
+  test("dedup candidate generation: fused bounded-set aggregate, ONE corpus-sized exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.functions.Dedup.ngramCandidates(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BoundedDistinctSetAgg") || p.contains("boundeddistinctsetagg"),
+      "candgen lost the fused postings aggregate")
+    // exactly one exchange keyed on the gram (the corpus-sized shuffle;
+    // map-side combine via the bounded aggregate) and one keyed on the
+    // candidate pair (candidate-sized) — a third hash exchange means the
+    // fused aggregate was unwound into distinct+join
+    val gramEx = "Exchange hashpartitioning\\(g#".r.findAllIn(p).size
+    val allEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(gramEx == 1, s"expected 1 gram exchange, got $gramEx:\n${p.take(900)}")
+    assert(allEx == 2, s"expected 2 hash exchanges total, got $allEx:\n${p.take(900)}")
+  }
+
+  test("dedup verification: codegen'd sorted-merge intersections, no explode-join, no cartesian") {
+    for (q <- Seq("q32_near_dup_pairs", "q54_ngram_jaccard")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("sortedintersectcount"),
+        s"$q lost the sorted-merge verification")
+      assert(!p.toLowerCase.contains("array_intersect"),
+        s"$q re-grew a quadratic per-row intersect")
+    }
+    // q54's returned plan is the verification stage alone (candgen is
+    // checkpointed): a Generate here would mean gram arrays exploded
+    // back into the pair join
+    assert(!plan("q54_ngram_jaccard").contains("Generate"), "q54 verification explodes grams")
     for (q <- Seq("q32_near_dup_pairs", "q54_ngram_jaccard", "q49_embedding_near_dup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q grew an all-pairs join")
     }
+  }
+
+  test("connected-components propagation pass: key joins only, never a cartesian") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "component")
+    val p = graft.functions.Graph.propagateOnce(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"propagation pass plans an all-pairs join:\n${p.take(900)}")
   }
 
   test("winnowing has no window and no key-partitioned shuffle") {
@@ -65,6 +99,30 @@ class PlanContractSpec extends AnyFunSuite {
     // a window would mean the per-doc computation left the row again
     assert(!p.contains("Window"), p.take(600))
     assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"), p.take(600))
+  }
+
+  test("facade tight bbox: store scan pushes the LOOSE box's morton bounds (index-first)") {
+    import spark.implicits._
+    import graft.core.{Morton, Region, Resource, VoxelType}
+    val db = new graft.GraftDB(
+      spark, Resource.fixture(VoxelType.UInt64),
+      java.nio.file.Files.createTempDirectory("plan-bbox").toString,
+      Region.CuboidDims(8, 8, 4))
+    // id 7 lives in cuboids (0,0,0) and (2,0,0); everything else is id 9
+    // far away at (63,63,15) — a full-channel scan would cover its morton
+    db.writeCuboid(Seq(
+      (0L, 1L, 1L, 1L, 7L), (0L, 17L, 1L, 1L, 7L), (0L, 63L, 63L, 15L, 9L))
+      .toDF("t", "x", "y", "z", "value"))
+    val p = db.getBoundingBox(7L, tight = true).queryExecution.sparkPlan.toString
+    assert("PushedFilters: \\[[^\\]]*morton".r.findFirstIn(p).isDefined, p.take(800))
+    // the scan admits EXACTLY the loose box's covering cuboids — id 9's
+    // far-corner cuboid (morton 255), which a full-extent scan would have
+    // to include, is outside the membership list
+    val looseCover = Region.coveringMortons(
+      Region.Box(0, 24, 0, 8, 0, 4), Region.CuboidDims(8, 8, 4))
+    assert(looseCover == Seq(Morton.encode(0, 0, 0), Morton.encode(1, 0, 0), Morton.encode(2, 0, 0)))
+    val inList = ("morton#\\d+L IN \\(" + looseCover.mkString(",") + "\\)").r
+    assert(inList.findFirstIn(p).isDefined, p.take(1200))
   }
 
   test("relational scans prune columns (no full-width reads for narrow projections)") {

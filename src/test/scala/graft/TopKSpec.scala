@@ -54,6 +54,24 @@ class TopKSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "))
   }
 
+  test("high key cardinality (keys ≈ rows): correct at the memory contract's worst case") {
+    import spark.implicits._
+    // every key has exactly 2 rows — per-task heap state approaches a
+    // copy of the partition, the degenerate shape the exec's scaladoc
+    // documents; output must still match the window exactly
+    val df = (0 until 20000).map(i => (i.toLong / 2, i.toLong % 7, i.toLong))
+      .toDF("key", "score", "id")
+    val got = TopK.perKey(df, Seq("key"), Seq(("score", true), ("id", false)), 1)
+      .select($"key", $"score", $"id", $"rk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 1)
+      .select($"key", $"score", $"id", $"rk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got.size == 10000)
+  }
+
   test("SQL-extension injection plans the operator too") {
     // a fresh session wired via GraftExtensions (config-time hook)
     val s2 = spark.newSession()
