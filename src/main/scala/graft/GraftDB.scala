@@ -218,9 +218,18 @@ final class GraftDB(
   }
 
   private def setDownsampleStatus(s: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeRoot))
-    java.nio.file.Files.write(java.nio.file.Paths.get(storeRoot, "_DOWNSAMPLE_STATUS"),
-      s.getBytes("UTF-8"))
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(storeRoot))
+    // write-then-atomic-move (the _CURRENT pointer pattern): a concurrent
+    // reader can never observe an empty/torn status file. Logical races
+    // between a base writer and the downsample worker remain governed by
+    // the single-downsample-worker deployment contract documented in
+    // buildHierarchy.
+    val tmp = Paths.get(storeRoot, s"_DOWNSAMPLE_STATUS.tmp${Thread.currentThread().getId}")
+    Files.write(tmp, s.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(storeRoot, "_DOWNSAMPLE_STATUS"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   /** The hierarchy job: build and commit all levels of the current

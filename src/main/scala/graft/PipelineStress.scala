@@ -1,21 +1,35 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Similarity, TextOps}
+import graft.functions.{Dedup, Graph, Similarity, TextOps}
 
 /** Training-data-pipeline stress run: multiplies the sf0.1 corpus to
-  * `mult` × 5,000 documents (deterministic per-copy token perturbation so
-  * copies are near- but not exact dups) and a matching embedding set,
-  * then times every pipeline family end to end. A scale sanity-check
-  * that the dedup/similarity shapes hold when the corpus grows 20×
-  * past what the driver's bench reaches, with per-stage throughput.
-  * Usage: runMain graft.PipelineStress [mult]
+  * `mult` × 5,000 documents and `embMult` × 2,000 embeddings, then times
+  * every pipeline family end to end and writes one BENCH-style JSON line
+  * (stress.json) — the committed scale evidence that the dedup / ANN /
+  * cluster shapes hold far past the driver's sf0.1 bench.
+  *
+  * Copy structure: copies are salted in GROUPS OF 4 (every token carries
+  * the group id), so all grams/shingles have document frequency ≤ 4 —
+  * near-dups exist only within a group, and the PRODUCTION df-cap
+  * (maxDf = 16) runs unchanged at any multiplier. Within a group, each
+  * copy perturbs two token positions, so the 4 members are near- but not
+  * exact dups; group count scales with the corpus while per-gram postings
+  * stay bounded — exactly the regime the bounded-set aggregate is built
+  * for. (An earlier scheme made every copy a near-dup of copy 0: at
+  * 200× that turns every gram into a 200-document stop-gram, which the
+  * production cap correctly suppresses to zero pairs — skew-safe, but it
+  * stress-tests nothing downstream of candgen.)
+  * Usage: runMain graft.PipelineStress [mult] [embMult]
   */
 object PipelineStress {
   def main(args: Array[String]): Unit = {
-    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val mult = args.headOption.map(_.toInt).getOrElse(200)
+    val embMult = args.drop(1).headOption.map(_.toInt).getOrElse(200)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,83 +37,109 @@ object PipelineStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[stress] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+      val sec = (System.nanoTime() - t0) / 1e9
+      stages(name) = math.rint(sec * 100) / 100
+      println(f"[stress] $name%-34s $sec%8.2f s"); r
     }
+    // Honest forcing: `count()` on a projection-only frame lets Spark
+    // skip the projection entirely (rows are countable from the source),
+    // recording ~0 s for stages that would really cost minutes.
+    // Executing the physical plan's RDD evaluates every expression.
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    // copy c of a doc mutates token positions (7c mod 13, 7c+1 mod 17) —
-    // every copy is a near-dup of copy 0, none is byte-identical
+    // group = copy/4: the group id salts EVERY token (bounded df); the
+    // copy id perturbs two positions (intra-group near-dups)
     val docs = base
       .crossJoin(spark.range(mult).select(col("id").as("copy")))
       .select(
         (col("doc_id") * mult + col("copy")).as("doc_id"),
         concat_ws(" ", expr(
           """transform(split(text, ' '), (tk, i) ->
-            |  CASE WHEN copy > 0 AND i = (7*copy) % 13 THEN concat('v', copy, tk)
-            |       WHEN copy > 0 AND i = (7*copy + 1) % 17 THEN concat(tk, '_', copy)
-            |       ELSE tk END)""".stripMargin)).as("text"))
+            |  CASE WHEN copy % 4 > 0 AND i = (7*(copy % 4)) % 13
+            |         THEN concat('v', copy % 4, tk, copy div 4)
+            |       WHEN copy % 4 > 0 AND i = (7*(copy % 4) + 1) % 17
+            |         THEN concat(tk, '_', copy % 4, '_', copy div 4)
+            |       ELSE concat(tk, copy div 4) END)""".stripMargin)).as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = docs.count()
-    println(s"[stress] corpus: $n docs (${mult}x sf0.1)")
+    println(s"[stress] corpus: $n docs (${mult}x sf0.1, near-dup groups of 4)")
 
-    timed("exact dedup") {
-      Dedup.exactDedup(docs, "doc_id", "text").count()
+    timed("exact_dedup") {
+      force(Dedup.exactDedup(docs, "doc_id", "text"))
     }
-    timed("minhash signatures") {
-      TextOps.minhashSignatures(
-        TextOps.shingles(docs, "doc_id", "text"), "doc_id").count()
+    timed("minhash_signatures") {
+      force(TextOps.minhashSignatures(
+        TextOps.shingles(docs, "doc_id", "text"), "doc_id"))
     }
-    val pairs = timed("LSH near-dup pairs (full)") {
-      Dedup.nearDupPairs(docs, "doc_id", "text").count()
+    val lshPairs = Dedup.nearDupPairs(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nLsh = timed("lsh_near_dup_pairs") { lshPairs.count() }
+    println(s"[stress]   LSH near-dup pairs found: $nLsh")
+    // the q81 shape at scale: transitive closure over the pair graph —
+    // min-label propagation + pointer jumping, driver sees only counts
+    timed("duplicate_clusters") {
+      force(Graph.connectedComponents(lshPairs, "doc_a", "doc_b"))
     }
-    println(s"[stress]   near-dup pairs found: $pairs")
-    // maxDf must exceed the copy multiplicity: every 12-gram of a base
-    // doc recurs in all `mult` near-copies, so the production cap of 16
-    // would (correctly) treat them as stop-grams and emit nothing
-    val npairs = timed("ngram Jaccard near-dup (bounded-agg)") {
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDf = 4 * mult).count()
+    lshPairs.unpersist()
+    // PRODUCTION df-cap: group salting keeps every gram's df ≤ 4, so
+    // maxDf = 16 runs unchanged at 1M docs (the 100 TB configuration)
+    val npairs = timed("ngram_jaccard_pairs") {
+      force(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
     }
     println(s"[stress]   ngram near-dup pairs found: $npairs")
     timed("simhash") {
-      TextOps.simhash(docs, "doc_id", "text").count()
+      force(TextOps.simhash(docs, "doc_id", "text"))
     }
-    timed("lang-id") {
-      TextOps.langId(docs, "doc_id", "text").count()
+    timed("lang_id") {
+      force(TextOps.langId(docs, "doc_id", "text"))
     }
-    timed("quality score") {
-      TextOps.qualityScore(docs.withColumn("n_chars", length(col("text"))),
-        "doc_id", "text", "n_chars").count()
+    timed("quality_score") {
+      force(TextOps.qualityScore(docs.withColumn("n_chars", length(col("text"))),
+        "doc_id", "text", "n_chars"))
     }
-    timed("token counts") {
-      TextOps.tokenCounts(docs, "doc_id", "text").count()
+    timed("token_counts") {
+      force(TextOps.tokenCounts(docs, "doc_id", "text"))
     }
-    timed("winnowing fingerprints") {
-      TextOps.winnowFromText(docs, "doc_id", "text").count()
+    timed("winnowing_fingerprints") {
+      force(TextOps.winnowFromText(docs, "doc_id", "text"))
     }
 
-    // embeddings: mult x 500 vectors via per-copy sign flips
+    // embeddings: embMult x 500 vectors; flip pattern varies with BOTH a
+    // coarse (mod 97) and fine (mod 5) copy residue so distinct copies
+    // are distinct vectors (no artificial identical-vector cliques)
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-      .crossJoin(spark.range(mult).select(col("id").as("copy")))
+      .crossJoin(spark.range(embMult).select(col("id").as("copy")))
       .select(
-        (col("vec_id") * mult + col("copy")).as("vec_id"),
-        expr("transform(embedding, (v, i) -> CASE WHEN (i + copy) % 5 = 0 THEN -v ELSE v END)")
+        (col("vec_id") * embMult + col("copy")).as("vec_id"),
+        expr("""transform(embedding, (v, i) ->
+               |  CASE WHEN (i * (1 + copy % 97) + copy) % 5 = 0 THEN -v ELSE v END)""".stripMargin)
           .cast("array<float>").as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"[stress] embeddings: ${emb.count()} vectors")
-    timed("ANN LSH top-k (100 queries)") {
-      Similarity.lshTopK(emb, "vec_id", "embedding",
-        col("vec_id") < 100, 5, 64, 4).count()
+    val nEmb = emb.count()
+    println(s"[stress] embeddings: $nEmb vectors")
+    timed("ann_lsh_topk_100q") {
+      force(Similarity.lshTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 100, 5, 64, 4))
     }
-    timed("embedding near-dups (LSH buckets)") {
-      Similarity.embeddingNearDups(emb, "vec_id", "embedding", 64,
-        tauNum = 3, tauDen = 10).count()
+    timed("embedding_near_dups") {
+      force(Similarity.embeddingNearDups(emb, "vec_id", "embedding", 64,
+        tauNum = 3, tauDen = 10))
     }
-    timed("IVF det ANN (train + probe, 100 queries)") {
-      Similarity.ivfTopKDet(emb, "vec_id", "embedding",
-        col("vec_id") < 100, 5).count()
+    timed("ann_ivf_det_100q") {
+      force(Similarity.ivfTopKDet(emb, "vec_id", "embedding",
+        col("vec_id") < 100, 5))
     }
-    println(f"[stress] done: $n docs, ${n / 1e3}%.0fk-doc corpus held all pipeline shapes")
+    val total = math.rint(stages.values.sum * 100) / 100
+    val json =
+      s"""{"metric":"pipeline_stress","docs":$n,"vectors":$nEmb,"unit":"sec","total":$total,""" +
+        stages.map { case (k, v) => s""""$k":$v""" }.mkString("\"stages\":{", ",", "}}")
+    Files.writeString(Paths.get("stress.json"), json + "\n")
+    println(json)
+    println(f"[stress] done: $n docs / $nEmb vectors held all pipeline shapes")
     spark.stop()
   }
 }

@@ -3,6 +3,8 @@ package graft.engine
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
+import graft.storage.{CommitProtocol, LocalFsCommitProtocol}
+
 /** A8 annotation-id block reservation — the Spark-side analog of the
   * reference's DynamoDB atomic counter (`spdb/spatialdb/object_indices.py:
   * 667-728`): reserve `numIds` consecutive ids per (lookupKey, res)
@@ -10,13 +12,18 @@ import java.nio.file.{Files, Path, Paths}
   * reference's own deadline).
   *
   * This is control-plane, not data-plane: one tiny counter per channel,
-  * mutated via an exclusive lock file (atomic `createFile`) so concurrent
-  * reservations across JVMs/executors serialize correctly on a shared
-  * filesystem.
+  * mutated under a [[graft.storage.CommitProtocol]] mutex (exclusive
+  * marker + atomic pointer publish) so concurrent reservations across
+  * JVMs/executors serialize correctly — on the local FS here, on S3 via
+  * the protocol's conditional-PUT mapping (see CommitProtocol's design
+  * note; the reference's DynamoDB conditional update is the same
+  * primitive).
   */
 object IdReservation {
 
   final val DefaultDeadlineMs = 10000L // object_indices.py:687
+
+  private val protocol: CommitProtocol = LocalFsCommitProtocol
 
   private def keyFile(dir: String, lookupKey: String, res: Int): Path =
     Paths.get(dir, s"${lookupKey.replace("&", "_")}_r$res.counter")
@@ -34,42 +41,19 @@ object IdReservation {
     Files.createDirectories(Paths.get(counterDir))
     val f = keyFile(counterDir, lookupKey, res)
     val lock = Paths.get(f.toString + ".lock")
-    val deadline = System.currentTimeMillis() + deadlineMs
-    while (System.currentTimeMillis() < deadline) {
-      val acquired =
-        try { Files.createFile(lock); true }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            // crashed-holder recovery: a lock older than the deadline is
-            // stale — break it (mirrors the reference's bounded retry)
-            try {
-              val age = System.currentTimeMillis() -
-                Files.getLastModifiedTime(lock).toMillis
-              if (age > deadlineMs) Files.deleteIfExists(lock)
-            } catch { case _: java.io.IOException => () }
-            false
-        }
-      if (acquired) {
-        try {
-          val cur =
-            if (Files.exists(f))
-              new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
-            else 1L
-          // write-then-atomic-move: a crash mid-write can never leave a
-          // truncated counter behind
-          val tmp = Paths.get(f.toString + ".tmp")
-          Files.write(tmp, (cur + numIds).toString.getBytes(StandardCharsets.UTF_8))
-          Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          return (cur, cur + numIds)
-        } finally {
-          Files.deleteIfExists(lock)
-          ()
-        }
-      }
-      Thread.sleep(5)
-    }
-    throw new IllegalStateException(
-      s"id reservation for $lookupKey res $res timed out after $deadlineMs ms")
+    // stale lock age = the deadline (mirrors the reference's bounded retry)
+    if (!protocol.acquireMutex(lock, staleMs = deadlineMs,
+        deadlineMs = deadlineMs, pollMs = 5))
+      throw new IllegalStateException(
+        s"id reservation for $lookupKey res $res timed out after $deadlineMs ms")
+    try {
+      val cur = protocol.readSmall(f)
+        .map(b => new String(b, StandardCharsets.UTF_8).trim.toLong)
+        .getOrElse(1L)
+      // atomic publish: a crash mid-write can never leave a truncated
+      // counter behind
+      protocol.publish(f, (cur + numIds).toString.getBytes(StandardCharsets.UTF_8))
+      (cur, cur + numIds)
+    } finally protocol.delete(lock)
   }
 }

@@ -391,10 +391,31 @@ object SpatialOps {
               Seq("morton"), "left_semi")
         pruned.select(col("id"))
       }
-    val boundary = dec.boundaries.map { b =>
-      cutoutFromCuboids(cuboids, lookupKey, res, b, tRange, vt, dims)
-        .where(col("value") =!= 0).select(col("value").as("id"))
-    }.reduceOption(_ union _).getOrElse(noIds)
+    // ONE pruned scan for all ≤6 boundary slabs (not a scan per slab):
+    // the covering sets union into a single morton prune, and the slabs
+    // are disjoint so their box predicates OR together over one decode
+    val boundary: DataFrame = dec.boundaries match {
+      case Seq() => noIds
+      case slabs =>
+        import spark.implicits._
+        val ranged = cuboids
+          .where(col("lookupKey") === lookupKey && col("res") === res)
+          .where(col("t") >= tRange.start && col("t") < tRange.end)
+        val cubs =
+          if (slabs.map(Region.coveringCount(_, dims)).sum <= 4096) {
+            val ms = slabs.flatMap(Region.coveringMortons(_, dims)).distinct.sorted
+            ranged
+              .where(col("morton") >= ms.head && col("morton") <= ms.last)
+              .where(col("morton").isin(ms: _*))
+          } else {
+            val cover = slabs.map(coveringMortonsDf(spark, _, dims)).reduce(_ union _)
+            ranged.join(cover.hint("shuffle_hash"), Seq("morton"), "left_semi").as[CuboidRow]
+          }
+        CuboidCodec.toVoxels(cubs, vt, dims).toDF()
+          .where(slabs.map(boxPredicate).reduce(_ || _) &&
+            col("t") >= tRange.start && col("t") < tRange.end)
+          .where(col("value") =!= 0).select(col("value").as("id"))
+    }
     interior.union(boundary).distinct()
   }
 

@@ -24,6 +24,8 @@ case class DotProductQ(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    SortedSetGuards.noNulls(x, "dot_q")
+    SortedSetGuards.noNulls(y, "dot_q")
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
@@ -40,6 +42,8 @@ case class DotProductQ(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
+         |graft.functions.SortedSetGuards.noNulls($a, "dot_q");
+         |graft.functions.SortedSetGuards.noNulls($b, "dot_q");
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {

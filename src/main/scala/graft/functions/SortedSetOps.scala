@@ -23,6 +23,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * adjacent and are skipped in the merge), which lets callers drop the
   * quadratic per-row `array_distinct` entirely.
   */
+/** Runtime guard shared by the long-array expressions (interpreted eval
+  * AND generated code call the same static): an array slot that is NULL
+  * would read back as an arbitrary long through `getLong`, silently
+  * corrupting counts/distances — fail loudly instead. (Analysis-time
+  * `containsNull = false` enforcement would reject the nullable-typed but
+  * null-free arrays every upstream `transform(...)` produces.)
+  */
+object SortedSetGuards {
+  def noNulls(a: ArrayData, who: String): Unit = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$who: NULL element at position $i — long-array inputs must be null-free")
+      i += 1
+    }
+  }
+}
+
 object SortedSetOps {
 
   /** `|distinct(a) ∩ distinct(b)|` for two ASCENDING-sorted long arrays. */
@@ -64,6 +84,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    SortedSetGuards.noNulls(x, "sorted_intersect_count")
+    SortedSetGuards.noNulls(y, "sorted_intersect_count")
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < n && j < m) {
@@ -86,6 +108,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
+         |graft.functions.SortedSetGuards.noNulls($a, "sorted_intersect_count");
+         |graft.functions.SortedSetGuards.noNulls($b, "sorted_intersect_count");
          |int $n = $a.numElements(); int $m = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $n && $j < $m) {
@@ -118,6 +142,7 @@ case class SortedDistinctCount(child: Expression)
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    SortedSetGuards.noNulls(x, "sorted_distinct_count")
     val n = x.numElements()
     if (n == 0) 0L
     else {
@@ -134,6 +159,7 @@ case class SortedDistinctCount(child: Expression)
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val c = ctx.freshName("c")
       s"""
+         |graft.functions.SortedSetGuards.noNulls($a, "sorted_distinct_count");
          |int $n = $a.numElements();
          |long $c = $n == 0 ? 0L : 1L;
          |for (int $i = 1; $i < $n; $i++) {

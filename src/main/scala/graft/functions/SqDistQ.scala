@@ -29,6 +29,8 @@ case class SqDistQ(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    SortedSetGuards.noNulls(x, "sqdist_q")
+    SortedSetGuards.noNulls(y, "sqdist_q")
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
@@ -47,6 +49,8 @@ case class SqDistQ(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
+         |graft.functions.SortedSetGuards.noNulls($a, "sqdist_q");
+         |graft.functions.SortedSetGuards.noNulls($b, "sqdist_q");
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {

@@ -49,6 +49,11 @@ object BloscCodec {
     // (0x4) or DELTA (0x8) frame as plain bytes would return garbage of
     // the CORRECT length, sailing straight past callers' size checks
     require((flags & 0xc) == 0, s"unsupported blosc filter flags 0x${flags.toHexString}")
+    // corrupt-header guard: nbytes sizes the output allocation and
+    // blocksize is a divisor below — fail with a clear message instead
+    // of a negative-size allocation or divide-by-zero
+    require(nbytes >= 0 && blocksize > 0,
+      s"blosc header corrupt: nbytes=$nbytes blocksize=$blocksize")
     val out = new Array[Byte](nbytes)
     if (nbytes == 0) return out
     if ((flags & 0x2) != 0) { // memcpy frame: raw original buffer
@@ -72,11 +77,18 @@ object BloscCodec {
       // a typesize multiple); fail loudly rather than drop a remainder
       require(neblock * nsplits == bsize,
         s"blosc block $j: $bsize bytes not coverable by $nsplits streams")
+      // corrupt-offset guard: a bad block start would otherwise send
+      // lzDecompress reading outside the frame entirely
+      require(bstart >= 16 + 4 * nblocks && bstart <= frame.length,
+        s"blosc block $j: start offset $bstart outside frame")
       var ip = bstart
       var op = 0
       var s = 0
       while (s < nsplits) {
+        require(ip + 4 <= frame.length, s"blosc block $j: truncated stream header")
         val sc = hdr.getInt(ip); ip += 4
+        require(sc >= 0 && ip + sc <= frame.length,
+          s"blosc block $j: stream of $sc bytes overruns frame")
         if (sc == neblock) { // raw stream
           System.arraycopy(frame, ip, block, op, neblock)
         } else {
@@ -116,25 +128,33 @@ object BloscCodec {
         var ref = op - ofs
         if (len == 6) { // 7 - 1: extended length
           var code = 0
-          do { code = in(ip) & 0xff; ip += 1; len += code } while (code == 255)
+          do {
+            require(ip < ipLimit, "blosclz: truncated extended match length")
+            code = in(ip) & 0xff; ip += 1; len += code
+          } while (code == 255)
         }
+        require(ip < ipLimit, "blosclz: truncated match offset")
         val code = in(ip) & 0xff; ip += 1
         ref -= code
         if (code == 255 && ofs == (31 << 8)) { // far distance
+          require(ip + 2 <= ipLimit, "blosclz: truncated far distance")
           var o = (in(ip) & 0xff) << 8; ip += 1
           o += in(ip) & 0xff; ip += 1
           ref = op - o - MaxDistance
         }
         if (ip < ipLimit) { ctrl = in(ip) & 0xff; ip += 1 } else loop = false
         if (ref == op) { // run of the previous byte
+          require(op > outOff, "blosclz: run with no previous byte")
           val b = out(op - 1)
           var k = len + 3
           require(op + k <= opLimit, "blosclz: output overrun")
           while (k > 0) { out(op) = b; op += 1; k -= 1 }
         } else {
           ref -= 1
+          // ref < op: a match may only copy already-written bytes
+          // (overlapping forward copies are legal and handled byte-wise)
+          require(op + len + 3 <= opLimit && ref >= outOff && ref < op, "blosclz: bad match")
           var k = len + 3
-          require(op + k <= opLimit && ref >= outOff, "blosclz: bad match")
           while (k > 0) { out(op) = out(ref); op += 1; ref += 1; k -= 1 }
         }
       } else { // literal run of ctrl + 1 bytes

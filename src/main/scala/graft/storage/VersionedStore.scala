@@ -23,35 +23,32 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * with the same atomic-visibility contract. `compact` collapses long
   * chains as a maintenance job, exactly like table-format compaction.
   *
-  * Commit-coordination caveat: the writer mutex relies on
-  * `Files.createFile` being atomic, which holds on POSIX filesystems and
-  * HDFS but NOT on plain S3 (no create-if-absent until S3 conditional
-  * writes; and `_CURRENT` replace needs read-after-write consistency).
-  * Deploying the store on object storage means swapping `tryAcquire` /
-  * the pointer swing for S3 `If-None-Match` conditional PUTs or a DynamoDB
-  * lock row — the table-format playbook (Delta's LogStore, Iceberg's
-  * lock-manager) — while every other code path is storage-agnostic
-  * through the Hadoop FS layer.
+  * Commit coordination goes through [[CommitProtocol]] — the writer
+  * mutex, the `_CURRENT` pointer swing, and their atomicity requirements
+  * live behind that interface ([[LocalFsCommitProtocol]] here; see the
+  * trait's S3 conditional-PUT design note for the object-store
+  * deployment). Every other code path is storage-agnostic through the
+  * Hadoop FS layer.
   */
 object VersionedStore {
+
+  /** Pluggable control-plane primitives (local-FS in this sandbox). */
+  private val protocol: CommitProtocol = LocalFsCommitProtocol
 
   private def currentFile(path: String): Path = Paths.get(path, "_CURRENT")
   private def lockFile(path: String): Path = Paths.get(path, "_LOCK")
 
-  def currentVersion(path: String): Option[Int] = {
-    val f = currentFile(path)
-    if (Files.exists(f))
-      Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toInt)
-    else None
-  }
+  def currentVersion(path: String): Option[Int] =
+    protocol.readSmall(currentFile(path))
+      .map(b => new String(b, StandardCharsets.UTF_8).trim.toInt)
 
   def isLocked(path: String): Boolean = Files.exists(lockFile(path))
 
   /** W6: set/clear the channel write lock. */
   def setLock(path: String, locked: Boolean): Unit = {
     Files.createDirectories(Paths.get(path))
-    if (locked) { Files.write(lockFile(path), Array.emptyByteArray); () }
-    else { Files.deleteIfExists(lockFile(path)); () }
+    if (locked) { protocol.tryCreateExclusive(lockFile(path)); () }
+    else protocol.delete(lockFile(path))
   }
 
   private def isDeltaVersion(path: String, v: Int): Boolean =
@@ -175,38 +172,17 @@ object VersionedStore {
       throw new IllegalStateException(s"store $path is write-locked")
     Files.createDirectories(Paths.get(path))
     val marker = Paths.get(path, "_COMMIT")
-    val deadline = System.currentTimeMillis() + CommitLockTimeoutMs
-    while (!tryAcquire(marker)) {
-      if (System.currentTimeMillis() > deadline)
-        throw new IllegalStateException(s"commit lock on $path not released")
-      Thread.sleep(20)
-    }
+    if (!protocol.acquireMutex(marker, staleMs = CommitLockTimeoutMs,
+        deadlineMs = CommitLockTimeoutMs, pollMs = 20))
+      throw new IllegalStateException(s"commit lock on $path not released")
     try {
       val next = currentVersion(path).getOrElse(-1) + 1
       write(next)
-      val tmp = Paths.get(path, s"_CURRENT.tmp$next")
-      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, currentFile(path), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      protocol.publish(currentFile(path),
+        next.toString.getBytes(StandardCharsets.UTF_8))
       next
-    } finally {
-      Files.deleteIfExists(marker)
-      ()
-    }
+    } finally protocol.delete(marker)
   }
 
   final val CommitLockTimeoutMs = 600000L
-
-  private def tryAcquire(marker: Path): Boolean =
-    try { Files.createFile(marker); true }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        // crashed committer recovery: break stale markers
-        try {
-          val age = System.currentTimeMillis() -
-            Files.getLastModifiedTime(marker).toMillis
-          if (age > CommitLockTimeoutMs) Files.deleteIfExists(marker)
-        } catch { case _: java.io.IOException => () }
-        false
-    }
 }

@@ -11,7 +11,17 @@ import graft.sources.{BloscCodec, BloscIngest}
 /** The blosc ingest-compat codec: format-level fixtures (hand-built
   * frames and blosclz streams that pin the c-blosc 1.11 wire layout the
   * reference's blosc==1.5.0 emits) plus round-trips through every
-  * compressor path, and the Spark bulk-load into CuboidRows.
+  * compressor path, corruption fuzzing of the bounds guards, and the
+  * Spark bulk-load into CuboidRows.
+  *
+  * KNOWN GAP (accepted): no golden frames produced by the actual pinned
+  * python-blosc exist here — this environment has neither the package
+  * nor network egress to obtain one, so the implicit split-block rule is
+  * pinned only by the hand-built fixtures below (written byte-by-byte
+  * from the c-blosc 1.11 header spec) and by self-round-trips. Before a
+  * real migration, vendor a handful of frames from the pinned
+  * python-blosc (typesizes 8/16/64, compressible + incompressible,
+  * >16 KB multi-block) and assert byte-exact decode against them.
   */
 class BloscSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -101,6 +111,40 @@ class BloscSpec extends AnyFunSuite {
       val back = BloscCodec.decompress(BloscCodec.compress(data, ts))
       assert(back.toSeq == data.toSeq, s"typesize=$ts trial=$trial n=$n")
     }
+  }
+
+  test("corrupt frames fail with clear requires, never raw index exceptions") {
+    val rnd = new scala.util.Random(31)
+    // a real compressible frame so corruption lands in live stream bytes
+    val data = Array.tabulate[Byte](4096)(i => (i % 17).toByte)
+    val good = BloscCodec.compress(data, typesize = 8)
+    assert(BloscCodec.decompress(good).toSeq == data.toSeq)
+    var checked = 0
+    for (_ <- 0 until 300) {
+      val bad = good.clone()
+      // corrupt 1-4 bytes anywhere past the magic fields (version bytes
+      // stay valid so we exercise the decoder, not the version check)
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val pos = 2 + rnd.nextInt(bad.length - 2)
+        bad(pos) = (bad(pos) ^ (1 + rnd.nextInt(255))).toByte
+      }
+      try { BloscCodec.decompress(bad); () }
+      catch {
+        case _: IllegalArgumentException => checked += 1 // require(...) — the contract
+        case e: ArrayIndexOutOfBoundsException =>
+          fail(s"raw AIOOBE escaped the bounds guards: $e")
+        case e: IndexOutOfBoundsException =>
+          fail(s"raw IOOBE escaped the bounds guards: $e")
+        case _: NegativeArraySizeException =>
+          fail("negative allocation escaped the header guard")
+      }
+    }
+    // the fuzz must actually exercise the failure paths, not no-op
+    assert(checked > 50, s"only $checked corruptions hit a guard")
+    // truncated frame: clear message, not a buffer exception
+    val truncated = java.util.Arrays.copyOf(good, good.length - 7)
+    val e = intercept[IllegalArgumentException](BloscCodec.decompress(truncated))
+    assert(e.getMessage.contains("cbytes"))
   }
 
   test("shuffle/unshuffle are exact inverses incl. ragged tail") {

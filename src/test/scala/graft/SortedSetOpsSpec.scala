@@ -43,6 +43,27 @@ class SortedSetOpsSpec extends AnyFunSuite {
     assert(e.getLong(0) === 0L && e.getLong(1) === 0L)
   }
 
+  test("NULL array elements fail loudly in every long-array expression") {
+    import graft.functions.{DotProductQ, SqDistQ}
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+      .select(
+        array(lit(1L), lit(null).cast("long"), lit(3L)).as("bad"),
+        array(lit(1L), lit(2L), lit(3L)).as("ok"))
+    def boom(c: org.apache.spark.sql.Column): Unit = {
+      val e = intercept[Exception](df.select(c).collect())
+      def hasNullMsg(t: Throwable): Boolean =
+        t != null && (String.valueOf(t.getMessage).contains("null-free") || hasNullMsg(t.getCause))
+      assert(hasNullMsg(e), s"expected the null-free guard, got: $e")
+    }
+    boom(SortedSetOps.intersectCount(col("bad"), col("ok")))
+    boom(SortedSetOps.distinctCount(col("bad")))
+    boom(SqDistQ(col("ok"), col("bad")))
+    boom(DotProductQ(col("bad"), col("ok")))
+    // null-free inputs are untouched
+    assert(df.select(SortedSetOps.intersectCount(col("ok"), col("ok"))).head().getLong(0) == 3L)
+  }
+
   test("boundedDistinctSet: sorted distinct sets, null outside [2, maxDf], merge-safe") {
     import spark.implicits._
     val maxDf = 4
