@@ -293,6 +293,38 @@ object Pipeline {
               |${Graph.connectedComponentsSql("id_a", "id_b")}
               |ORDER BY id""".stripMargin.replace("\n", " "))),
 
+    // The END of the dedup pipeline — what a migrating user actually
+    // runs: LSH near-dup pairs (q32) → transitive closure (q81's shape)
+    // → one representative per duplicate cluster (min doc_id), every
+    // other member marked dropped. One row per document: (doc_id, rep,
+    // kept). Oracle = the same closure as a recursive CTE.
+    "q85_dedup_resolve" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.nearDupPairs(docs, "doc_id", "text").where(col("is_dup"))
+        val cc = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        docs.select(col("doc_id"))
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("rep"),
+            (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT doc_a, doc_b FROM (${Dedup.nearDupPairsSql("documents", "doc_id", "text")}) p
+              |  WHERE is_dup),
+              |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              |      UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM e
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+              |cc AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+              |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS rep,
+              |       coalesce(cc.component, d.doc_id) = d.doc_id AS kept
+              |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
     // Bloom-filter build as rows (4096 bits / 128 32-bit words, k=3
     // salted portable hashes): bit_or is distributive, so words combine
     // map-side and across shards — the mergeable membership sketch a
