@@ -198,6 +198,20 @@ final class GraftDB(
     }
   }
 
+  /** Maintenance job: collapse both delta chains (cuboids + index) into
+    * fresh full snapshots — the table-format compaction analog. Readers
+    * never require it; run it when write-heavy channels accumulate deep
+    * chains. Returns the compacted store version.
+    */
+  def compact(): Int = {
+    val v = VersionedStore.compact(spark, storeRoot)
+    if (maintainsIndex && IndexStore.exists(indexPath)) {
+      IndexStore.compact(spark, indexPath)
+      ()
+    }
+    v
+  }
+
   /** `AWSObjectStore.reserve_ids` (`object_indices.py:667-728`). */
   def reserveIds(numIds: Long, res: Int = 0): (Long, Long) =
     IdReservation.reserve(s"$storeRoot/_ids", lk, res, numIds)

@@ -28,10 +28,15 @@ object Graph {
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions; min-aggregation semantics
-    // make duplicate edges harmless, so no distinct() exchange
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // undirected edge list, both directions, in ONE scan of `pairs` (a
+    // union of two selects would execute the caller's pair pipeline —
+    // often a full LSH candgen — twice before the persist catches it);
+    // min-aggregation semantics make duplicate edges harmless, so no
+    // distinct() exchange
+    val edges = pairs.select(explode(array(
+      struct(col(aCol).as("u"), col(bCol).as("v")),
+      struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (eager), NOT persist: each pass derives from the
     // previous labels, so without lineage truncation the logical plan

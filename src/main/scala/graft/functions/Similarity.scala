@@ -179,9 +179,19 @@ object Similarity {
     // for placement quality the rerank doesn't need. (Correctness is
     // centroid-independent: with nprobe = nlist the result equals brute
     // force regardless of placement — the q55 oracle property.)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setInitMode("random").setFeaturesCol("fv")
-      .fit(withVec.select("fv").limit(trainCap))
+    // repartition after the limit (a bare global limit funnels the fit
+    // input to ONE partition, serializing every Lloyd pass) and persist
+    // it around the fit: KMeans re-executes its input plan per
+    // iteration, and the capped input is ≤ trainCap rows by construction
+    // so the cache is bounded at any corpus size — released before return
+    val fitInput = withVec.select("fv").limit(trainCap)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+        .setInitMode("random").setFeaturesCol("fv")
+        .fit(fitInput)
+      finally { fitInput.unpersist(); () }
     val assigned = model.transform(withVec)
       .select(col(idCol), quantize(col(embCol)).as("qe"), col("prediction").as("cell"))
     // nprobe nearest centroids per query vector, by exact centroid distance

@@ -95,6 +95,15 @@ object IndexStore {
     arranged.write.mode("overwrite").parquet(dir)
   }
 
+  /** Collapse the delta chain into one id-clustered full snapshot
+    * (maintenance job, like [[VersionedStore.compact]]; readers never
+    * require it — chain resolution is exact at any depth).
+    */
+  def compact(spark: SparkSession, path: String): Int = {
+    import spark.implicits._
+    commitFull(read(spark, path).as[IdxRow], path)
+  }
+
   /** Resolved current index: flat (lookupKey, res, t, morton, id) rows,
     * tombstones removed. Delta chains resolve per cuboid key — a key's
     * rows all come from the newest version that wrote that key (max-__v

@@ -155,6 +155,29 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.getBoundingBox(424242L).isEmpty)
   }
 
+  test("compact collapses data and index chains without changing any result") {
+    import spark.implicits._
+    import graft.storage.{IndexStore, VersionedStore}
+    val db = newDb()
+    db.writeCuboid(Seq(
+      (0L, 1L, 1L, 1L, 42L), (0L, 9L, 1L, 1L, 42L), (0L, 2L, 2L, 2L, 9L))
+      .toDF("t", "x", "y", "z", "value"))
+    db.writeCuboid(Seq((0L, 3L, 3L, 3L, 7L)).toDF("t", "x", "y", "z", "value"))
+    db.writeCuboid(Seq((0L, 9L, 1L, 1L, 1L)).toDF("t", "x", "y", "z", "value"), toBlack = true)
+    def snapshot() = (
+      db.cutout((0, 0, 0), (16, 16, 8)).where($"value" =!= 0)
+        .select($"x", $"y", $"z", $"value").as[(Long, Long, Long, Long)].collect().toSet,
+      db.getBoundingBox(42L).collect().head.toSeq)
+    val before = snapshot()
+    val v = db.compact()
+    // both current versions are full snapshots now (no _DELTA marker)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(db.storeRoot, s"v$v", "_DELTA")))
+    val iv = VersionedStore.currentVersion(IndexStore.path(db.storeRoot)).get
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(IndexStore.path(db.storeRoot), s"v$iv", "_DELTA")))
+    assert(snapshot() == before)
+  }
+
   test("id reservation and hierarchy build through the facade") {
     import spark.implicits._
     val db = newDb()
