@@ -160,10 +160,22 @@ object CuboidStore {
       .saveAsTable(tableName)
   }
 
+  /** Read schema, explicit: schema INFERENCE throws on a version
+    * directory holding no parquet files (an empty delta commit — legal:
+    * a write whose merge produced zero cuboids), where an explicit
+    * schema correctly yields an empty dataset. Partition columns
+    * (lookupKey, res) resolve from the directory layout as usual.
+    */
+  private val readSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("morton", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("data", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("lookupKey", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("res", org.apache.spark.sql.types.IntegerType)))
+
   def read(spark: SparkSession, path: String): Dataset[CuboidRow] = {
     import spark.implicits._
-    // partition columns come back as read types; normalize
-    spark.read.parquet(path)
+    spark.read.schema(readSchema).parquet(path)
       .select(
         col("lookupKey").cast("string"),
         col("res").cast("int"),

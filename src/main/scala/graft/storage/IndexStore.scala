@@ -132,11 +132,19 @@ object IndexStore {
     }
   }
 
-  private def readVersion(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).select(
+  private def readVersion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // explicit schema: inference throws on a file-less version directory
+    // (the index delta of an empty write); explicit reads yield empty
+    val schema = StructType(Seq(
+      StructField("lookupKey", StringType), StructField("res", IntegerType),
+      StructField("t", IntegerType), StructField("morton", LongType),
+      StructField("id", LongType)))
+    spark.read.schema(schema).parquet(dir).select(
       col("lookupKey").cast("string"),
       col("res").cast("int"),
       col("t").cast("int"),
       col("morton").cast("long"),
       col("id").cast("long"))
+  }
 }

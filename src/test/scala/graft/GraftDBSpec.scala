@@ -155,6 +155,20 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.getBoundingBox(424242L).isEmpty)
   }
 
+  test("an empty write commits harmlessly and later reads/writes still work") {
+    import spark.implicits._
+    val db = newDb()
+    db.writeCuboid(Seq((0L, 1L, 1L, 1L, 5L)).toDF("t", "x", "y", "z", "value"))
+    // zero-row write: commits an empty delta version (and an empty index
+    // delta) — chain reads must treat it as empty, not fail schema
+    // inference on the file-less version directory
+    db.writeCuboid(Seq.empty[(Long, Long, Long, Long, Long)].toDF("t", "x", "y", "z", "value"))
+    assert(db.cutout((0, 0, 0), (8, 8, 4)).select("value").as[Long].collect().toSeq == Seq(5L))
+    assert(db.getBoundingBox(5L).collect().head.getAs[Long]("x_min") == 1L)
+    db.writeCuboid(Seq((0L, 2L, 2L, 2L, 7L)).toDF("t", "x", "y", "z", "value"))
+    assert(db.cutout((0, 0, 0), (8, 8, 4)).where($"value" =!= 0).count() == 2)
+  }
+
   test("compact collapses data and index chains without changing any result") {
     import spark.implicits._
     import graft.storage.{IndexStore, VersionedStore}
