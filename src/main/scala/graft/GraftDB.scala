@@ -204,10 +204,19 @@ final class GraftDB(
     * chains. Returns the compacted store version.
     */
   def compact(): Int = {
+    val pre = VersionedStore.currentVersion(storeRoot)
     val v = VersionedStore.compact(spark, storeRoot)
     if (maintainsIndex && IndexStore.exists(indexPath)) {
       IndexStore.compact(spark, indexPath)
       ()
+    }
+    // compaction is content-preserving: if the hierarchy was current at
+    // the pre-compact version, it is equally current at the compacted
+    // one — carry the marker forward so the next propagate stays a no-op
+    // instead of falling back to a full rebuild.
+    hierarchyMarker match {
+      case Some((h, l)) if pre.contains(h) => setHierarchyMarker(v, l)
+      case _ => ()
     }
     v
   }
@@ -231,20 +240,41 @@ final class GraftDB(
     else GraftDB.NotDownsampled
   }
 
-  private def setDownsampleStatus(s: String): Unit = {
+  private def setDownsampleStatus(s: String): Unit =
+    atomicWrite("_DOWNSAMPLE_STATUS", s)
+
+  /** Write-then-atomic-move (the _CURRENT pointer pattern): a concurrent
+    * reader can never observe an empty/torn control file. Logical races
+    * between a base writer and the downsample worker remain governed by
+    * the single-downsample-worker deployment contract documented in
+    * buildHierarchy.
+    */
+  private def atomicWrite(name: String, content: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(storeRoot))
-    // write-then-atomic-move (the _CURRENT pointer pattern): a concurrent
-    // reader can never observe an empty/torn status file. Logical races
-    // between a base writer and the downsample worker remain governed by
-    // the single-downsample-worker deployment contract documented in
-    // buildHierarchy.
-    val tmp = Paths.get(storeRoot, s"_DOWNSAMPLE_STATUS.tmp${Thread.currentThread().getId}")
-    Files.write(tmp, s.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(storeRoot, "_DOWNSAMPLE_STATUS"),
+    val tmp = Paths.get(storeRoot, s"$name.tmp${Thread.currentThread().getId}")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(storeRoot, name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  /** `(base store version the current hierarchy reflects, levels built)`,
+    * recorded by [[buildHierarchy]]/[[propagate]] so [[propagate]] can
+    * tell exactly which committed versions the pyramid has not seen yet.
+    */
+  def hierarchyMarker: Option[(Int, Int)] = {
+    val p = java.nio.file.Paths.get(storeRoot, "_HIERARCHY_V")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val parts =
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.split("\\s+")
+      Some((parts(0).toInt, parts(1).toInt))
+    }
+  }
+
+  private def setHierarchyMarker(v: Int, levels: Int): Unit =
+    atomicWrite("_HIERARCHY_V", s"$v $levels")
 
   /** The hierarchy job: build and commit all levels of the current
     * snapshot's base-resolution data (A5/A6 per level). Walks the
@@ -279,6 +309,9 @@ final class GraftDB(
       // the full snapshot re-derived every level — rebuild the index to
       // match (full, not delta: derived levels replace wholesale)
       if (maintainsIndex) commitIndexFor(v, full = true)
+      // the committed snapshot IS the base state the pyramid reflects;
+      // [[propagate]] treats versions after this as dirty
+      setHierarchyMarker(v, levels)
       // if another session advanced the base while we built, the pyramid
       // we just committed is already stale — advertise that, don't lie.
       // (A commit landing in the tiny window between the re-check and
@@ -290,6 +323,155 @@ final class GraftDB(
     } catch {
       case e: Throwable => setDownsampleStatus(GraftDB.NotDownsampled); throw e
     }
+  }
+
+  /** Incremental hierarchy maintenance: recompute ONLY the derived-level
+    * cuboids whose base data changed since the last build, and commit
+    * them as one delta. [[buildHierarchy]] costs O(store) — fine for the
+    * first build, a scale-killer as the per-write refresh at 100 TB,
+    * where one small write would force a full-channel rebuild. Each
+    * level-k cuboid depends on exactly its 4 (or 8, once z scales)
+    * level-(k-1) children, so the dirty set grows by at most the write's
+    * own footprint per level and the whole job costs O(write × levels):
+    * chain-read the dirty cuboids ([[VersionedStore.readForKeys]]),
+    * re-downsample them together with their clean siblings, zero-fill
+    * parents whose recompute came back empty (an erase must mask the
+    * stale cuboid), commit one delta, advance the `_HIERARCHY_V` marker.
+    *
+    * Falls back to [[buildHierarchy]] when incremental maintenance is
+    * not well-defined: no hierarchy yet, a non-delta version in the
+    * unseen range (someone rebuilt or compacted underneath a stale
+    * marker), or a direct write at a derived level (the reference's
+    * base+1 aniso quirk). Returns the committed (or current) version.
+    */
+  def propagate(): Int = {
+    import spark.implicits._
+    val cur = VersionedStore.currentVersion(storeRoot).getOrElse(
+      throw new IllegalStateException("propagate: nothing committed"))
+    hierarchyMarker match {
+      case None => buildHierarchy()
+      case Some((h, _)) if h >= cur => cur // hierarchy already current
+      case Some((h, levels)) =>
+        // versions the pyramid has not seen; our own propagate commits
+        // carry a _PROPAGATE marker and contain no base changes
+        val unseen = ((h + 1) to cur).filterNot(isPropagateVersion)
+        if (unseen.isEmpty) {
+          setHierarchyMarker(cur, levels)
+          setDownsampleStatus(GraftDB.Downsampled)
+          cur
+        } else if (!unseen.forall(VersionedStore.isDelta(storeRoot, _)))
+          buildHierarchy(levels)
+        else {
+          val writes = unseen
+            .map(v => CuboidStore.read(spark, s"$storeRoot/v$v").toDF())
+            .reduce(_ union _)
+          if (writes.where(col("res") =!= 0).limit(1).count() > 0)
+            buildHierarchy(levels) // derived-level direct write: rebuild
+          else propagateIncremental(writes, cur, levels)
+        }
+    }
+  }
+
+  private def isPropagateVersion(v: Int): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(storeRoot, s"v$v", "_PROPAGATE"))
+
+  private def propagateIncremental(writes: DataFrame, baseV: Int, levels: Int): Int = {
+    import spark.implicits._
+    import graft.core.Morton
+    import graft.storage.CuboidRow
+    setDownsampleStatus(GraftDB.InProgress)
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      val annotation = resource.channel.channelType == ChannelType.Annotation
+      val iso = resource.isotropicLevel
+      val keyOf = (coords: DataFrame, res: Int) =>
+        coords.select(
+          lit(lk).as("lookupKey"), lit(res).as("res"), col("t"),
+          Morton.morton_encode(col("cx"), col("cy"), col("cz")).as("morton"))
+      // dirty cuboid-grid coords at the base level
+      var dirty = writes.where(col("res") === 0)
+        .select(col("t"),
+          Morton.morton_x(col("morton")).as("cx"),
+          Morton.morton_y(col("morton")).as("cy"),
+          Morton.morton_z(col("morton")).as("cz"))
+        .distinct()
+      // current content of the dirty cuboids (chain-resolved, O(write))
+      var dirtyVoxels = CuboidCodec.toVoxels(
+        VersionedStore.readForKeys(spark, storeRoot, keyOf(dirty, 0)), vt, dims).toDF()
+      var acc: org.apache.spark.sql.Dataset[CuboidRow] = null
+      for (res <- 1 until levels) {
+        // same level geometry as buildPyramid: x/y halve every level; z
+        // halves only for annotation channels past the isotropic level
+        val scaleZ = annotation && res > iso
+        val parents = dirty.select(col("t"),
+          shiftright(col("cx"), 1).as("cx"),
+          shiftright(col("cy"), 1).as("cy"),
+          (if (scaleZ) shiftright(col("cz"), 1) else col("cz")).as("cz"))
+          .distinct()
+        // every child of a dirty parent: dirty ones carry this pass's
+        // recomputed content, clean siblings come from the store
+        val zOffs = if (scaleZ) Seq(0, 1) else Seq(0)
+        val offsets = array((for { ox <- 0 to 1; oy <- 0 to 1; oz <- zOffs }
+          yield struct(lit(ox).as("ox"), lit(oy).as("oy"), lit(oz).as("oz"))): _*)
+        val children = parents
+          .select(col("t"), col("cx"), col("cy"), col("cz"), explode(offsets).as("o"))
+          .select(col("t"),
+            (col("cx") * 2 + col("o.ox")).as("cx"),
+            (col("cy") * 2 + col("o.oy")).as("cy"),
+            (if (scaleZ) col("cz") * 2 + col("o.oz") else col("cz")).as("cz"))
+        val cleanKeys = children.join(dirty, Seq("t", "cx", "cy", "cz"), "left_anti")
+        val input = dirtyVoxels.unionByName(CuboidCodec.toVoxels(
+          VersionedStore.readForKeys(spark, storeRoot, keyOf(cleanKeys, res - 1)),
+          vt, dims).toDF())
+        val level = (if (annotation) SpatialOps.downsampleAnnotation(input, scaleZ)
+                     else SpatialOps.zoomOut(input, 1))
+          .withColumn("res", col("res") + 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += level
+        val produced = CuboidCodec.fromVoxels(level.as[VoxelRow], vt, dims)
+        // a dirty parent whose recompute has no voxels left (an erase)
+        // must still mask its stale blob: emit an explicit zero cuboid
+        val producedKeys = level.select(col("t"),
+          expr(s"x div ${dims.x}").as("cx"),
+          expr(s"y div ${dims.y}").as("cy"),
+          expr(s"z div ${dims.z}").as("cz")).distinct()
+        val blobSize = (dims.x * dims.y * dims.z).toInt * vt.byteWidth
+        val lkLocal = lk
+        val resLocal = res
+        val zeroed = parents.join(producedKeys, Seq("t", "cx", "cy", "cz"), "left_anti")
+          .select(col("t").cast("int"), col("cx"), col("cy"), col("cz"))
+          .as[(Int, Long, Long, Long)]
+          .map { case (t, cx, cy, cz) =>
+            CuboidRow(lkLocal, resLocal, t, Morton.encode(cx, cy, cz),
+              new Array[Byte](blobSize))
+          }
+        val levelCuboids = produced.union(zeroed)
+        acc = if (acc == null) levelCuboids else acc.union(levelCuboids)
+        dirty = parents
+        dirtyVoxels = level
+      }
+      val v =
+        if (acc == null) baseV // levels == 1: nothing derived to maintain
+        else {
+          val committed = VersionedStore.commitDelta(acc, storeRoot)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(storeRoot, s"v$committed", "_PROPAGATE"),
+            Array.emptyByteArray)
+          if (maintainsIndex) commitIndexFor(committed, full = false)
+          committed
+        }
+      // marker = the base version whose writes we just folded in; our own
+      // commit is _PROPAGATE-marked so the next propagate skips it
+      setHierarchyMarker(baseV, levels)
+      // our delta took the slot right after baseV iff no write raced the
+      // commit; an interleaved base write means the pyramid is stale again
+      setDownsampleStatus(
+        if (v == baseV || v == baseV + 1) GraftDB.Downsampled
+        else GraftDB.NotDownsampled)
+      v
+    } catch {
+      case e: Throwable => setDownsampleStatus(GraftDB.NotDownsampled); throw e
+    } finally persisted.foreach(_.unpersist())
   }
 }
 

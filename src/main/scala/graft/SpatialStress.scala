@@ -95,6 +95,20 @@ object SpatialStress {
     timed("facade_bbox_tight_localized") {
       db.getBoundingBox(999999L, tight = true).count()
     }
+    // hierarchy maintenance at scale: the first build pays O(store) once;
+    // after a one-cuboid patch the incremental propagate pays O(write x
+    // levels) — the contrast between these two stages is the point
+    timed("facade_build_hierarchy_full") {
+      db.buildHierarchy(3)
+    }
+    timed("facade_patch_write") {
+      db.writeCuboid(VolumeGen.constant(
+        spark, "s", 0, Box(40, 56, 40, 56, 4, 12), 0 until 1, value = 31L)
+        .toDF().select(col("t"), col("x"), col("y"), col("z"), col("value")))
+    }
+    timed("facade_propagate_incremental") {
+      db.propagate()
+    }
     val total = math.rint(stages.values.sum * 100) / 100
     val json =
       s"""{"metric":"spatial_stress","voxels":$nVox,"unit":"sec","total":$total,""" +

@@ -54,6 +54,13 @@ object VersionedStore {
   private def isDeltaVersion(path: String, v: Int): Boolean =
     Files.exists(Paths.get(path, s"v$v", "_DELTA"))
 
+  /** Whether version `v` was committed as a delta (masks older versions
+    * key-by-key) rather than a full snapshot. Public so maintenance jobs
+    * (incremental hierarchy propagation) can classify the versions
+    * committed since their last run.
+    */
+  def isDelta(path: String, v: Int): Boolean = isDeltaVersion(path, v)
+
   /** Newest-first version chain ending at the most recent full snapshot
     * (or v0). Each delta masks older versions key-by-key on read.
     */
@@ -105,6 +112,11 @@ object VersionedStore {
     * micro-batch O(batch): without it, resolving `existing` would
     * shuffle the whole store per batch.
     */
+  /** Key-footprint cap for literal pushdown in [[readForKeys]] — mirrors
+    * the engine-wide 4096 `isin` guard (SpatialOps covering sets).
+    */
+  private val PushdownCap = 4096
+
   def readForKeys(
       spark: SparkSession,
       path: String,
@@ -117,8 +129,30 @@ object VersionedStore {
       case None => spark.emptyDataset[CuboidRow]
       case Some(v) =>
         val chain = versionChain(path, v)
+        // A semi-join alone reaches the scan as a runtime filter at best:
+        // it can prune neither the (lookupKey, res) partition directories
+        // nor the Z-clustered morton row groups, so every chain member
+        // reads its full blob column. Collect the key footprint (bounded —
+        // it is O(one write) by contract here) and push it as literal In
+        // predicates; the broadcast semi-join below stays for exactness.
+        val ks = keys
+          .select(col("lookupKey"), col("res").cast("int"),
+            col("t").cast("int"), col("morton").cast("long"))
+          .distinct().limit(PushdownCap + 1).collect()
+        if (ks.isEmpty) return spark.emptyDataset[CuboidRow]
+        val prefilter: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (ks.length > PushdownCap) identity
+          else {
+            val lks = ks.map(_.getString(0)).distinct.toSeq
+            val rs = ks.map(_.getInt(1)).distinct.toSeq
+            val ts = ks.map(_.getInt(2)).distinct.toSeq
+            val ms = ks.map(_.getLong(3)).distinct.toSeq
+            df => df.where(
+              col("lookupKey").isin(lks: _*) && col("res").isin(rs: _*) &&
+                col("t").isin(ts: _*) && col("morton").isin(ms: _*))
+          }
         val pruned = chain.map { ver =>
-          CuboidStore.read(spark, s"$path/v$ver").toDF()
+          prefilter(CuboidStore.read(spark, s"$path/v$ver").toDF())
             .join(broadcast(keys.select(keyCols.map(col): _*)), keyCols, "left_semi")
             .withColumn("__v", lit(ver))
         }.reduce(_ union _)

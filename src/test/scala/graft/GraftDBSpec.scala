@@ -192,6 +192,77 @@ class GraftDBSpec extends AnyFunSuite {
     assert(snapshot() == before)
   }
 
+  test("propagate recomputes only dirty derived cuboids and matches a full rebuild") {
+    import spark.implicits._
+    val db = newDb()
+    db.writeCuboid(VolumeGen.voxels(spark, db.resource.lookupKey, 0, Box(0, 16, 0, 16, 0, 8),
+      0 until 1, VoxelType.UInt64, seed = 60).toDF())
+    db.buildHierarchy(3)
+    assert(db.hierarchyMarker.map(_._2).contains(3))
+    // a one-voxel patch + a full-slab erase: the erase empties entire
+    // level-1/2 parents, exercising the zero-fill masking path
+    db.writeCuboid(Seq((0L, 1L, 1L, 5L, 123L)).toDF("t", "x", "y", "z", "value"))
+    db.writeCuboid(
+      VolumeGen.constant(spark, db.resource.lookupKey, 0, Box(0, 16, 0, 16, 0, 4)).toDF(),
+      toBlack = true)
+    assert(db.downsampleStatus == GraftDB.NotDownsampled)
+    val v = db.propagate()
+    assert(db.downsampleStatus == GraftDB.Downsampled)
+    // the commit is a delta, marked as a propagate version, and O(write):
+    // exactly 2 dirty parents per derived level (patch + erased slab)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(db.storeRoot, s"v$v", "_DELTA")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(db.storeRoot, s"v$v", "_PROPAGATE")))
+    assert(graft.storage.CuboidStore.read(spark, s"${db.storeRoot}/v$v").count() == 4)
+    // equivalence: a fresh store with the same final base, fully rebuilt
+    val db2 = newDb()
+    db2.writeCuboid(db.cutout((0, 0, 0), (16, 16, 8)))
+    db2.buildHierarchy(3)
+    for (r <- 0 until 3) {
+      val a = db.cutout((0, 0, 0), (16, 16, 8), res = r).where($"value" =!= 0)
+        .select($"x", $"y", $"z", $"value")
+      val b = db2.cutout((0, 0, 0), (16, 16, 8), res = r).where($"value" =!= 0)
+        .select($"x", $"y", $"z", $"value")
+      assert(a.count() == b.count() && a.except(b).isEmpty, s"level $r diverged")
+    }
+    // nothing new: propagate is a cheap no-op that keeps the version
+    assert(db.propagate() == v)
+    assert(db.downsampleStatus == GraftDB.Downsampled)
+  }
+
+  test("propagate on an image channel (zoomOut geometry, no index) matches a rebuild") {
+    import spark.implicits._
+    val db = new GraftDB(
+      spark, Resource.fixture(VoxelType.UInt8, "4&3&9"),
+      java.nio.file.Files.createTempDirectory("graftdb").toString, dims)
+    db.writeCuboid(VolumeGen.voxels(spark, db.resource.lookupKey, 0, Box(0, 16, 0, 16, 0, 4),
+      0 until 1, VoxelType.UInt8, seed = 61).toDF())
+    db.buildHierarchy(3)
+    db.writeCuboid(Seq((0L, 2L, 2L, 1L, 200L)).toDF("t", "x", "y", "z", "value"))
+    db.propagate()
+    val db2 = new GraftDB(
+      spark, Resource.fixture(VoxelType.UInt8, "4&3&9"),
+      java.nio.file.Files.createTempDirectory("graftdb").toString, dims)
+    db2.writeCuboid(db.cutout((0, 0, 0), (16, 16, 4)))
+    db2.buildHierarchy(3)
+    for (r <- 0 until 3) {
+      val a = db.cutout((0, 0, 0), (16, 16, 4), res = r).where($"value" =!= 0)
+        .select($"x", $"y", $"z", $"value")
+      val b = db2.cutout((0, 0, 0), (16, 16, 4), res = r).where($"value" =!= 0)
+        .select($"x", $"y", $"z", $"value")
+      assert(a.count() == b.count() && a.except(b).isEmpty, s"level $r diverged")
+    }
+  }
+
+  test("propagate without a prior hierarchy falls back to a full build") {
+    import spark.implicits._
+    val db = newDb()
+    db.writeCuboid(Seq((0L, 1L, 1L, 1L, 5L), (0L, 9L, 9L, 3L, 6L))
+      .toDF("t", "x", "y", "z", "value"))
+    db.propagate()
+    assert(db.downsampleStatus == GraftDB.Downsampled)
+    assert(db.cutout((0, 0, 0), (8, 8, 4), res = 1).where($"value" =!= 0).count() > 0)
+  }
+
   test("id reservation and hierarchy build through the facade") {
     import spark.implicits._
     val db = newDb()
