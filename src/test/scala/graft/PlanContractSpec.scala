@@ -125,6 +125,31 @@ class PlanContractSpec extends AnyFunSuite {
     assert(inList.findFirstIn(p).isDefined, p.take(1200))
   }
 
+  test("chain read for a write's keys pushes the key footprint into every version scan") {
+    import spark.implicits._
+    import graft.core.{Morton, Region, Resource, VoxelType}
+    import graft.storage.VersionedStore
+    val db = new graft.GraftDB(
+      spark, Resource.fixture(VoxelType.UInt64),
+      java.nio.file.Files.createTempDirectory("plan-rfk").toString,
+      Region.CuboidDims(8, 8, 4))
+    db.writeCuboid(Seq((0L, 1L, 1L, 1L, 7L), (0L, 63L, 63L, 15L, 9L))
+      .toDF("t", "x", "y", "z", "value"))
+    db.writeCuboid(Seq((0L, 2L, 2L, 2L, 8L)).toDF("t", "x", "y", "z", "value"))
+    val keys = Seq((db.resource.lookupKey, 0, 0, Morton.encode(0L, 0L, 0L)))
+      .toDF("lookupKey", "res", "t", "morton")
+    val p = VersionedStore.readForKeys(spark, db.storeRoot, keys)
+      .queryExecution.sparkPlan.toString
+    // EVERY chain-member scan (full snapshot and delta alike) must carry
+    // the literal morton footprint as a data filter and (lookupKey, res)
+    // as partition filters — the semi-join alone reaches neither, and
+    // without them a write-sized chain read scans a store-sized snapshot
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).toList
+    assert(pushed.size >= 2, p.take(1500)) // chain depth 2: both scans
+    assert(pushed.forall(_.contains("morton")), p.take(1500))
+    assert("PartitionFilters: \\[[^\\]]*res".r.findFirstIn(p).isDefined, p.take(1500))
+  }
+
   test("relational scans prune columns (no full-width reads for narrow projections)") {
     val p = plan("q01_pricing_summary")
     // lineitem has 16 columns; the pricing summary needs 5
