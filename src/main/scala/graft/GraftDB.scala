@@ -266,11 +266,16 @@ final class GraftDB(
   def hierarchyMarker: Option[(Int, Int)] = {
     val p = java.nio.file.Paths.get(storeRoot, "_HIERARCHY_V")
     if (!java.nio.file.Files.exists(p)) None
-    else {
-      val parts =
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.split("\\s+")
-      Some((parts(0).toInt, parts(1).toInt))
-    }
+    else
+      try {
+        val parts =
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.split("\\s+")
+        Some((parts(0).toInt, parts(1).toInt))
+      } catch {
+        // a corrupt marker must degrade to the full-rebuild path, never
+        // wedge the channel
+        case _: RuntimeException => None
+      }
   }
 
   private def setHierarchyMarker(v: Int, levels: Int): Unit =

@@ -56,51 +56,102 @@ object Dedup {
     // duplicate-insensitive; verification dedups in its merge loop). The
     // only shuffles left in the operator are the band self-join and the
     // candidate-bounded verification joins.
-    // md5 hashing of every shingle is the CPU-dense stage — fan a
-    // low-split source out across the session's cores first (no-op at
-    // production split counts)
-    val base = Par.fanOut(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
-      .where(size(col("tk")) >= k)
-      .select(col(idCol), TextOps.shingleArr(k).as("sharr"))
-    // one portable hash per shingle, shared by all numHashes affine
-    // rehashes — same family as TextOps.minhashSignatures
-    val hb = transform(col("sharr"), s => TextOps.portableHash(s) % TextOps.MinhashP)
-    val sigCols = (0 until numHashes).map { i =>
-      val (a, b) = TextOps.minhashConsts(i)
-      array_min(transform(col("hb"), x => (lit(a) * x + lit(b)) % TextOps.MinhashP)).as(s"h$i")
-    }
-    // No persist: both self-join sides recompute this narrow projection
-    // in parallel, which is cheaper than a cache-write barrier + read —
-    // and nothing is ever pinned for the session.
-    val sig = base.withColumn("hb", hb)
-      .select(col(idCol) +: sigCols: _*)
-    val bands = TextOps.lshBands(sig, idCol, numHashes)
+    // No persist anywhere: both self-join sides recompute the narrow
+    // shingle projection in parallel, which is cheaper than a
+    // cache-write barrier + read — and nothing is ever pinned.
+    val base = shingleBase(df, idCol, textCol, k)
+    val bands = bandsOf(base, idCol, numHashes)
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("k1"), col("k2"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("k1"), col("k2"))
     val cand = a.join(b, Seq("band", "k1", "k2"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // Exact verification: re-derive shingle sets ONLY for docs in some
-    // candidate pair (semi-join, pushed below the sharr projection) as one
-    // sorted array of FULL 60-bit portable hashes per doc, then count
-    // |∩| / |set| with the fused sorted-merge expressions — no explode,
-    // no join on shingle strings, no quadratic array_distinct. Exact
-    // modulo 60-bit collisions within one pair's ~10² shingles (~1e-13
-    // per pair; the SQL twin compares raw strings — same documented
-    // asymmetry as ngramJaccardPairsSql). Candidate fan-in bounds both
-    // the recompute and the arrays shipped to the pair join.
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val sub = base.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol),
-        array_sort(transform(col("sharr"), s => TextOps.portableHash(s))).as("sha"))
-      .select(col(idCol), col("sha"), SortedSetOps.distinctCount(col("sha")).as("n_sh"))
+    val sub = verifyArrays(base, candIds, idCol)
     cand
       .join(sub.select(col(idCol).as("doc_a"), col("sha").as("sa"), col("n_sh").as("na")), "doc_a")
       .join(sub.select(col(idCol).as("doc_b"), col("sha").as("sb"), col("n_sh").as("nb")), "doc_b")
       .withColumn("inter", SortedSetOps.intersectCount(col("sa"), col("sb")))
       .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter") * 2 >= col("na") + col("nb") - col("inter")).as("is_dup"))
+  }
+
+  /** (id, sharr) word-shingle arrays. md5 hashing of every shingle is
+    * the CPU-dense stage — fan a low-split source out across the
+    * session's cores first (no-op at production split counts).
+    */
+  private def shingleBase(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= k)
+      .select(col(idCol), TextOps.shingleArr(k).as("sharr"))
+
+  /** LSH band rows (id, band, k1, k2) of a shingle base: one portable
+    * hash per shingle shared by all `numHashes` affine rehashes — same
+    * family as TextOps.minhashSignatures.
+    */
+  private def bandsOf(base: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val hb = transform(col("sharr"), s => TextOps.portableHash(s) % TextOps.MinhashP)
+    val sigCols = (0 until numHashes).map { i =>
+      val (a, b) = TextOps.minhashConsts(i)
+      array_min(transform(col("hb"), x => (lit(a) * x + lit(b)) % TextOps.MinhashP)).as(s"h$i")
+    }
+    TextOps.lshBands(base.withColumn("hb", hb).select(col(idCol) +: sigCols: _*), idCol, numHashes)
+  }
+
+  /** Exact-verification arrays for candidate docs ONLY (semi-join,
+    * pushed below the sharr projection): one sorted array of FULL 60-bit
+    * portable hashes per doc plus its distinct count, so |∩| / |set|
+    * run in the fused sorted-merge expressions — no explode, no join on
+    * shingle strings, no quadratic array_distinct. Exact modulo 60-bit
+    * collisions within one pair's ~10² shingles (~1e-13 per pair; the
+    * SQL twin compares raw strings — same documented asymmetry as
+    * ngramJaccardPairsSql). Candidate fan-in bounds both the recompute
+    * and the arrays shipped to the pair join.
+    */
+  private def verifyArrays(base: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    base.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_sort(transform(col("sharr"), s => TextOps.portableHash(s))).as("sha"))
+      .select(col(idCol), col("sha"), SortedSetOps.distinctCount(col("sha")).as("n_sh"))
+
+  /** Incremental near-dup: a NEW batch of documents against an EXISTING
+    * corpus — the per-ingest shape of a continuously-fed training
+    * pipeline (within-batch dedup is [[nearDupPairs]] on the batch
+    * alone; batch-vs-corpus is this). Same LSH family, bucketed band
+    * equi-join across the two sides — never all-pairs — and the same
+    * fused sorted-merge verification. The corpus-side band rows and
+    * sorted hash arrays are exactly what a deployment materializes ONCE
+    * as its persistent signature index: recomputing them keeps this
+    * operator self-contained, and at 100 TB the corpus stages become
+    * index scans while the per-batch cost stays O(batch + collisions).
+    * Returns (doc_new, doc_old, inter, uni, is_dup); sides are assumed
+    * id-disjoint.
+    */
+  def nearDupAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 8): DataFrame = {
+    val nb = shingleBase(newDocs, idCol, textCol, k)
+    val cb = shingleBase(corpus, idCol, textCol, k)
+    val a = bandsOf(nb, idCol, numHashes)
+      .select(col(idCol).as("doc_new"), col("band"), col("k1"), col("k2"))
+    val b = bandsOf(cb, idCol, numHashes)
+      .select(col(idCol).as("doc_old"), col("band"), col("k1"), col("k2"))
+    val cand = a.join(b, Seq("band", "k1", "k2"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+    val subN = verifyArrays(nb, cand.select(col("doc_new").as(idCol)).distinct(), idCol)
+    val subC = verifyArrays(cb, cand.select(col("doc_old").as(idCol)).distinct(), idCol)
+    cand
+      .join(subN.select(col(idCol).as("doc_new"), col("sha").as("sa"), col("n_sh").as("na")), "doc_new")
+      .join(subC.select(col(idCol).as("doc_old"), col("sha").as("sb"), col("n_sh").as("nb")), "doc_old")
+      .withColumn("inter", SortedSetOps.intersectCount(col("sa"), col("sb")))
+      .select(col("doc_new"), col("doc_old"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"),
         (col("inter") * 2 >= col("na") + col("nb") - col("inter")).as("is_dup"))
   }
@@ -134,6 +185,46 @@ object Dedup {
        |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
        |JOIN sizes za ON za.$idCol = c.doc_a
        |JOIN sizes zb ON zb.$idCol = c.doc_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB equivalent of [[nearDupAgainst]]: `tbl` split by `newPred`
+    * (new batch) vs its complement (corpus).
+    */
+  def nearDupAgainstSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      newPred: String,
+      k: Int = 3,
+      numHashes: Int = 8): String = {
+    val mins = TextOps.minhashAggsSql(numHashes)
+    def bandSelects(sig: String) = (0 until numHashes / 2).map(bn =>
+      s"SELECT $idCol, $bn AS band, h${2 * bn} AS k1, h${2 * bn + 1} AS k2 FROM $sig")
+      .mkString(" UNION ALL ")
+    val newSide = s"(SELECT * FROM $tbl WHERE $newPred) tnew"
+    val oldSide = s"(SELECT * FROM $tbl WHERE NOT ($newPred)) told"
+    s"""WITH shrN AS (${TextOps.shinglesSql(newSide, idCol, textCol, k)}),
+       |shN AS (SELECT DISTINCT $idCol, sh FROM shrN),
+       |sigN AS (SELECT $idCol, $mins FROM shN GROUP BY $idCol),
+       |bandsN AS (${bandSelects("sigN")}),
+       |shrC AS (${TextOps.shinglesSql(oldSide, idCol, textCol, k)}),
+       |shC AS (SELECT DISTINCT $idCol, sh FROM shrC),
+       |sigC AS (SELECT $idCol, $mins FROM shC GROUP BY $idCol),
+       |bandsC AS (${bandSelects("sigC")}),
+       |cand AS (SELECT DISTINCT a.$idCol AS doc_new, b.$idCol AS doc_old
+       |         FROM bandsN a JOIN bandsC b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2),
+       |sizesN AS (SELECT $idCol, count(*) AS n_sh FROM shN GROUP BY $idCol),
+       |sizesC AS (SELECT $idCol, count(*) AS n_sh FROM shC GROUP BY $idCol),
+       |inter AS (SELECT c.doc_new, c.doc_old, count(*) AS inter
+       |          FROM cand c JOIN shN sa ON sa.$idCol = c.doc_new JOIN shC sb ON sb.$idCol = c.doc_old
+       |          WHERE sa.sh = sb.sh GROUP BY c.doc_new, c.doc_old)
+       |SELECT c.doc_new, c.doc_old, coalesce(i.inter, 0) AS inter,
+       |       za.n_sh + zb.n_sh - coalesce(i.inter, 0) AS uni,
+       |       coalesce(i.inter, 0) * 2 >= za.n_sh + zb.n_sh - coalesce(i.inter, 0) AS is_dup
+       |FROM cand c
+       |LEFT JOIN inter i ON i.doc_new = c.doc_new AND i.doc_old = c.doc_old
+       |JOIN sizesN za ON za.$idCol = c.doc_new
+       |JOIN sizesC zb ON zb.$idCol = c.doc_old""".stripMargin.replace("\n", " ")
   }
 
   /** Exact character n-gram Jaccard over pairs sharing *rare* n-grams.

@@ -325,6 +325,23 @@ object Pipeline {
               |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
               |ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
 
+    // Incremental near-dup: a NEW ingest batch (doc_id % 7 = 0 here)
+    // against the EXISTING corpus — the per-batch shape of a
+    // continuously-fed pipeline. Bucketed band join across the two
+    // sides; the corpus-side band/array projections are what a
+    // deployment materializes once as its signature index.
+    "q86_near_dup_incremental" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Dedup.nearDupAgainst(
+          docs.where(col("doc_id") % 7 === 0),
+          docs.where(col("doc_id") % 7 =!= 0),
+          "doc_id", "text")
+          .orderBy(col("doc_new"), col("doc_old"))
+      },
+      Some(Dedup.nearDupAgainstSql("documents", "doc_id", "text", "doc_id % 7 = 0") +
+        " ORDER BY 1, 2")),
+
     // Bloom-filter build as rows (4096 bits / 128 32-bit words, k=3
     // salted portable hashes): bit_or is distributive, so words combine
     // map-side and across shards — the mergeable membership sketch a
