@@ -85,6 +85,15 @@ object PipelineStress {
       force(Graph.connectedComponents(lshPairs, "doc_a", "doc_b"))
     }
     lshPairs.unpersist()
+    // incremental ingest shape: a ~1% "new batch" against the standing
+    // corpus — the per-batch cost of a continuously-fed pipeline (q86)
+    val nInc = timed("incremental_near_dup_1pct") {
+      force(Dedup.nearDupAgainst(
+        docs.where(col("doc_id") % 101 === 0),
+        docs.where(col("doc_id") % 101 =!= 0),
+        "doc_id", "text"))
+    }
+    println(s"[stress]   incremental near-dup pairs: $nInc")
     // PRODUCTION df-cap: group salting keeps every gram's df ≤ 4, so
     // maxDf = 16 runs unchanged at 1M docs (the 100 TB configuration)
     val npairs = timed("ngram_jaccard_pairs") {
