@@ -94,6 +94,20 @@ object PipelineStress {
         "doc_id", "text"))
     }
     println(s"[stress]   incremental near-dup pairs: $nInc")
+    // ...and the same batch against a MATERIALIZED signature index: the
+    // index build is the once-amortized standing cost; the probe is what
+    // each ingest batch pays in steady state (signs only the batch,
+    // partition-prunes the band table, fetches stored arrays)
+    val idxDir = Files.createTempDirectory("graft-stress-sigidx").toString
+    timed("signature_index_build") {
+      Dedup.writeSignatureIndex(
+        docs.where(col("doc_id") % 101 =!= 0), "doc_id", "text", idxDir)
+    }
+    val nIdx = timed("incremental_near_dup_indexed") {
+      force(Dedup.nearDupAgainstIndexed(
+        docs.where(col("doc_id") % 101 === 0), "doc_id", "text", idxDir))
+    }
+    println(s"[stress]   indexed-probe near-dup pairs: $nIdx")
     // PRODUCTION df-cap: group salting keeps every gram's df ≤ 4, so
     // maxDf = 16 runs unchanged at 1M docs (the 100 TB configuration)
     val npairs = timed("ngram_jaccard_pairs") {

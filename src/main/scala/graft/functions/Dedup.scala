@@ -112,10 +112,102 @@ object Dedup {
     * and the arrays shipped to the pair join.
     */
   private def verifyArrays(base: DataFrame, ids: DataFrame, idCol: String): DataFrame =
-    base.join(ids, Seq(idCol), "left_semi")
+    shaArrays(base.join(ids, Seq(idCol), "left_semi"), idCol)
+
+  /** (id, sha, n_sh) verification arrays for EVERY doc of a shingle base
+    * (no candidate shrink — the index-build path materializes all of them
+    * once; the per-call paths go through [[verifyArrays]]).
+    */
+  private def shaArrays(base: DataFrame, idCol: String): DataFrame =
+    base
       .select(col(idCol),
         array_sort(transform(col("sharr"), s => TextOps.portableHash(s))).as("sha"))
       .select(col(idCol), col("sha"), SortedSetOps.distinctCount(col("sha")).as("n_sh"))
+
+  /** Band-key bucket column: both the index writer and the probe compute
+    * it with the same hash, so a batch's distinct `bk` values select
+    * exactly the index partitions its band keys could live in.
+    */
+  private def bandBucket(buckets: Int) =
+    pmod(hash(col("band"), col("k1"), col("k2")), lit(buckets))
+
+  /** Materialize the persistent LSH signature index of a corpus — the
+    * standing state of a continuously-fed dedup pipeline, built once
+    * (and extendable by appending new batches' rows after they clear
+    * ingest). Two tables under `path`:
+    *
+    *  - `bands/`, partitioned by `bk` = hash bucket of the band key
+    *    (default 64): an ingest batch touches only the `bk` values its
+    *    own band keys hash to, so the probe's `.where(bk IN ...)` prunes
+    *    untouched partitions at scan time — the Spark-native analog of
+    *    the point lookups a KV-backed signature store would serve.
+    *  - `arrays/`: one (id, sha, n_sh) row per doc — the sorted 60-bit
+    *    shingle-hash array verification runs on, fetched only for docs
+    *    that band-collide with the batch.
+    *
+    * At 100 TB the index is ~100 bytes/doc of bands + the shingle-hash
+    * arrays — ~0.1-1% of the corpus — and each ingest batch costs
+    * O(batch signatures + pruned index scan + collisions), never a
+    * corpus re-sign (which is what the self-contained
+    * [[nearDupAgainst]] pays per call).
+    */
+  def writeSignatureIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 3,
+      numHashes: Int = 8,
+      buckets: Int = 64): Unit = {
+    val base = shingleBase(corpus, idCol, textCol, k)
+    bandsOf(base, idCol, numHashes)
+      .withColumn("bk", bandBucket(buckets))
+      .write.mode("overwrite").partitionBy("bk").parquet(s"$path/bands")
+    shaArrays(base, idCol)
+      .write.mode("overwrite").parquet(s"$path/arrays")
+  }
+
+  /** Incremental near-dup against a materialized [[writeSignatureIndex]]
+    * index: signs ONLY the new batch, probes the index's band table with
+    * partition pruning on the batch's bucket footprint, and verifies
+    * candidates against the index's stored arrays — the per-batch cost a
+    * deployment actually pays once the signature index stands. Result ≡
+    * [[nearDupAgainst]](newDocs, corpus) for the corpus the index was
+    * built from (PipelineSpec asserts the equivalence).
+    */
+  def nearDupAgainstIndexed(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      k: Int = 3,
+      numHashes: Int = 8,
+      buckets: Int = 64): DataFrame = {
+    val spark = newDocs.sparkSession
+    val nb = shingleBase(newDocs, idCol, textCol, k)
+    val a = bandsOf(nb, idCol, numHashes)
+      .withColumn("bk", bandBucket(buckets))
+      .select(col(idCol).as("doc_new"), col("band"), col("k1"), col("k2"), col("bk"))
+    // the batch's bucket footprint: ≤ `buckets` ints, driver-bounded by
+    // construction — the isin reaches the scan as a partition filter
+    val bks = a.select(col("bk")).distinct().collect().map(_.getInt(0)).toSeq
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+      .where(col("bk").isin(bks: _*))
+      .select(col(idCol).as("doc_old"), col("band"), col("k1"), col("k2"))
+    val cand = a.select(col("doc_new"), col("band"), col("k1"), col("k2"))
+      .join(idxBands, Seq("band", "k1", "k2"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+    val subN = verifyArrays(nb, cand.select(col("doc_new").as(idCol)).distinct(), idCol)
+    val subC = spark.read.parquet(s"$indexPath/arrays")
+      .join(cand.select(col("doc_old").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    cand
+      .join(subN.select(col(idCol).as("doc_new"), col("sha").as("sa"), col("n_sh").as("na")), "doc_new")
+      .join(subC.select(col(idCol).as("doc_old"), col("sha").as("sb"), col("n_sh").as("nb")), "doc_old")
+      .withColumn("inter", SortedSetOps.intersectCount(col("sa"), col("sb")))
+      .select(col("doc_new"), col("doc_old"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter") * 2 >= col("na") + col("nb") - col("inter")).as("is_dup"))
+  }
 
   /** Incremental near-dup: a NEW batch of documents against an EXISTING
     * corpus — the per-ingest shape of a continuously-fed training

@@ -56,6 +56,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("nearDupAgainstIndexed over a materialized index ≡ nearDupAgainst") {
+    val rnd = new scala.util.Random(7)
+    // 40 corpus docs in near-dup pairs (2i, 2i+1) + 8 batch docs, half of
+    // which are near-dups of corpus docs
+    val corpusRows = (0 until 40).map { i =>
+      val base = (1 to 25).map(j => s"w${i / 2}_$j")
+      val toks = if (i % 2 == 1) base.updated(12, "ALT") else base
+      (100L + i, toks.mkString(" "))
+    }
+    val batchRows = (0 until 8).map { i =>
+      val toks =
+        if (i % 2 == 0) (1 to 25).map(j => s"w${i * 3}_$j").updated(5, "NEW")
+        else (1 to 25).map(j => s"fresh${i}_${rnd.nextInt(1000)}_$j")
+      (500L + i, toks.mkString(" "))
+    }
+    val corpus = docs(corpusRows: _*)
+    val batch = docs(batchRows: _*)
+    val dir = java.nio.file.Files.createTempDirectory("sigidx-spec").toString
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val direct = Dedup.nearDupAgainst(batch, corpus, "doc_id", "text")
+      .collect().map(key).toSet
+    val indexed = Dedup.nearDupAgainstIndexed(batch, "doc_id", "text", dir)
+      .collect().map(key).toSet
+    assert(indexed == direct)
+    assert(direct.nonEmpty) // the equivalence is not vacuous
+    // and the probe actually finds the planted cross-side near-dups
+    assert(direct.exists { case (_, _, _, _, dup) => dup })
+  }
+
   test("affine minhash family: range, determinism, min-monotonicity") {
     val d1 = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (4L, "a b c d e f g h"))
     val sig = TextOps.minhashSignatures(TextOps.shingles(d1, "doc_id", "text"), "doc_id")

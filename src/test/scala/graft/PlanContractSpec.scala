@@ -80,6 +80,22 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed near-dup probe: band scan prunes to the batch's bucket footprint") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("plan-sigidx").toString
+    graft.functions.Dedup.writeSignatureIndex(
+      docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", dir)
+    val p = graft.functions.Dedup.nearDupAgainstIndexed(
+      docs.where(col("doc_id") % 7 === 0), "doc_id", "text", dir)
+      .queryExecution.sparkPlan.toString
+    // the batch's bk footprint must reach the bands scan as a PARTITION
+    // filter (pruned directories), not a post-scan Filter
+    assert("PartitionFilters: \\[[^\\]]*bk".r.findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // verification still runs on the fused sorted-merge expression
+    assert(p.toLowerCase.contains("sortedintersectcount"))
+  }
+
   test("connected-components propagation pass: key joins only, never a cartesian") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
