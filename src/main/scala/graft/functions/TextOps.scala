@@ -266,4 +266,66 @@ object TextOps {
       size(tokens(col(textCol))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("long").as("bpe_tokens"))
+
+  /** Per-doc distinct char-`n`-gram hashes (xxhash64, the q54 family). */
+  private def gramSet(textCol: String, n: Int): Column = expr(
+    s"array_distinct(transform(sequence(0, length($textCol)-$n), " +
+      s"i -> xxhash64(substring($textCol, i+1, $n))))")
+
+  /** Benchmark decontamination: score every corpus doc by its distinct
+    * char-`n`-gram overlap with an eval/benchmark set, the standard
+    * long-n-gram collision check run before training. Returns
+    * (id, n_grams, n_hits, contaminated = any hit); docs shorter than
+    * `n` chars carry no gram and are excluded (they cannot collide).
+    *
+    * 100 TB shape: the benchmark side is small by nature (eval sets are
+    * MBs against a corpus of TBs) — its distinct gram-hash set is
+    * BROADCAST, so the corpus pays one narrow gram projection, a
+    * broadcast hash join, and ONE doc-keyed exchange of partial
+    * (n_grams, n_hits) counters that combine map-side. Nothing
+    * corpus-sized ever shuffles on a gram key.
+    */
+  def contamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    val benchGrams = broadcast(
+      bench.where(length(col(textCol)) >= n)
+        .select(explode(gramSet(textCol, n)).as("g")).distinct()
+        .withColumn("hit", lit(1)))
+    Par.fanOut(corpus.select(col(idCol), col(textCol))
+        .where(length(col(textCol)) >= n))
+      .select(col(idCol), explode(gramSet(textCol, n)).as("g"))
+      .join(benchGrams, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** DuckDB equivalent of [[contamination]]: `tbl` split by `benchPred`
+    * (benchmark set) vs its complement (corpus). Compares gram STRINGS
+    * where Spark compares xxhash64 values — same documented collision
+    * asymmetry as ngramJaccardPairsSql.
+    */
+  def contaminationSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      benchPred: String,
+      n: Int = 13): String =
+    s"""WITH bg AS (
+       |  SELECT DISTINCT unnest(list_transform(range(len($textCol)-${n - 1}),
+       |         i -> substr($textCol, i+1, $n))) AS g
+       |  FROM $tbl WHERE ($benchPred) AND len($textCol) >= $n),
+       |dg AS (
+       |  SELECT DISTINCT $idCol, unnest(list_transform(range(len($textCol)-${n - 1}),
+       |         i -> substr($textCol, i+1, $n))) AS g
+       |  FROM $tbl WHERE NOT ($benchPred) AND len($textCol) >= $n)
+       |SELECT $idCol, count(*) AS n_grams,
+       |       CAST(coalesce(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+       |       coalesce(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END), 0) > 0 AS contaminated
+       |FROM dg GROUP BY $idCol""".stripMargin.replace("\n", " ")
 }

@@ -375,6 +375,22 @@ object Pipeline {
       Some(Dedup.nearDupAgainstSql("documents", "doc_id", "text", "doc_id % 7 = 0") +
         " ORDER BY 1, 2")),
 
+    // Benchmark decontamination: every training doc scored by distinct
+    // 13-gram overlap with a held-out eval set (doc_id % 31 = 0 here) —
+    // the pre-training collision check. Benchmark gram set broadcast;
+    // one doc-keyed exchange of map-combined counters.
+    "q88_decontamination" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        TextOps.contamination(
+          docs.where(col("doc_id") % 31 =!= 0),
+          docs.where(col("doc_id") % 31 === 0),
+          "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(TextOps.contaminationSql("documents", "doc_id", "text", "doc_id % 31 = 0") +
+        " ORDER BY doc_id")),
+
     // Bloom-filter build as rows (4096 bits / 128 32-bit words, k=3
     // salted portable hashes): bit_or is distributive, so words combine
     // map-side and across shards — the mergeable membership sketch a

@@ -87,6 +87,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(direct.exists { case (_, _, _, _, dup) => dup })
   }
 
+  test("contamination flags docs sharing a long n-gram with the benchmark set") {
+    val leak = "the exact benchmark passage that must not appear in training"
+    val bench = docs((1000L, s"eval question: $leak"))
+    val corpus = docs(
+      (1L, s"some web page containing $leak verbatim inside it"),
+      (2L, "a perfectly clean document about something unrelated entirely"),
+      (3L, "short")) // < n chars: no gram, excluded
+    val out = TextOps.contamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._3 && out(1L)._2 > 0)
+    assert(!out(2L)._3 && out(2L)._2 == 0)
+    assert(!out.contains(3L))
+    // hits are bounded by the doc's own distinct gram count
+    assert(out(1L)._2 <= out(1L)._1)
+  }
+
   test("affine minhash family: range, determinism, min-monotonicity") {
     val d1 = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (4L, "a b c d e f g h"))
     val sig = TextOps.minhashSignatures(TextOps.shingles(d1, "doc_id", "text"), "doc_id")
