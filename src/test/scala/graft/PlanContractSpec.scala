@@ -96,6 +96,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("sortedintersectcount"))
   }
 
+  test("decontamination: benchmark grams broadcast, ONE doc-keyed exchange") {
+    // executedPlan: exchanges are inserted by EnsureRequirements, which
+    // sparkPlan has not run yet
+    val p = SparkEntry.queries("q88_decontamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "benchmark gram set not broadcast")
+    // the only hash exchange is the doc-keyed counter aggregate (plus the
+    // bench side's own distinct, which is benchmark-sized, not corpus-sized)
+    val docEx = "Exchange hashpartitioning\\(doc_id#".r.findAllIn(p).size
+    assert(docEx == 1, s"expected 1 doc-keyed exchange, got $docEx:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"), "corpus-sized gram join fell back to sort-merge")
+  }
+
   test("connected-components propagation pass: key joins only, never a cartesian") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
