@@ -158,13 +158,48 @@ object Dedup {
       path: String,
       k: Int = 3,
       numHashes: Int = 8,
-      buckets: Int = 64): Unit = {
-    val base = shingleBase(corpus, idCol, textCol, k)
+      buckets: Int = 64): Unit =
+    writeIndexTables(shingleBase(corpus, idCol, textCol, k), idCol, path,
+      numHashes, buckets, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Grow a standing [[writeSignatureIndex]] index by one ingested batch —
+    * the maintenance half of the incremental pipeline: probe the batch
+    * ([[nearDupAgainstIndexed]]), keep what survives dedup, then append
+    * the kept docs' signature rows so the NEXT batch sees them. Cost is
+    * O(batch) on both tables; existing partitions/files are never
+    * rewritten (bands append lands only in the batch's `bk=` directories).
+    *
+    * Ordering note: `arrays/` is written BEFORE `bands/` (here and in the
+    * full build) because the two appends are not one atomic commit — a
+    * crash in between leaves harmless orphan verification arrays (docs no
+    * band row can reach: re-append after recovery), never band rows whose
+    * candidates silently drop in the verification inner join. A
+    * deployment wanting all-or-nothing wraps the pair in its table
+    * format's transaction or the store's CommitProtocol.
+    */
+  def appendSignatureIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 3,
+      numHashes: Int = 8,
+      buckets: Int = 64): Unit =
+    writeIndexTables(shingleBase(batch, idCol, textCol, k), idCol, path,
+      numHashes, buckets, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeIndexTables(
+      base: DataFrame,
+      idCol: String,
+      path: String,
+      numHashes: Int,
+      buckets: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    shaArrays(base, idCol)
+      .write.mode(mode).parquet(s"$path/arrays")
     bandsOf(base, idCol, numHashes)
       .withColumn("bk", bandBucket(buckets))
-      .write.mode("overwrite").partitionBy("bk").parquet(s"$path/bands")
-    shaArrays(base, idCol)
-      .write.mode("overwrite").parquet(s"$path/arrays")
+      .write.mode(mode).partitionBy("bk").parquet(s"$path/bands")
   }
 
   /** Incremental near-dup against a materialized [[writeSignatureIndex]]

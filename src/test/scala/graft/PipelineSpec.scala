@@ -87,6 +87,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(direct.exists { case (_, _, _, _, dup) => dup })
   }
 
+  test("appendSignatureIndex: a grown index answers like a fresh build over the union") {
+    def doc(id: Long, group: String, variant: Int) = {
+      val toks = (1 to 25).map(j => s"${group}_$j")
+      (id, (if (variant > 0) toks.updated(variant % 20, s"VAR$variant") else toks).mkString(" "))
+    }
+    val gen0 = docs((0 until 20).map(i => doc(i, s"g${i / 2}", i % 2)): _*)
+    val batch1 = docs((100 until 110).map(i => doc(i, s"h${(i - 100) / 2}", i % 2)): _*)
+    // batch2: a near-dup of a gen0 group, one of a batch1 group, two fresh
+    val batch2 = docs(
+      doc(200L, "g3", 7), doc(201L, "h2", 9), doc(202L, "fresh0", 0), doc(203L, "fresh1", 1))
+    val dir = java.nio.file.Files.createTempDirectory("sigidx-append").toString
+    Dedup.writeSignatureIndex(gen0, "doc_id", "text", dir)
+    Dedup.appendSignatureIndex(batch1, "doc_id", "text", dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val grown = Dedup.nearDupAgainstIndexed(batch2, "doc_id", "text", dir)
+      .collect().map(key).toSet
+    val fresh = Dedup.nearDupAgainst(batch2, gen0.union(batch1), "doc_id", "text")
+      .collect().map(key).toSet
+    assert(grown == fresh)
+    // the probe reaches BOTH the original build and the appended batch
+    assert(grown.exists { case (n, o, _, _, dup) => n == 200L && o < 20L && dup })
+    assert(grown.exists { case (n, o, _, _, dup) => n == 201L && o >= 100L && o < 110L && dup })
+  }
+
   test("contamination flags docs sharing a long n-gram with the benchmark set") {
     val leak = "the exact benchmark passage that must not appear in training"
     val bench = docs((1000L, s"eval question: $leak"))
