@@ -226,6 +226,51 @@ object Similarity {
     * re-broadcast as literals — exactly how any ANN trainer ships its
     * model, and the only driver-side state is O(nlist·dim).
     */
+  /** Fused codegen'd Σ(a-b)² of the `qe` column against a literal
+    * centroid — with nlist centroid literals per assignment the
+    * zip_with form generated pathological code volume.
+    */
+  private def l2(cent: Seq[Long]): Column =
+    SqDistQ(col("qe"), array(cent.map(lit(_)): _*))
+
+  /** Cell assignment = argmin over the per-centroid distance array;
+    * array_position takes the FIRST match so ties resolve to the
+    * lowest cell id.
+    */
+  private def assignCells(src: DataFrame, cents: IndexedSeq[Seq[Long]]): DataFrame = {
+    val dists = array(cents.map(l2): _*)
+    src.withColumn("cell",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
+  /** Deterministic integer Lloyd over a (id, qe) frame: init = the
+    * `nlist` lowest-id vectors; update = per-dimension floor(sum/count)
+    * (floor, NOT truncation — Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, and component sums go negative); empty cells
+    * keep their previous centroid. Per iteration the nlist×dim centroid
+    * table is collected to the driver and re-broadcast as literals —
+    * exactly how any ANN trainer ships its model, and the only
+    * driver-side state is O(nlist·dim). Caller persists `qv` (consumed
+    * iters+1 times by the eager collects).
+    */
+  private def lloydCentroids(
+      qv: DataFrame, idCol: String, nlist: Int, iters: Int): IndexedSeq[Seq[Long]] = {
+    import qv.sparkSession.implicits._
+    var cents: IndexedSeq[Seq[Long]] = qv.orderBy(col(idCol)).limit(nlist)
+      .select(col("qe")).as[Seq[Long]].collect().toIndexedSeq
+    for (_ <- 1 to iters) {
+      val means = assignCells(qv, cents)
+        .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)").as("qe"))
+        .as[(Int, Seq[Long])].collect().toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   def ivfTopKDet(
       df: DataFrame,
       idCol: String,
@@ -242,33 +287,9 @@ object Similarity {
     val src = Par.fanOut(df.select(col(idCol), col(embCol)))
     val qv = src.select(col(idCol), quantize(col(embCol)).as("qe"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    import df.sparkSession.implicits._
-    // fused codegen'd Σ(a-b)² — with nlist centroid literals per
-    // assignment the zip_with form generated pathological code volume
-    def l2(cent: Seq[Long]): Column =
-      SqDistQ(col("qe"), array(cent.map(lit(_)): _*))
-    // argmin over the per-centroid distance array; array_position takes
-    // the FIRST match so ties resolve to the lowest cell id
-    def assign(src: DataFrame, cents: IndexedSeq[Seq[Long]]) = {
-      val dists = array(cents.map(l2): _*)
-      src.withColumn("cell",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
-    }
-    var cents: IndexedSeq[Seq[Long]] = qv.orderBy(col(idCol)).limit(nlist)
-      .select(col("qe")).as[Seq[Long]].collect().toIndexedSeq
-    for (_ <- 1 to iters) {
-      val means = assign(qv, cents)
-        .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)").as("qe"))
-        .as[(Int, Seq[Long])].collect().toMap
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
-    }
+    val cents = try lloydCentroids(qv, idCol, nlist, iters) finally { qv.unpersist(); () }
     val qv2 = src.select(col(idCol), quantize(col(embCol)).as("qe"))
-    qv.unpersist()
-    val assigned = assign(qv2, cents)
+    val assigned = assignCells(qv2, cents)
     val qDists = array(cents.map(l2): _*)
     val queries = qv2.where(queryPred)
       .withColumn("ds", qDists)
@@ -330,6 +351,82 @@ object Similarity {
        |  SELECT qc.query_id, a.$idCol, qc.cell, ${dotQSql("qc.qv", "a.qe", dim)} AS dot,
        |    row_number() OVER (PARTITION BY qc.query_id ORDER BY ${dotQSql("qc.qv", "a.qe", dim)} DESC, a.$idCol) AS rk
        |  FROM qc JOIN asgn a ON a.cell = qc.cell) t WHERE rk <= $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** Materialize a persistent IVF index: `path/centroids` (the nlist×dim
+    * model, tiny) and `path/cells/cell=N/` — the corpus quantized and
+    * partitioned by its coarse-quantizer cell, so a probe reads ONLY the
+    * probed cells' directories (partition pruning; the ANN counterpart
+    * of [[graft.functions.Dedup.writeSignatureIndex]]). Training is the
+    * deterministic integer Lloyd of [[ivfTopKDet]], which makes the
+    * index contents — and any probe over them — oracle-checkable
+    * bit-for-bit against [[ivfTopKDetSql]]; a 100 TB deployment
+    * swaps in the sample-capped KMeans trainer of [[ivfTopK]] (the
+    * index layout and probe are trainer-agnostic). The training cache
+    * is released before the assignment write; nothing corpus-order
+    * outlives the call.
+    */
+  def writeIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      path: String,
+      nlist: Int = 16,
+      iters: Int = 2): Unit = {
+    import df.sparkSession.implicits._
+    val src = Par.fanOut(df.select(col(idCol), col(embCol)))
+    val qv = src.select(col(idCol), quantize(col(embCol)).as("qe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = try lloydCentroids(qv, idCol, nlist, iters) finally { qv.unpersist(); () }
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "qe")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(src.select(col(idCol), quantize(col(embCol)).as("qe")), cents)
+      .select(col(idCol), col("qe"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** ANN top-k against a materialized [[writeIvfIndex]] index: the
+    * centroid table is collected to the driver (O(nlist·dim) — the
+    * model), each query picks its `nprobe` nearest cells, and the cells
+    * table is scanned with the probed-cell union pushed down as a
+    * partition filter — unprobed cell directories are never listed, and
+    * the corpus is never re-quantized. Queries are an arbitrary
+    * (id, embedding) frame — they need not come from the indexed corpus.
+    * For queries drawn from the corpus, result ≡ [[ivfTopKDet]] with the
+    * same (nlist, nprobe, iters) (PipelineSpec asserts the equivalence).
+    */
+  def ivfTopKIndexed(
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexPath: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toIndexedSeq.map(_._2)
+    val q = queries
+      .select(col(idCol).as("query_id"), quantize(col(embCol)).as("qe"))
+    // nprobe nearest centroids per query: the window is bounded at nlist
+    // rows per query (the exploded centroid table), never corpus-sized
+    val qCells = q.withColumn("ds", array(cents.map(l2): _*))
+      .select(col("query_id"), col("qe").as("qv"),
+        posexplode(col("ds")).as(Seq("cell", "cdist")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
+      .where(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // the probed-cell union: ≤ nlist ints, driver-bounded by
+    // construction — the isin reaches the scan as a partition filter
+    val probed = qCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$indexPath/cells")
+      .where(col("cell").isin(probed: _*))
+    val scored = broadcast(qCells).join(cells, "cell")
+      .select(col("query_id"), col(idCol), col("cell").cast("long").as("cell"),
+        dotQ(col("qv"), col("qe")).as("dot"))
+    TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
   }
 
   /** Bucketed ANN: assign every vector an LSH bucket, then rank only

@@ -31,6 +31,18 @@ object Pipeline {
       p
     })
 
+  /** Materialized IVF index over the embeddings table (same standing-
+    * state rationale as [[sigIndex]]: q89 times the probe, not the
+    * build).
+    */
+  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivfindex").toString
+      Similarity.writeIvfIndex(tbl(s, dir, "embeddings"), "vec_id", "embedding", p)
+      p
+    })
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: hash-groupBy, keep lowest doc_id per text group.
@@ -474,6 +486,21 @@ object Pipeline {
       (s, dir) =>
         Similarity.ivfTopKDet(tbl(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, 5)
+          .orderBy(col("query_id"), col("rk")),
+      Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
+        "vec_id < 10", 5, DIM) + " ORDER BY query_id, rk")),
+
+    // The same ANN queries answered from the MATERIALIZED IVF index
+    // (driver-collected centroid model + cell-partitioned quantized
+    // corpus): the probe reads only the probed cells' directories and
+    // never re-quantizes the corpus, and the oracle is identical to
+    // q75 — proving the persistent-index path returns exactly what the
+    // self-contained train-assign-probe does.
+    "q89_ann_ivf_indexed" -> QueryDef(
+      (s, dir) =>
+        Similarity.ivfTopKIndexed(
+          tbl(s, dir, "embeddings").where(col("vec_id") < 10),
+          "vec_id", "embedding", ivfIndex(s, dir), 5)
           .orderBy(col("query_id"), col("rk")),
       Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
         "vec_id < 10", 5, DIM) + " ORDER BY query_id, rk")),

@@ -325,6 +325,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(run() == rows)
   }
 
+  test("ivfTopKIndexed answers exactly like ivfTopKDet, including out-of-corpus queries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.fill(8)(base + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(df, "vec_id", "embedding", dir, nlist = 4, iters = 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val indexed = Similarity.ivfTopKIndexed(
+      df.where($"vec_id" < 4), "vec_id", "embedding", dir, 3, nprobe = 2)
+      .collect().map(key).toSet
+    val direct = Similarity.ivfTopKDet(df, "vec_id", "embedding", $"vec_id" < 4, 3,
+      nlist = 4, nprobe = 2).collect().map(key).toSet
+    assert(indexed == direct)
+    // a query vector that was never indexed probes its cluster's cells
+    val fresh = Seq((999L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopKIndexed(fresh, "vec_id", "embedding", dir, 3, nprobe = 2)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    assert(out.length == 3 && out.forall { case (q, v) => q == 999L && v % 2 == 0 })
+  }
+
   test("saltedJoin matches the plain join and spreads the hot key") {
     import spark.implicits._
     import graft.functions.Skew

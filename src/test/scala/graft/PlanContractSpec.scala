@@ -96,6 +96,23 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("sortedintersectcount"))
   }
 
+  test("indexed IVF probe: cells scan prunes to the probed-cell union, queries broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivfidx").toString
+    graft.functions.Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir)
+    val p = graft.functions.Similarity.ivfTopKIndexed(
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", dir, 5)
+      .queryExecution.sparkPlan.toString
+    // the probed-cell union must reach the cells scan as a PARTITION
+    // filter (unprobed cell directories never listed)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p.take(1200))
+    // the per-query (query, cell) set is broadcast onto the cells scan,
+    // and the rerank is the bounded-heap operator, not a window sort
+    assert(p.contains("BroadcastHashJoin"), "qCells not broadcast onto the cells scan")
+    assert(p.contains("GroupedTopK"), "rerank is not the bounded-heap operator")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("decontamination: benchmark grams broadcast, ONE doc-keyed exchange") {
     // executedPlan: exchanges are inserted by EnsureRequirements, which
     // sparkPlan has not run yet
