@@ -24,12 +24,17 @@ import graft.functions.{Dedup, Graph, Similarity, TextOps}
   * 200× that turns every gram into a 200-document stop-gram, which the
   * production cap correctly suppresses to zero pairs — skew-safe, but it
   * stress-tests nothing downstream of candgen.)
-  * Usage: runMain graft.PipelineStress [mult] [embMult]
+  * Usage: runMain graft.PipelineStress [mult] [embMult] [onlyStages]
+  * `onlyStages` (comma-separated stage names) reruns a subset at the
+  * same multipliers and MERGES its timings into the existing
+  * stress.json — adding a stage doesn't cost a full re-sweep.
   */
 object PipelineStress {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(200)
     val embMult = args.drop(1).headOption.map(_.toInt).getOrElse(200)
+    val only: Set[String] =
+      args.drop(2).headOption.map(_.split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,12 +43,14 @@ object PipelineStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      stages(name) = math.rint(sec * 100) / 100
-      println(f"[stress] $name%-34s $sec%8.2f s"); r
-    }
+    def timed[T](name: String)(f: => T): Option[T] =
+      if (only.nonEmpty && !only(name)) None
+      else {
+        val t0 = System.nanoTime(); val r = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        stages(name) = math.rint(sec * 100) / 100
+        println(f"[stress] $name%-34s $sec%8.2f s"); Some(r)
+      }
     // Honest forcing: `count()` on a projection-only frame lets Spark
     // skip the projection entirely (rows are countable from the source),
     // recording ~0 s for stages that would really cost minutes.
@@ -77,8 +84,8 @@ object PipelineStress {
     }
     val lshPairs = Dedup.nearDupPairs(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nLsh = timed("lsh_near_dup_pairs") { lshPairs.count() }
-    println(s"[stress]   LSH near-dup pairs found: $nLsh")
+    timed("lsh_near_dup_pairs") { lshPairs.count() }
+      .foreach(n => println(s"[stress]   LSH near-dup pairs found: $n"))
     // the q81 shape at scale: transitive closure over the pair graph —
     // min-label propagation + pointer jumping, driver sees only counts
     timed("duplicate_clusters") {
@@ -87,13 +94,12 @@ object PipelineStress {
     lshPairs.unpersist()
     // incremental ingest shape: a ~1% "new batch" against the standing
     // corpus — the per-batch cost of a continuously-fed pipeline (q86)
-    val nInc = timed("incremental_near_dup_1pct") {
+    timed("incremental_near_dup_1pct") {
       force(Dedup.nearDupAgainst(
         docs.where(col("doc_id") % 101 === 0),
         docs.where(col("doc_id") % 101 =!= 0),
         "doc_id", "text"))
-    }
-    println(s"[stress]   incremental near-dup pairs: $nInc")
+    }.foreach(n => println(s"[stress]   incremental near-dup pairs: $n"))
     // ...and the same batch against a MATERIALIZED signature index: the
     // index build is the once-amortized standing cost; the probe is what
     // each ingest batch pays in steady state (signs only the batch,
@@ -103,17 +109,15 @@ object PipelineStress {
       Dedup.writeSignatureIndex(
         docs.where(col("doc_id") % 101 =!= 0), "doc_id", "text", idxDir)
     }
-    val nIdx = timed("incremental_near_dup_indexed") {
+    timed("incremental_near_dup_indexed") {
       force(Dedup.nearDupAgainstIndexed(
         docs.where(col("doc_id") % 101 === 0), "doc_id", "text", idxDir))
-    }
-    println(s"[stress]   indexed-probe near-dup pairs: $nIdx")
+    }.foreach(n => println(s"[stress]   indexed-probe near-dup pairs: $n"))
     // PRODUCTION df-cap: group salting keeps every gram's df ≤ 4, so
     // maxDf = 16 runs unchanged at 1M docs (the 100 TB configuration)
-    val npairs = timed("ngram_jaccard_pairs") {
+    timed("ngram_jaccard_pairs") {
       force(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
-    }
-    println(s"[stress]   ngram near-dup pairs found: $npairs")
+    }.foreach(n => println(s"[stress]   ngram near-dup pairs found: $n"))
     timed("simhash") {
       force(TextOps.simhash(docs, "doc_id", "text"))
     }
@@ -156,10 +160,33 @@ object PipelineStress {
       force(Similarity.ivfTopKDet(emb, "vec_id", "embedding",
         col("vec_id") < 100, 5))
     }
-    val total = math.rint(stages.values.sum * 100) / 100
+    // ...and the same queries against a MATERIALIZED IVF index (q89):
+    // the build is the once-amortized standing cost; the probe is what a
+    // steady-state ANN service pays per query batch (no training, no
+    // corpus re-quantization — only the probed cells' directories read)
+    val ivfDir = Files.createTempDirectory("graft-stress-ivfidx").toString
+    timed("ivf_index_build") {
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", ivfDir)
+    }
+    timed("ann_ivf_indexed_100q") {
+      force(Similarity.ivfTopKIndexed(
+        emb.where(col("vec_id") < 100), "vec_id", "embedding", ivfDir, 5))
+    }
+    // subset runs merge into the standing stress.json (prior order kept,
+    // rerun stages overwritten, new stages appended)
+    val prior: Seq[(String, Double)] =
+      if (only.nonEmpty && Files.exists(Paths.get("stress.json")))
+        """"([a-z0-9_]+)":([0-9.]+)""".r
+          .findAllMatchIn(
+            Files.readString(Paths.get("stress.json"))
+              .dropWhile(_ != '{').drop(1).dropWhile(_ != '{'))
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      else Seq.empty
+    val merged = scala.collection.mutable.LinkedHashMap(prior: _*) ++ stages
+    val total = math.rint(merged.values.sum * 100) / 100
     val json =
       s"""{"metric":"pipeline_stress","docs":$n,"vectors":$nEmb,"unit":"sec","total":$total,""" +
-        stages.map { case (k, v) => s""""$k":$v""" }.mkString("\"stages\":{", ",", "}}")
+        merged.map { case (k, v) => s""""$k":$v""" }.mkString("\"stages\":{", ",", "}}")
     Files.writeString(Paths.get("stress.json"), json + "\n")
     println(json)
     println(f"[stress] done: $n docs / $nEmb vectors held all pipeline shapes")

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * corrupting counts/distances — fail loudly instead. (Analysis-time
   * `containsNull = false` enforcement would reject the nullable-typed but
   * null-free arrays every upstream `transform(...)` produces.)
+  *
+  * Deliberately a PREPASS, not a per-read `isNullAt` fused into each
+  * expression's main loop: A/B-benched on q32/q54 at sf0.1 (min-of-3
+  * sweeps, both orders), the fused form measured ~25% SLOWER — the
+  * dedicated bitmap scan is branch-predictable and leaves the merge /
+  * multiply-add loops check-free for the JIT, while per-read checks add
+  * a load+branch to every element access of the hot loop.
   */
 object SortedSetGuards {
   def noNulls(a: ArrayData, who: String): Unit = {
