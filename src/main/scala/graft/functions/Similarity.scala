@@ -308,7 +308,11 @@ object Similarity {
 
   /** DuckDB equivalent of [[ivfTopKDet]]: the same init / assignment /
     * floor-mean update unrolled as CTE chains, one assignment+update pair
-    * per Lloyd iteration.
+    * per Lloyd iteration. `trainWhereSql` restricts the TRAINING set
+    * (init + Lloyd passes) while assignment and probing still cover the
+    * whole table — the oracle shape of a standing index grown by
+    * [[appendIvfIndex]]: centroids come from the corpus the index was
+    * built on, appended rows are assigned by the same frozen model.
     */
   def ivfTopKDetSql(
       tbl: String,
@@ -319,7 +323,8 @@ object Similarity {
       dim: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 2): String = {
+      iters: Int = 2,
+      trainWhereSql: String = "TRUE"): String = {
     def dist(v: String, c: String) =
       s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
     // one Lloyd step: assign to cs{j-1}, mean per (cell, dim), carry empty cells
@@ -327,7 +332,7 @@ object Similarity {
       s"""a$j AS (SELECT $idCol, qe, cell FROM (
          |  SELECT v.$idCol, v.qe, c.cell,
          |    row_number() OVER (PARTITION BY v.$idCol ORDER BY ${dist("v.qe", "c.qe")}, c.cell) AS rn
-         |  FROM qv v CROSS JOIN cs${j - 1} c) t WHERE rn = 1),
+         |  FROM tv v CROSS JOIN cs${j - 1} c) t WHERE rn = 1),
          |d$j AS (SELECT cell, i, qe[i] AS val FROM a$j CROSS JOIN UNNEST(range(1, ${dim + 1})) AS t(i)),
          |m$j AS (SELECT cell, i, CAST(floor(CAST(sum(val) AS DOUBLE)/count(*)) AS BIGINT) AS mv
          |        FROM d$j GROUP BY cell, i),
@@ -335,8 +340,9 @@ object Similarity {
          |cs$j AS (SELECT p.cell, coalesce(n$j.qe, p.qe) AS qe FROM cs${j - 1} p LEFT JOIN n$j USING (cell))"""
     val steps = (1 to iters).map(step).mkString(",\n")
     s"""WITH qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
+       |tv AS (SELECT $idCol, qe FROM qv WHERE $trainWhereSql),
        |cs0 AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cell, qe
-       |        FROM qv ORDER BY $idCol LIMIT $nlist),
+       |        FROM tv ORDER BY $idCol LIMIT $nlist),
        |$steps,
        |asgn AS (SELECT $idCol, qe, cell FROM (
        |  SELECT v.$idCol, v.qe, c.cell,
@@ -383,6 +389,34 @@ object Similarity {
     assignCells(src.select(col(idCol), quantize(col(embCol)).as("qe")), cents)
       .select(col(idCol), col("qe"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Grow a standing [[writeIvfIndex]] index by one ingested batch — the
+    * ANN counterpart of [[graft.functions.Dedup.appendSignatureIndex]]:
+    * the batch is quantized and assigned with the index's EXISTING
+    * centroid model (read back from `path/centroids`, O(nlist·dim)), then
+    * appended into the cell partitions it lands in. Cost is O(batch);
+    * standing cell files are never rewritten, and the model is not
+    * retrained — standard IVF maintenance. Drift policy lives above this
+    * operator: when enough batches accumulate that cell sizes skew, a
+    * deployment re-runs [[writeIvfIndex]] (a rebuild-style compaction)
+    * off the hot path; probes stay exact-within-probed-cells regardless,
+    * because every appended vector is assigned by the same argmin the
+    * probe's cell selection uses.
+    */
+  def appendIvfIndex(
+      batch: DataFrame,
+      idCol: String,
+      embCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toIndexedSeq.map(_._2)
+    val src = Par.fanOut(batch.select(col(idCol), col(embCol)))
+    assignCells(src.select(col(idCol), quantize(col(embCol)).as("qe")), cents)
+      .select(col(idCol), col("qe"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** ANN top-k against a materialized [[writeIvfIndex]] index: the

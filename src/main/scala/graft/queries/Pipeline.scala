@@ -43,6 +43,24 @@ object Pipeline {
       p
     })
 
+  /** IVF index built on the STANDING corpus (vec_id % 13 != 0) and then
+    * grown by [[Similarity.appendIvfIndex]] with the remaining batch —
+    * the maintenance half of a standing ANN service, so q90 probes an
+    * index whose cells mix build-time and appended rows under one frozen
+    * centroid model.
+    */
+  private val ivfGrownCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfGrownIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfGrownCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivfgrown").toString
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.writeIvfIndex(
+        emb.where(col("vec_id") % 13 =!= 0), "vec_id", "embedding", p)
+      Similarity.appendIvfIndex(
+        emb.where(col("vec_id") % 13 === 0), "vec_id", "embedding", p)
+      p
+    })
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: hash-groupBy, keep lowest doc_id per text group.
@@ -504,6 +522,24 @@ object Pipeline {
           .orderBy(col("query_id"), col("rk")),
       Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
         "vec_id < 10", 5, DIM) + " ORDER BY query_id, rk")),
+
+    // Index MAINTENANCE: the same probe against an index built on the
+    // standing corpus (vec_id % 13 != 0) and GROWN by appendIvfIndex
+    // with the remaining batch — appended rows are assigned by the
+    // frozen build-time centroid model, never a retrain. The oracle
+    // trains Lloyd on the standing rows only (trainWhereSql) but assigns
+    // and probes the full table — bit-for-bit the grown index's state,
+    // proving append lands every batch row in the exact cell a fresh
+    // assignment under the standing model would choose.
+    "q90_ann_ivf_append" -> QueryDef(
+      (s, dir) =>
+        Similarity.ivfTopKIndexed(
+          tbl(s, dir, "embeddings").where(col("vec_id") < 10),
+          "vec_id", "embedding", ivfGrownIndex(s, dir), 5)
+          .orderBy(col("query_id"), col("rk")),
+      Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
+        "vec_id < 10", 5, DIM, trainWhereSql = "vec_id % 13 <> 0") +
+        " ORDER BY query_id, rk")),
 
     // Feature extraction over sampled frames: per-frame byte histogram
     // (16 bins) via the partition-batched extractor — the multimodal

@@ -350,6 +350,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length == 3 && out.forall { case (q, v) => q == 999L && v % 2 == 0 })
   }
 
+  test("appendIvfIndex grows the index under the frozen model; full probe ≡ brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.fill(8)(base + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val standing = df.where($"vec_id" % 3 =!= 0)
+    val batch = df.where($"vec_id" % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfgrow").toString
+    Similarity.writeIvfIndex(standing, "vec_id", "embedding", dir, nlist = 4, iters = 2)
+    Similarity.appendIvfIndex(batch, "vec_id", "embedding", dir)
+    // every appended row landed in the cell the frozen model assigns it to:
+    // full probe (nprobe = nlist) over the grown index ≡ brute-force top-k
+    // over the union — any missing / mis-assigned append row breaks this
+    val full = Similarity.ivfTopKIndexed(
+      df.where($"vec_id" < 4), "vec_id", "embedding", dir, 5, nprobe = 4)
+      .select($"query_id", $"vec_id", $"dot", $"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val brute = Similarity.dotTopK(df, "vec_id", "embedding", $"vec_id" < 4, 5)
+      .select($"query_id", $"vec_id", $"dot", $"rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full == brute)
+    // and the grown cells table holds exactly the union of ids
+    val ids = spark.read.parquet(s"$dir/cells").select($"vec_id")
+      .as[Long].collect().toSet
+    assert(ids == (0L until 60L).toSet)
+  }
+
   test("saltedJoin matches the plain join and spreads the hot key") {
     import spark.implicits._
     import graft.functions.Skew
