@@ -64,36 +64,54 @@ object Similarity {
     * an md5-expression form is not constant-folded by Catalyst, so it
     * would recompute dim×planes hashes PER ROW.
     */
-  private def planeExpr(j: Int, dim: Int): Column = {
+  private[functions] def planeVals(j: Int, dim: Int): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val vals = (0 until dim).map { i =>
+    Array.tabulate(dim) { i =>
       val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString.take(15)
       java.lang.Long.parseLong(hex, 16) % 2001 - 1000
     }
-    array(vals.map(lit(_)): _*)
   }
+
+  private def planeExpr(j: Int, dim: Int): Column =
+    array(planeVals(j, dim).toSeq.map(lit(_)): _*)
 
   private def planeSql(j: Int, dim: Int): String =
     s"list_transform(range(0, $dim), i -> ${TextOps.portableHashSql("i::VARCHAR", s"$j:")} % 2001 - 1000)"
 
-  /** Random-hyperplane LSH bucket id (`numPlanes` sign bits). */
-  def lshBucket(qe: Column, dim: Int, numPlanes: Int): Column =
+  /** Random-hyperplane LSH bucket id (`numPlanes` sign bits starting at
+    * plane `planeOffset` — band b of a banded scheme passes
+    * `planeOffset = b * planesPerBand`).
+    */
+  def lshBucket(qe: Column, dim: Int, numPlanes: Int, planeOffset: Int = 0): Column =
     (0 until numPlanes).map { j =>
-      when(dotQ(planeExpr(j, dim), qe) > 0, 1L << j).otherwise(0L)
+      when(dotQ(planeExpr(planeOffset + j, dim), qe) > 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
 
-  def lshBucketSql(qe: String, dim: Int, numPlanes: Int): String =
+  def lshBucketSql(qe: String, dim: Int, numPlanes: Int, planeOffset: Int = 0): String =
     "CAST(" + (0 until numPlanes).map { j =>
-      s"CASE WHEN ${dotQSql(s"(${planeSql(j, dim)})", qe, dim)} > 0 THEN ${1L << j} ELSE 0 END"
+      s"CASE WHEN ${dotQSql(s"(${planeSql(planeOffset + j, dim)})", qe, dim)} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ") + " AS BIGINT)"
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, then
-    * keep bucket-mate pairs whose cosine ≥ `tauNum/tauDen` — evaluated
-    * EXACTLY in int64 via the squared form
-    * `tauDen² · dot² ≥ tauNum² · |a|²·|b|²` (with `dot > 0`), so no float
-    * tolerance is involved. The bucket join bounds the candidate set; at
-    * 100 TB this is the only shape that avoids the all-pairs cartesian.
+  /** Embedding-cosine near-duplicate pairs, banded hyperplane LSH:
+    * candidates = pairs agreeing on ALL `planesPerBand` sign bits of at
+    * least ONE of `numBands` bands — a union of equi-joins on
+    * `(band, signature)` keys (the [[graft.functions.Dedup.nearDupPairs]]
+    * band shape), then each candidate is verified with the EXACT int64
+    * squared cosine form `tauDen² · dot² ≥ tauNum² · |a|²·|b|²` (with
+    * `dot > 0`) — no float tolerance.
+    *
+    * Scale: a single fixed-2^p bucketing self-joins N²/2^p pairs — still
+    * quadratic for any fixed p (the round-8 stress run measured it at
+    * 1255 s / 400k vectors). Banding decouples precision from recall:
+    * `planesPerBand` sets bucket granularity (size it ~log₂(corpus) so
+    * expected bucket size stays O(1) — 2^16 keys/band makes the join key
+    * cardinality track the corpus, and AQE skew-splits any hot cluster
+    * bucket), while `numBands` buys back recall with b independent
+    * chances to collide. Per-band candidate volume is Σ n_k² over bucket
+    * sizes n_k — near-linear when buckets are O(1) — and verification is
+    * candidate-bounded: only candidate ids' vectors are re-joined
+    * (semi-join shrink), the banded frame carries no vectors at all.
     */
   def embeddingNearDups(
       df: DataFrame,
@@ -102,23 +120,32 @@ object Similarity {
       dim: Int,
       tauNum: Long,
       tauDen: Long,
-      numPlanes: Int = 4): DataFrame = {
-    val bucketed = Par.fanOut(df.select(col(idCol), col(embCol)))
-      .select(col(idCol), quantize(col(embCol)).as("qe"))
-      .withColumn("bucket", lshBucket(col("qe"), dim, numPlanes))
-      .withColumn("n2", dotQ(col("qe"), col("qe")))
-    val a = bucketed.select(col(idCol).as("id_a"), col("qe").as("qa"),
-      col("bucket"), col("n2").as("na2"))
-    val b = bucketed.select(col(idCol).as("id_b"), col("qe").as("qb"),
-      col("bucket"), col("n2").as("nb2"))
-    a.join(b, Seq("bucket"))
+      numBands: Int = 8,
+      planesPerBand: Int = 16): DataFrame = {
+    val src = Par.fanOut(df.select(col(idCol), col(embCol)))
+    val base = src.select(col(idCol), quantize(col(embCol)).as("qe"))
+    // (id, band, sig) only — one fused plane sweep (BandSigs), then the
+    // vectors are dropped before the self-join shuffle
+    val banded = base
+      .select(col(idCol), posexplode(BandSigs(col("qe"), dim, numBands, planesPerBand))
+        .as(Seq("band", "sig")))
+    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val sub = base.join(candIds, Seq(idCol), "left_semi")
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+    cand
+      .join(sub.select(col(idCol).as("id_a"), col("qe").as("qa"), col("n2").as("na2")), "id_a")
+      .join(sub.select(col(idCol).as("id_b"), col("qe").as("qb"), col("n2").as("nb2")), "id_b")
       .withColumn("dot", dotQ(col("qa"), col("qb")))
       .where(col("dot") > 0 &&
         lit(tauDen * tauDen) * col("dot") * col("dot") >=
           lit(tauNum * tauNum) * col("na2") * col("nb2"))
-      .select(col("id_a"), col("id_b"), col("bucket"), col("dot"),
-        col("na2"), col("nb2"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
   }
 
   def embeddingNearDupsSql(
@@ -128,17 +155,24 @@ object Similarity {
       dim: Int,
       tauNum: Long,
       tauDen: Long,
-      numPlanes: Int = 4): String =
+      numBands: Int = 8,
+      planesPerBand: Int = 16): String = {
+    val bandSelects = (0 until numBands).map { b =>
+      s"SELECT $idCol, $b AS band, ${lshBucketSql("qe", dim, planesPerBand, b * planesPerBand)} AS sig FROM qv"
+    }.mkString(" UNION ALL ")
     s"""WITH qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
-       |b AS (SELECT $idCol, qe, ${lshBucketSql("qe", dim, numPlanes)} AS bucket,
-       |             ${dotQSql("qe", "qe", dim)} AS n2 FROM qv)
-       |SELECT a.$idCol AS id_a, bb.$idCol AS id_b, a.bucket AS bucket,
-       |       ${dotQSql("a.qe", "bb.qe", dim)} AS dot,
-       |       a.n2 AS na2, bb.n2 AS nb2
-       |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.$idCol < bb.$idCol
-       |WHERE ${dotQSql("a.qe", "bb.qe", dim)} > 0
-       |  AND ${tauDen * tauDen} * ${dotQSql("a.qe", "bb.qe", dim)} * ${dotQSql("a.qe", "bb.qe", dim)}
-       |      >= ${tauNum * tauNum} * a.n2 * bb.n2""".stripMargin.replace("\n", " ")
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.$idCol AS id_a, bb.$idCol AS id_b
+       |         FROM bands a JOIN bands bb
+       |           ON a.band = bb.band AND a.sig = bb.sig AND a.$idCol < bb.$idCol),
+       |v AS (SELECT $idCol, qe, ${dotQSql("qe", "qe", dim)} AS n2 FROM qv)
+       |SELECT c.id_a, c.id_b, ${dotQSql("va.qe", "vb.qe", dim)} AS dot,
+       |       va.n2 AS na2, vb.n2 AS nb2
+       |FROM cand c JOIN v va ON va.$idCol = c.id_a JOIN v vb ON vb.$idCol = c.id_b
+       |WHERE ${dotQSql("va.qe", "vb.qe", dim)} > 0
+       |  AND ${tauDen * tauDen} * ${dotQSql("va.qe", "vb.qe", dim)} * ${dotQSql("va.qe", "vb.qe", dim)}
+       |      >= ${tauNum * tauNum} * va.n2 * vb.n2""".stripMargin.replace("\n", " ")
+  }
 
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` KMeans
     * cells, then search each query against only the `nprobe` cells whose

@@ -328,14 +328,20 @@ object Pipeline {
     // arbitrary graphs in PipelineSpec.
     "q81_dup_clusters" -> QueryDef(
       (s, dir) => {
+        // 8×8 banding (not the 8×16 scale default): the closure operator
+        // is the subject here, so trade bucket granularity for recall —
+        // 8-bit sigs keep the moderate-cosine planted dups colliding at
+        // this SF while the join stays banded
         val pairs = Similarity.embeddingNearDups(tbl(s, dir, "embeddings"),
-          "vec_id", "embedding", DIM, tauNum = 2, tauDen = 5)
+          "vec_id", "embedding", DIM, tauNum = 2, tauDen = 5,
+          numBands = 8, planesPerBand = 8)
         Graph.connectedComponents(pairs, "id_a", "id_b")
           .orderBy(col("id"))
       },
       Some(s"""WITH RECURSIVE pairs AS (
               |  SELECT id_a, id_b FROM (${Similarity.embeddingNearDupsSql("embeddings",
-                   "vec_id", "embedding", DIM, tauNum = 2, tauDen = 5)}) p),
+                   "vec_id", "embedding", DIM, tauNum = 2, tauDen = 5,
+                   numBands = 8, planesPerBand = 8)}) p),
               |${Graph.connectedComponentsSql("id_a", "id_b")}
               |ORDER BY id""".stripMargin.replace("\n", " "))),
 

@@ -282,6 +282,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("BandSigs ≡ per-band lshBucket composition; embeddingNearDups is sound and banded-recall-complete") {
+    import spark.implicits._
+    import graft.functions.BandSigs
+    val rnd = new scala.util.Random(7)
+    // 40 random base vectors + a planted near-dup of each of the first 10
+    // (tiny perturbation ⇒ cosine ≈ 1 ⇒ every band should collide)
+    val base = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val dups = (0L until 10L).map(i =>
+      (100L + i, base(i.toInt)._2.map(v => v + (rnd.nextFloat() - 0.5f) * 0.01f)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val numBands = 4; val r = 8
+    // 1) the fused expression computes exactly the per-band sign-bit sums
+    val unfused = (0 until numBands).map(b =>
+      Similarity.lshBucket(col("qe"), 16, r, planeOffset = b * r))
+    val qv = df.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
+    val mismatch = qv.select(
+      BandSigs(col("qe"), 16, numBands, r).as("fused"), array(unfused: _*).as("ref"))
+      .where(col("fused") =!= col("ref")).count()
+    assert(mismatch == 0)
+    // 2) soundness: every emitted pair passes the exact threshold vs brute force
+    val out = Similarity.embeddingNearDups(df, "vec_id", "embedding", 16,
+      tauNum = 9, tauDen = 10, numBands = numBands, planesPerBand = r)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val all = (base ++ dups)
+    for ((ia, ib) <- out) {
+      val va = all.find(_._1 == ia).get._2; val vb = all.find(_._1 == ib).get._2
+      assert(cos(va, vb) >= 0.9 - 1e-3, s"pair ($ia,$ib) below threshold")
+    }
+    // 3) recall: planted near-identical pairs agree on every plane sign
+    // w.h.p. — all 10 must surface through the band join
+    (0L until 10L).foreach(i => assert(out.contains((i, 100L + i)), s"lost planted dup $i"))
+  }
+
   test("ivfTopK probes only nearby cells and keeps the self match") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

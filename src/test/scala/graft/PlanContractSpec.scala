@@ -96,6 +96,34 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("sortedintersectcount"))
   }
 
+  test("embedding near-dup: banded join keys, no vector across the band join, banded candidate volume") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.functions.Similarity.embeddingNearDups(
+      emb, "vec_id", "embedding", 64, tauNum = 3, tauDen = 10)
+    val p = q.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // candidate generation joins on the (band, sig) key pair — never a
+    // single fixed bucket column
+    assert("band#\\d+L?, sig#\\d+L?".r.findFirstIn(p).isDefined, p.take(1500))
+    // the banded frame crossing the self-join carries (id, band, sig)
+    // ONLY: no join key list may include the quantized vector
+    val joinKeyLists = "Join.*\\[(band|sig)[^\\]]*\\]".r.findAllIn(p).toList
+    assert(joinKeyLists.nonEmpty && !joinKeyLists.exists(_.contains("qe")), p.take(1500))
+    // data contract: at the 8×16 default, per-key bucket volume is a
+    // banded fraction — Σ n·(n-1)/2 over every (band, sig) bucket must be
+    // far below the old fixed-16-bucket floor of ~N²/16 candidates
+    import org.apache.spark.sql.functions.{col, count, explode, lit, posexplode, sum}
+    val n = emb.count()
+    val qv = emb.select(col("vec_id"),
+      graft.functions.Similarity.quantize(col("embedding")).as("qe"))
+    val vol = qv.select(posexplode(
+        graft.functions.BandSigs(col("qe"), 64, 8, 16)).as(Seq("band", "sig")))
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2)).collect()(0).getLong(0)
+    assert(vol < n * n / 64,
+      s"banded candidate volume $vol not a banded fraction of n²=${n * n}")
+  }
+
   test("indexed IVF probe: cells scan prunes to the probed-cell union, queries broadcast") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("plan-ivfidx").toString
