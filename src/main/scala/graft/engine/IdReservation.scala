@@ -23,7 +23,8 @@ object IdReservation {
 
   final val DefaultDeadlineMs = 10000L // object_indices.py:687
 
-  private val protocol: CommitProtocol = LocalFsCommitProtocol
+  /** Test-swappable like [[graft.storage.VersionedStore.protocol]]. */
+  @volatile private[graft] var protocol: CommitProtocol = LocalFsCommitProtocol
 
   private def keyFile(dir: String, lookupKey: String, res: Int): Path =
     Paths.get(dir, s"${lookupKey.replace("&", "_")}_r$res.counter")

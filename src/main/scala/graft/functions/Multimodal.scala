@@ -45,14 +45,23 @@ object Multimodal {
     else None
 
   /** Real image decode (JDK ImageIO). None when the blob is not a
-    * decodable image — callers fall back to [[stubDecode]]. Call
-    * `ImageIO.setUseCache(false)` once per partition first so decode
-    * never touches a disk cache (see [[decodeMeta]]).
+    * decodable image — including one whose magic bytes sniff as an image
+    * but whose body is corrupt or truncated (`ImageIO.read` throws
+    * `IIOException`/`IOException`, and broken third-party codecs throw
+    * unchecked) — so callers fall back to [[stubDecode]] and one bad blob
+    * never fails a whole partition; corrupt media is routine in a large
+    * multimodal ingest. Call `ImageIO.setUseCache(false)` once per
+    * partition first so decode never touches a disk cache (see
+    * [[decodeMeta]]).
     */
   def decodeImage(bytes: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
     imageFormat(bytes).flatMap { fmt =>
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map(img => (fmt, img))
+      catch {
+        case _: java.io.IOException => None
+        case _: RuntimeException    => None
+      }
     }
 
   /** Grayscale PNG encoder (JDK ImageIO) — the test/fixture twin of

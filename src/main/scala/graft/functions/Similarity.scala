@@ -213,12 +213,21 @@ object Similarity {
     // for placement quality the rerank doesn't need. (Correctness is
     // centroid-independent: with nprobe = nlist the result equals brute
     // force regardless of placement — the q55 oracle property.)
+    // The sample is DETERMINISTIC: take the trainCap smallest rows by
+    // (xxhash64(id), id) — a pseudo-random but input-determined order, so
+    // repeated runs over the same corpus train on the same rows and
+    // centroids (hence recall at nprobe < nlist) are reproducible; a bare
+    // `limit(trainCap)` picks whatever partitions answer first. The
+    // ordered limit plans as TakeOrderedAndProject (per-partition bounded
+    // heap + one merge), NOT a full sort — one pass at any corpus size.
     // repartition after the limit (a bare global limit funnels the fit
     // input to ONE partition, serializing every Lloyd pass) and persist
     // it around the fit: KMeans re-executes its input plan per
     // iteration, and the capped input is ≤ trainCap rows by construction
     // so the cache is bounded at any corpus size — released before return
-    val fitInput = withVec.select("fv").limit(trainCap)
+    val fitInput = withVec
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
+      .select("fv")
       .repartition(spark.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model =

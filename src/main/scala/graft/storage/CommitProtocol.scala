@@ -1,6 +1,6 @@
 package graft.storage
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{DirectoryStream, Files, Path, StandardCopyOption}
 
 /** The control-plane primitives the engine's stores need from their
   * storage system, extracted behind one interface so the local-FS
@@ -17,30 +17,55 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * Everything data-plane (version directories, `_DELTA` markers, parquet
   * IO) is bulk-immutable and already storage-agnostic.
   *
-  * LOCAL FS ([[LocalFsCommitProtocol]]): `Files.createFile` is atomic on
-  * POSIX filesystems and HDFS; `ATOMIC_MOVE` over the target gives the
-  * torn-free pointer replace.
+  * TWO implementations ship, and the StreamSpec racing-committer /
+  * concurrent-reservation batteries run against BOTH:
   *
-  * S3 DESIGN NOTE (the 100 TB deployment): S3 conditional writes make all
-  * three primitives direct calls — [[tryCreateExclusive]] is `PutObject`
-  * with `If-None-Match: *` (HTTP 412 → false), [[publish]] is a plain
-  * `PutObject` (per-object atomic, read-after-write consistent),
-  * [[readSmall]] is `GetObject`, and [[ageMs]] reads the object's
-  * `Last-Modified` for the same stale-marker-breaking rule. On stores
-  * without conditional writes the acquire falls back to an external lock
-  * row (DynamoDB conditional update) — the Delta LogStore / Iceberg
-  * lock-manager playbook.
+  *  - [[LocalFsCommitProtocol]] (POSIX/HDFS): `Files.createFile` is
+  *    atomic; `ATOMIC_MOVE` over the target gives the torn-free pointer
+  *    replace.
+  *  - [[ObjectStoreCommitProtocol]] (rename-less emulation): allows
+  *    itself ONLY object-store verbs — create-object-if-absent, list,
+  *    stat, delete; no atomic rename, no in-place overwrite. [[publish]]
+  *    becomes an append-only generation chain of immutable objects whose
+  *    tiny content rides in the object NAME (directory-entry creation is
+  *    the atomic step), [[readSmall]] resolves the max generation. This
+  *    is the put-if-absent-only discipline S3 conditional writes give.
+  *
+  * S3 MAPPING (the 100 TB deployment): [[tryCreateExclusive]] is
+  * `PutObject` with `If-None-Match: *` (HTTP 412 → false), [[publish]] is
+  * a plain `PutObject` (per-object atomic, read-after-write consistent),
+  * [[readSmall]] is `GetObject`, [[stampMs]] reads `Last-Modified` (or
+  * the ETag as the identity token), and [[deleteIfStamp]] is
+  * `DeleteObject` with `If-Match` on the observed ETag — on S3 the
+  * conditional stale-break is therefore EXACT, with no re-check window.
+  * On stores without conditional writes the acquire falls back to an
+  * external lock row (DynamoDB conditional update) — the Delta LogStore /
+  * Iceberg lock-manager playbook; the reference's own analog is the
+  * DynamoDB conditional update at `spdb/spatialdb/object_indices.py:
+  * 690-728`.
   */
 trait CommitProtocol {
 
   /** Atomically create `marker` iff absent; false when it already exists. */
   def tryCreateExclusive(marker: Path): Boolean
 
-  /** Milliseconds since `marker` was written; None if it vanished. */
-  def ageMs(marker: Path): Option[Long]
+  /** Modification stamp of `marker` (epoch millis it was written; the
+    * marker's identity token for [[deleteIfStamp]]); None if absent.
+    */
+  def stampMs(marker: Path): Option[Long]
 
   /** Remove `marker` if present (mutex release; idempotent). */
   def delete(marker: Path): Unit
+
+  /** Delete `marker` only if its stamp still equals `observed` —
+    * re-checked immediately before the delete, so a marker refreshed or
+    * re-created by a LIVE holder between observation and break is left
+    * alone. Local FS keeps a microsecond re-check→delete window (POSIX
+    * has no compare-and-delete); on S3 `DeleteObject If-Match <etag>`
+    * makes it exact — see the trait's S3 mapping.
+    */
+  def deleteIfStamp(marker: Path, observed: Long): Unit =
+    if (stampMs(marker).contains(observed)) delete(marker)
 
   /** Atomically replace `target` with `content` — never observable torn. */
   def publish(target: Path, content: Array[Byte]): Unit
@@ -49,16 +74,30 @@ trait CommitProtocol {
   def readSmall(target: Path): Option[Array[Byte]]
 
   /** Mutex acquire over [[tryCreateExclusive]] with crashed-holder
-    * recovery: a marker older than `staleMs` is broken (its holder
-    * crashed without [[delete]]); polls every `pollMs` until `deadlineMs`
-    * from now. Returns true once acquired, false on deadline.
+    * recovery: a marker older than `staleMs` is broken (its holder is
+    * presumed to have crashed without [[delete]]); polls every `pollMs`
+    * until `deadlineMs` from now. Returns true once acquired, false on
+    * deadline.
+    *
+    * The break is CONDITIONAL on the marker's stamp ([[deleteIfStamp]]):
+    * two waiters that both observe the same stale marker can no longer
+    * double-break — the first breaker's freshly created lock has a new
+    * stamp, so the second waiter's re-check refuses the delete.
+    *
+    * CONTRACT: `staleMs` must exceed the worst-case critical-section hold
+    * time. A live holder that keeps its marker past `staleMs` without
+    * refreshing it WILL have its lock broken and a second writer admitted
+    * — callers size `staleMs` accordingly ([[VersionedStore]] uses
+    * `CommitLockTimeoutMs` = 10 min against commits that take seconds).
     */
   final def acquireMutex(
       marker: Path, staleMs: Long, deadlineMs: Long, pollMs: Long): Boolean = {
     val deadline = System.currentTimeMillis() + deadlineMs
     while (true) {
       if (tryCreateExclusive(marker)) return true
-      ageMs(marker).foreach { age => if (age > staleMs) delete(marker) }
+      stampMs(marker).foreach { s =>
+        if (System.currentTimeMillis() - s > staleMs) deleteIfStamp(marker, s)
+      }
       if (System.currentTimeMillis() > deadline) return false
       Thread.sleep(pollMs)
     }
@@ -73,8 +112,8 @@ object LocalFsCommitProtocol extends CommitProtocol {
     try { Files.createFile(marker); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
-  override def ageMs(marker: Path): Option[Long] =
-    try Some(System.currentTimeMillis() - Files.getLastModifiedTime(marker).toMillis)
+  override def stampMs(marker: Path): Option[Long] =
+    try Some(Files.getLastModifiedTime(marker).toMillis)
     catch { case _: java.io.IOException => None }
 
   override def delete(marker: Path): Unit = {
@@ -93,4 +132,97 @@ object LocalFsCommitProtocol extends CommitProtocol {
 
   override def readSmall(target: Path): Option[Array[Byte]] =
     if (Files.exists(target)) Some(Files.readAllBytes(target)) else None
+}
+
+/** Rename-less object-store emulation: the ONLY filesystem verbs used are
+  * create-if-absent (`Files.createFile` — stands in for `PutObject
+  * If-None-Match: *`), list, stat, and delete. No `Files.move`, no
+  * overwrite of an existing object.
+  *
+  * A published pointer is an append-only chain of immutable, empty
+  * generation objects `<name>.g<gen%010d>.<hex content>` next to the
+  * target path; the atomic step is the directory-entry creation (exactly
+  * an object PUT), the content rides hex-encoded in the name so a reader
+  * can never observe a torn body, and [[readSmall]] resolves the highest
+  * generation — readers see the old or the new pointer, never an
+  * intermediate. [[publish]] retries on generation collision (two racing
+  * publishers; the loser re-lists and takes the next slot), and prunes
+  * generations older than the last few so the chain stays O(1).
+  *
+  * Pointer contents here are tiny by design (version ints, id counters —
+  * capped at [[ObjectStoreCommitProtocol.MaxContent]] bytes), which is
+  * what makes name-encoding sound; a real S3 deployment publishes the
+  * body directly (per-object atomic PUT) and needs none of this.
+  */
+object ObjectStoreCommitProtocol extends CommitProtocol {
+
+  final val MaxContent = 96 // hex doubles it; POSIX name limit is 255
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  private def genPrefix(target: Path): String = s"${target.getFileName}.g"
+
+  /** (gen, contentHex) pairs for `target`'s chain, unsorted. */
+  private def listGens(target: Path): Seq[(Long, String)] = {
+    val dir = target.getParent
+    if (dir == null || !Files.isDirectory(dir)) return Seq.empty
+    val prefix = genPrefix(target)
+    val out = Seq.newBuilder[(Long, String)]
+    var stream: DirectoryStream[Path] = null
+    try {
+      stream = Files.newDirectoryStream(dir, prefix + "*")
+      stream.forEach { p =>
+        val rest = p.getFileName.toString.stripPrefix(prefix)
+        val dot = rest.indexOf('.')
+        if (dot == 10) // g<gen%010d>.<hex>; anything else is not ours
+          try out += ((rest.substring(0, dot).toLong, rest.substring(dot + 1)))
+          catch { case _: NumberFormatException => () }
+      }
+    } catch { case _: java.io.IOException => () }
+    finally if (stream != null) stream.close()
+    out.result()
+  }
+
+  override def tryCreateExclusive(marker: Path): Boolean =
+    try { Files.createFile(marker); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  override def stampMs(marker: Path): Option[Long] =
+    try Some(Files.getLastModifiedTime(marker).toMillis)
+    catch { case _: java.io.IOException => None }
+
+  override def delete(marker: Path): Unit = {
+    try { Files.deleteIfExists(marker); () }
+    catch { case _: java.io.IOException => () }
+  }
+
+  override def publish(target: Path, content: Array[Byte]): Unit = {
+    require(content.length <= MaxContent,
+      s"object-store pointer content is ${content.length} B (max $MaxContent)")
+    val h = hex(content)
+    var attempt = 0
+    while (attempt < 1000) {
+      val gens = listGens(target)
+      val next = if (gens.isEmpty) 1L else gens.map(_._1).max + 1L
+      val obj = target.resolveSibling(f"${genPrefix(target)}$next%010d.$h")
+      if (tryCreateExclusive(obj)) {
+        // prune the tail (keep a few so a concurrent reader's list→read
+        // window never dangles); pruning is best-effort garbage collection
+        gens.filter(_._1 < next - 4).foreach { case (g, old) =>
+          delete(target.resolveSibling(f"${genPrefix(target)}$g%010d.$old"))
+        }
+        return
+      }
+      attempt += 1 // generation collision: another publisher won the slot
+    }
+    throw new IllegalStateException(s"publish to $target: 1000 gen collisions")
+  }
+
+  override def readSmall(target: Path): Option[Array[Byte]] = {
+    val gens = listGens(target)
+    if (gens.isEmpty) None
+    else Some(unhex(gens.maxBy(_._1)._2))
+  }
 }

@@ -32,8 +32,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object VersionedStore {
 
-  /** Pluggable control-plane primitives (local-FS in this sandbox). */
-  private val protocol: CommitProtocol = LocalFsCommitProtocol
+  /** Pluggable control-plane primitives (local-FS in this sandbox;
+    * test-swappable so the racing-committer batteries run over the
+    * rename-less [[ObjectStoreCommitProtocol]] too).
+    */
+  @volatile private[graft] var protocol: CommitProtocol = LocalFsCommitProtocol
 
   private def currentFile(path: String): Path = Paths.get(path, "_CURRENT")
   private def lockFile(path: String): Path = Paths.get(path, "_LOCK")

@@ -119,7 +119,7 @@ class PlanContractSpec extends AnyFunSuite {
     val vol = qv.select(posexplode(
         graft.functions.BandSigs(col("qe"), 64, 8, 16)).as(Seq("band", "sig")))
       .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - 1) / 2)).collect()(0).getLong(0)
+      .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))).collect()(0).getLong(0)
     assert(vol < n * n / 64,
       s"banded candidate volume $vol not a banded fraction of n²=${n * n}")
   }
