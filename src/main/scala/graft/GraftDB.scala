@@ -44,10 +44,34 @@ final class GraftDB(
     * (`object_indices.py:730-817`).
     */
   private def commitIndexFor(version: Int, full: Boolean): Unit = {
-    val rows = IndexStore.fromCuboids(
-      CuboidStore.read(spark, s"$storeRoot/v$version"), vt)
-    if (full) IndexStore.commitFull(rows, indexPath)
-    else IndexStore.commitDelta(rows, indexPath)
+    // Self-healing delta scope: an index commit covers EVERY store
+    // version since the one its predecessor was stamped with (`_STORE_V`),
+    // not just the version that triggered it. That closes two gaps in one
+    // shape:
+    //  - bootstrap — the first index commit against a store that already
+    //    has history (written before index maintenance, or by a writer
+    //    that skipped it) must be a FULL build, or the index-first read
+    //    paths would treat a one-write delta as authoritative and
+    //    silently miss ids in never-indexed cuboids;
+    //  - crash repair — a writer that died between its data commit and
+    //    its index commit left versions unindexed; the next write's index
+    //    delta re-derives those versions' rows too ([[IndexStore
+    //    .deltaRowsFor]] newest-wins masking), so the standing index
+    //    heals deterministically instead of staying one write behind
+    //    forever. Readers are safe in the interim via
+    //    [[IndexStore.readCurrent]]'s on-the-fly masking.
+    val covered = IndexStore.coveredStoreVersion(indexPath)
+    val missing = (covered.getOrElse(-1) + 1) to version
+    val needFull = full ||
+      (covered.isEmpty && version > 0) || // no/unstamped index, prior history
+      !missing.forall(VersionedStore.isDelta(storeRoot, _))
+    if (needFull)
+      IndexStore.commitFull(
+        IndexStore.fromCuboids(VersionedStore.read(spark, storeRoot), vt),
+        indexPath, version)
+    else
+      IndexStore.commitDelta(
+        IndexStore.deltaRowsFor(spark, storeRoot, missing, vt), indexPath, version)
     ()
   }
 
@@ -157,7 +181,11 @@ final class GraftDB(
     */
   private def flatIndex(res: Int): DataFrame = {
     val base =
-      if (IndexStore.exists(indexPath)) IndexStore.read(spark, indexPath)
+      // readCurrent, not read: masks in any store versions committed but
+      // not yet indexed (the data-commit/index-commit crash window), so
+      // index-first reads never see a stale index
+      if (IndexStore.exists(indexPath))
+        IndexStore.readCurrent(spark, indexPath, storeRoot, vt)
       else {
         val (ex, ey, ez) = resource.extentAt(res)
         val nt = math.max(1, resource.experiment.numTimeSamples)
@@ -207,7 +235,9 @@ final class GraftDB(
     val pre = VersionedStore.currentVersion(storeRoot)
     val v = VersionedStore.compact(spark, storeRoot)
     if (maintainsIndex && IndexStore.exists(indexPath)) {
-      IndexStore.compact(spark, indexPath)
+      // compacts the repaired view and stamps coverage at the compacted
+      // store version (compaction is content-preserving)
+      IndexStore.compact(spark, indexPath, storeRoot, vt, pre, v)
       ()
     }
     // compaction is content-preserving: if the hierarchy was current at
@@ -367,12 +397,20 @@ final class GraftDB(
         } else if (!unseen.forall(VersionedStore.isDelta(storeRoot, _)))
           buildHierarchy(levels)
         else {
+          // persisted across BOTH consumers — the derived-level probe and
+          // the incremental pass's dirty-set projection — so each unseen
+          // version directory is listed and read once, not once per use;
+          // the union is O(unseen writes) by the all-deltas guard above,
+          // so the cache is bounded by the dirty footprint
           val writes = unseen
             .map(v => CuboidStore.read(spark, s"$storeRoot/v$v").toDF())
             .reduce(_ union _)
-          if (writes.where(col("res") =!= 0).limit(1).count() > 0)
-            buildHierarchy(levels) // derived-level direct write: rebuild
-          else propagateIncremental(writes, cur, levels)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (writes.where(col("res") =!= 0).limit(1).count() > 0)
+              buildHierarchy(levels) // derived-level direct write: rebuild
+            else propagateIncremental(writes, cur, levels)
+          } finally { writes.unpersist(); () }
         }
     }
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * for exact oracle parity, pushdown-friendly predicates).
   */
 object Relational {
-  import QueryDef.tbl
+  import QueryDef.{events, normalizeTs, tbl}
 
   /** Money/quantity columns arrive as parquet DOUBLE holding 2-decimal
     * values. All monetary outputs are emitted as exact integer minor
@@ -116,13 +116,14 @@ object Relational {
 
     // W-series shape: tumbling event-time window (batch form of the
     // Structured Streaming agg; integer epoch buckets for oracle parity).
-    // events.ts is parquet timestamp[ns], which Spark only reads with the
-    // nanosAsLong legacy flag (set here; idempotent) — ts then arrives as
-    // a Long of epoch nanoseconds, bucketed by integer division.
+    // events.ts arrives as epoch-ns Long via QueryDef.events — ns-stored
+    // parquet needs the nanosAsLong legacy flag (set here; idempotent),
+    // us-precision TIMESTAMP files convert exactly (see normalizeTs) —
+    // then bucketed by integer division either way.
     "q05_events_tumbling" -> QueryDef(
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        tbl(s, dir, "events")
+        events(s, dir)
           .select(expr("ts div 300000000000").as("bucket"),
             col("event_type"), col("value"))
           .groupBy(col("bucket"), col("event_type"))
@@ -146,8 +147,8 @@ object Relational {
         val name = s"q64_mem_${System.nanoTime()}"
         // the file-stream source requires a directory; glob-filter the
         // events file out of the shared sf dir
-        val q = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = normalizeTs(s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
           .select(expr("ts div 300000000000").as("bucket"), col("event_type"))
           .groupBy(col("bucket"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -217,7 +218,7 @@ object Relational {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val w = Window.partitionBy(col("user_id")).orderBy(col("tn"), col("event_id"))
         val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tbl(s, dir, "events")
+        events(s, dir)
           .select(col("user_id"), expr("ts div 1000").as("tn"), col("event_id"))  // ns -> us: DuckDB TIMESTAMP is us-precision
           .withColumn("new_s",
             when(lag(col("tn"), 1).over(w).isNull ||
@@ -347,7 +348,7 @@ object Relational {
         // truncates parquet timestamp[ns] to a us-resolution TIMESTAMP on
         // read, so raw ns values (and ns-resolution orderings) can never
         // hash-match — truncate at the source instead.
-        tbl(s, dir, "events")
+        events(s, dir)
           .where(col("event_type").isin("click", "purchase"))
           .select(col("user_id"), expr("ts div 1000").as("tn"), col("event_id"), col("event_type"))
           .withColumn("pr", when(col("event_type") === "click", 0).otherwise(1))
@@ -417,7 +418,7 @@ object Relational {
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val win = 86400000000000L // 24h in ns
-        val e = tbl(s, dir, "events")
+        val e = events(s, dir)
         val matcher = e.select(col("user_id"), col("ts").as("tn"), col("event_id"))
           .withColumn("bucket", expr(s"tn div $win"))
         val probes = e.where(col("event_type") === "purchase")

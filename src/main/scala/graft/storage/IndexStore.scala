@@ -30,15 +30,34 @@ final case class IdxRow(lookupKey: String, res: Int, t: Int, morton: Long, id: L
   * `storeRoot/_index`: a write's index delta is the flat rows of exactly
   * the touched cuboids (plus tombstones), committed with a `_DELTA`
   * marker; readers mask older versions per cuboid key. The index commit
-  * FOLLOWS the data commit (two commits, not one transaction) — a reader
-  * between the two sees an index one write stale, the same lag window the
-  * reference's asynchronous DynamoDB index updates have.
+  * FOLLOWS the data commit (two commits, not one transaction) — the lag
+  * window the reference's asynchronous DynamoDB index updates also have —
+  * but unlike the reference the window is CLOSED at both ends: every
+  * index version records the store version it covers (`_STORE_V`), so
+  * [[readCurrent]] detects index-behind-store and masks the missing store
+  * versions' rows in on the fly (readers never observe the stale index,
+  * even if the writer died between the two commits), and the next
+  * successful index commit re-derives every unindexed version's delta
+  * ([[deltaRowsFor]]), healing the standing index deterministically.
   */
 object IndexStore {
 
   def path(storeRoot: String): String = s"$storeRoot/_index"
 
   def exists(path: String): Boolean = VersionedStore.currentVersion(path).isDefined
+
+  /** The store version the current index snapshot covers (its `_STORE_V`
+    * stamp); None when no index exists or the stamp is unreadable — both
+    * mean "coverage unknown", which callers must treat as fully stale.
+    */
+  def coveredStoreVersion(path: String): Option[Int] =
+    VersionedStore.currentVersion(path).flatMap { v =>
+      val p = Paths.get(path, s"v$v", "_STORE_V")
+      if (!Files.exists(p)) None
+      else
+        try Some(new String(Files.readAllBytes(p), "UTF-8").trim.toInt)
+        catch { case _: NumberFormatException => None }
+    }
 
   /** Flat index rows for a cuboid set: one row per distinct non-zero id in
     * each blob, plus one unconditional `id = 0` tombstone per cuboid key.
@@ -70,21 +89,29 @@ object IndexStore {
 
   /** Commit the index rows of a write's touched cuboids as a delta version
     * (O(write) IO; older entries for those cuboid keys are masked on read).
+    * `storeV` stamps the store version this commit brings coverage up to.
     */
-  def commitDelta(rows: Dataset[IdxRow], path: String): Int =
+  def commitDelta(rows: Dataset[IdxRow], path: String, storeV: Int): Int =
     VersionedStore.withCommitLock(path) { next =>
       write(rows, s"$path/v$next", clustered = false)
       Files.write(Paths.get(path, s"v$next", "_DELTA"), Array.emptyByteArray)
-      ()
+      stamp(path, next, storeV)
     }
 
   /** Commit a full index snapshot (rebuilds — e.g. after a hierarchy
-    * build re-derives every level).
+    * build re-derives every level), covering store version `storeV`.
     */
-  def commitFull(rows: Dataset[IdxRow], path: String): Int =
+  def commitFull(rows: Dataset[IdxRow], path: String, storeV: Int): Int =
     VersionedStore.withCommitLock(path) { next =>
       write(rows, s"$path/v$next", clustered = true)
+      stamp(path, next, storeV)
     }
+
+  private def stamp(path: String, next: Int, storeV: Int): Unit = {
+    Files.write(Paths.get(path, s"v$next", "_STORE_V"),
+      storeV.toString.getBytes("UTF-8"))
+    ()
+  }
 
   private def write(rows: Dataset[IdxRow], dir: String, clustered: Boolean): Unit = {
     // id-clustered so `id = X` probes prune row groups (the bbox hot
@@ -97,11 +124,91 @@ object IndexStore {
 
   /** Collapse the delta chain into one id-clustered full snapshot
     * (maintenance job, like [[VersionedStore.compact]]; readers never
-    * require it — chain resolution is exact at any depth).
+    * require it — chain resolution is exact at any depth). Compacts the
+    * REPAIRED view ([[readCurrent]]) so an index-behind-store state is
+    * healed, not baked in; `storeV` is the store version whose content
+    * the compacted snapshot therefore covers. `preV` is the store version
+    * current BEFORE the store's own compaction: when the index already
+    * covered it, compaction is a pure chain collapse (no store IO —
+    * content-preserving, so coverage carries to `storeV`); only an
+    * actually-behind index pays the repair read.
     */
-  def compact(spark: SparkSession, path: String): Int = {
+  def compact(
+      spark: SparkSession, path: String, storeRoot: String,
+      vt: VoxelType, preV: Option[Int], storeV: Int): Int = {
     import spark.implicits._
-    commitFull(read(spark, path).as[IdxRow], path)
+    val covered = coveredStoreVersion(path)
+    val rows =
+      if (covered.isDefined && covered == preV) read(spark, path)
+      else readCurrent(spark, path, storeRoot, vt)
+    commitFull(rows.as[IdxRow], path, storeV)
+  }
+
+  /** Index rows (tombstones included) of the store's committed version
+    * directories `vs` — all deltas — with newest-wins masking per cuboid
+    * key across them, i.e. exactly the delta that brings an index covering
+    * `vs.min - 1` up to `vs.max`. O(sum of the versions' write sizes).
+    */
+  private[graft] def deltaRowsFor(
+      spark: SparkSession, storeRoot: String, vs: Seq[Int],
+      vt: VoxelType): Dataset[IdxRow] = {
+    import spark.implicits._
+    if (vs.isEmpty) spark.emptyDataset[IdxRow]
+    else if (vs.lengthCompare(1) == 0)
+      fromCuboids(CuboidStore.read(spark, s"$storeRoot/v${vs.head}"), vt)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val union = vs.map { v =>
+        fromCuboids(CuboidStore.read(spark, s"$storeRoot/v$v"), vt)
+          .toDF().withColumn("__v", lit(v))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy(col("lookupKey"), col("res"), col("t"), col("morton"))
+      union.withColumn("__mx", max(col("__v")).over(w))
+        .where(col("__v") === col("__mx"))
+        .drop("__v", "__mx")
+        .as[IdxRow]
+    }
+  }
+
+  /** [[read]], plus on-the-fly repair of the data-commit/index-commit
+    * crash window: when the index's covered store version is behind the
+    * store's `_CURRENT`, the missing versions' index rows are derived
+    * from their committed version directories and mask the standing index
+    * (per cuboid key, tombstones honored) — so a reader NEVER observes
+    * the one-write-stale index, even if the writer died between the two
+    * commits. The repair is read-only; the standing index heals at the
+    * next index commit (see [[graft.GraftDB]]'s `commitIndexFor`). Cost:
+    * one O(1) stamp read when current (the overwhelmingly common case);
+    * O(missing writes) extra when inside the crash window; O(store) only
+    * when coverage is unknown or a full-snapshot store version landed
+    * unindexed — the re-derive-everything fallback.
+    */
+  def readCurrent(
+      spark: SparkSession, path: String, storeRoot: String,
+      vt: VoxelType): DataFrame = {
+    import spark.implicits._
+    val cur = VersionedStore.currentVersion(storeRoot).getOrElse(-1)
+    val covered = coveredStoreVersion(path).getOrElse(-2)
+    if (covered >= cur) read(spark, path)
+    else {
+      val missing = (math.max(covered, -1) + 1) to cur
+      if (covered < -1 || !missing.forall(VersionedStore.isDelta(storeRoot, _)))
+        // coverage unknown, or a full store snapshot in the gap wiped
+        // keys wholesale: masking cannot fix the standing index —
+        // re-derive from the resolved store
+        fromCuboids(VersionedStore.read(spark, storeRoot), vt)
+          .toDF().where(col("id") =!= 0L)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val topUp = deltaRowsFor(spark, storeRoot, missing, vt)
+        val w = Window.partitionBy(col("lookupKey"), col("res"), col("t"), col("morton"))
+        read(spark, path).withColumn("__v", lit(0))
+          .unionByName(topUp.toDF().withColumn("__v", lit(1)))
+          .withColumn("__mx", max(col("__v")).over(w))
+          .where(col("__v") === col("__mx") && col("id") =!= 0L)
+          .drop("__v", "__mx")
+      }
+    }
   }
 
   /** Resolved current index: flat (lookupKey, res, t, morton, id) rows,

@@ -263,6 +263,74 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.cutout((0, 0, 0), (8, 8, 4), res = 1).where($"value" =!= 0).count() > 0)
   }
 
+  test("index crash window: readers repaired on the fly, standing index healed by the next write") {
+    import spark.implicits._
+    import graft.core.Morton
+    import graft.storage.{CuboidCodec, IndexStore, VersionedStore, VoxelRow}
+    val db = newDb()
+    val ip = IndexStore.path(db.storeRoot)
+    db.writeCuboid(Seq((0L, 1L, 1L, 1L, 7L)).toDF("t", "x", "y", "z", "value"))
+    assert(IndexStore.coveredStoreVersion(ip).contains(0))
+    // simulate a writer that died BETWEEN its data commit and its index
+    // commit: land a store delta directly, bypassing index maintenance
+    val orphan = CuboidCodec.fromVoxels(
+      Seq(VoxelRow(db.resource.lookupKey, 0, 0, 9L, 9L, 3L, 42L)).toDS(),
+      VoxelType.UInt64, dims)
+    VersionedStore.commitDelta(orphan, db.storeRoot)
+    assert(VersionedStore.currentVersion(db.storeRoot).contains(1))
+    assert(IndexStore.coveredStoreVersion(ip).contains(0)) // index is behind...
+    assert(IndexStore.read(spark, ip).where($"id" === 42L).isEmpty) // ...and lacks 42
+    // ...but index-first readers NEVER see the stale window: readCurrent
+    // masks the orphaned version's rows in on the fly
+    assert(db.getIdsInRegion((0, 0, 0), (16, 16, 8)).as[Long].collect().toSet
+      == Set(7L, 42L))
+    val bb = db.getBoundingBox(42L).collect().head
+    assert((bb.getAs[Long]("x_min"), bb.getAs[Long]("x_max")) == ((9L, 9L)))
+    // the next facade write heals the standing index deterministically:
+    // its delta covers the orphaned version too
+    db.writeCuboid(Seq((0L, 2L, 2L, 2L, 8L)).toDF("t", "x", "y", "z", "value"))
+    assert(IndexStore.coveredStoreVersion(ip).contains(2))
+    assert(IndexStore.read(spark, ip).where($"id" === 42L)
+      .select("morton").as[Long].collect().toSet == Set(Morton.encode(1, 1, 0)))
+    // an orphaned to-black erase masks via its tombstone through the same
+    // repair path: shave 42's voxel behind the index's back
+    val shaved = graft.engine.CuboidMerge.mergeAll(
+      VersionedStore.readForKeys(spark, db.storeRoot,
+        orphan.toDF().select($"lookupKey", $"res", $"t", $"morton").distinct()),
+      orphan, VoxelType.UInt64, graft.engine.MergeMode.Shave)
+    VersionedStore.commitDelta(shaved, db.storeRoot)
+    assert(db.getIdsInRegion((0, 0, 0), (16, 16, 8)).as[Long].collect().toSet
+      == Set(7L, 8L)) // 42 gone for readers immediately, pre-heal
+  }
+
+  test("propagate delta is bounded by the patch footprint, not the store (big-store contract)") {
+    import spark.implicits._
+    import graft.storage.CuboidStore
+    val db = newDb()
+    // 64×64×16 base volume = 8×8×4 = 256 base cuboids
+    db.writeCuboid(VolumeGen.voxels(spark, db.resource.lookupKey, 0, Box(0, 64, 0, 64, 0, 16),
+      0 until 1, VoxelType.UInt64, seed = 77).toDF())
+    val levels = 4
+    db.buildHierarchy(levels)
+    val storeCuboids = graft.storage.VersionedStore.read(spark, db.storeRoot).count()
+    // one-voxel patch → 1 dirty base cuboid → exactly 1 recomputed parent
+    // per derived level: the delta must be ≤ footprint × (levels-1), and
+    // in particular nowhere near the store's own cuboid count — red if
+    // propagate ever falls back to rescanning/rebuilding the store
+    db.writeCuboid(Seq((0L, 33L, 17L, 9L, 555L)).toDF("t", "x", "y", "z", "value"))
+    val v = db.propagate()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(db.storeRoot, s"v$v", "_PROPAGATE")))
+    val delta = CuboidStore.read(spark, s"${db.storeRoot}/v$v").toDF()
+    val deltaRows = delta.count()
+    assert(deltaRows <= (levels - 1).toLong,
+      s"propagate delta $deltaRows exceeds footprint×levels bound ${levels - 1}")
+    assert(deltaRows < storeCuboids / 10,
+      s"propagate delta $deltaRows is store-sized ($storeCuboids) — store rescan regression")
+    // exactly the patch's ancestor chain: one recomputed cuboid per level
+    assert(delta.select("res").distinct().as[Int].collect().toSet
+      == (1 until levels).toSet)
+  }
+
   test("id reservation and hierarchy build through the facade") {
     import spark.implicits._
     val db = newDb()
