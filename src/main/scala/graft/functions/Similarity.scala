@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -461,6 +461,39 @@ object Similarity {
       .select(col(idCol), col("qe"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
+
+  /** Cell-occupancy statistics of a materialized [[writeIvfIndex]] index:
+    * `(maxCellRows, meanCellRows, skew = max/mean)` over the occupied
+    * `cells/` partitions — one O(nlist) count aggregate over a
+    * row-group-statistics scan (no vector data read). This is
+    * [[appendIvfIndex]]'s drift-policy number: appends never retrain the
+    * model, so a shifted ingest distribution concentrates into few cells
+    * and probe cost degrades toward a hot-cell scan. A deployment checks
+    * [[ivfNeedsRebuild]] after append batches and re-runs
+    * [[writeIvfIndex]] (off the hot path) when it trips.
+    */
+  def ivfIndexSkew(spark: SparkSession, indexPath: String): (Long, Double, Double) = {
+    import spark.implicits._
+    val counts = spark.read.parquet(s"$indexPath/cells")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .select(col("n")).as[Long].collect()
+    require(counts.nonEmpty, s"IVF index at $indexPath has no cells")
+    // mean over the MODEL's nlist, not just occupied cells: a drift that
+    // empties cells is exactly the degradation this stat must surface
+    // (mean over occupied cells would bound skew at the occupied count)
+    val nlist = spark.read.parquet(s"$indexPath/centroids").count()
+    val mx = counts.max
+    val mean = counts.sum.toDouble / nlist
+    (mx, mean, mx / mean)
+  }
+
+  /** The [[ivfIndexSkew]] rebuild trigger as a checkable predicate:
+    * true when the hottest cell exceeds `maxSkew` × the mean occupancy
+    * (default 4 — a probe of that cell costs ≥4× the balanced plan).
+    */
+  def ivfNeedsRebuild(
+      spark: SparkSession, indexPath: String, maxSkew: Double = 4.0): Boolean =
+    ivfIndexSkew(spark, indexPath)._3 > maxSkew
 
   /** ANN top-k against a materialized [[writeIvfIndex]] index: the
     * centroid table is collected to the driver (O(nlist·dim) — the

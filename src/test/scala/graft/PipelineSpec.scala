@@ -417,6 +417,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids == (0L until 60L).toSet)
   }
 
+  test("ivfIndexSkew: balanced index stays under the rebuild trigger, a drifted append trips it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 8 well-separated clusters, evenly populated (cluster = id % 8, so
+    // the deterministic init sees one of each) → cells stay balanced
+    def vec(cluster: Int): Array[Float] =
+      Array.tabulate(8)(j => (if (j == cluster) 8.0f else 0.0f) + rnd.nextFloat() * 0.2f)
+    val vecs = (0L until 64L).map(i => (i, vec((i % 8).toInt)))
+    val dir = java.nio.file.Files.createTempDirectory("ivfskew").toString
+    Similarity.writeIvfIndex(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, nlist = 8, iters = 2)
+    val (_, _, before) = Similarity.ivfIndexSkew(spark, dir)
+    assert(before < 4.0, s"balanced index unexpectedly skewed: $before")
+    assert(!Similarity.ivfNeedsRebuild(spark, dir))
+    // drifted ingest: a large batch concentrated at one cluster — the
+    // frozen model funnels every row into the same cell
+    val drift = (1000L until 1512L).map(i => (i, vec(0)))
+    Similarity.appendIvfIndex(drift.toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    val (mx, mean, after) = Similarity.ivfIndexSkew(spark, dir)
+    assert(after > before && after > 4.0,
+      s"drifted append did not trip the skew stat: max=$mx mean=$mean skew=$after")
+    assert(Similarity.ivfNeedsRebuild(spark, dir),
+      "rebuild trigger must fire after a drifted append")
+  }
+
   test("saltedJoin matches the plain join and spreads the hot key") {
     import spark.implicits._
     import graft.functions.Skew
