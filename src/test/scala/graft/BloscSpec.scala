@@ -14,14 +14,18 @@ import graft.sources.{BloscCodec, BloscIngest}
   * compressor path, corruption fuzzing of the bounds guards, and the
   * Spark bulk-load into CuboidRows.
   *
-  * KNOWN GAP (accepted): no golden frames produced by the actual pinned
-  * python-blosc exist here — this environment has neither the package
-  * nor network egress to obtain one, so the implicit split-block rule is
-  * pinned only by the hand-built fixtures below (written byte-by-byte
-  * from the c-blosc 1.11 header spec) and by self-round-trips. Before a
-  * real migration, vendor a handful of frames from the pinned
-  * python-blosc (typesizes 8/16/64, compressible + incompressible,
-  * >16 KB multi-block) and assert byte-exact decode against them.
+  * SECOND-SOURCE VALIDATION: every frame `BloscCodec.compress` emits is
+  * additionally decoded by [[BloscRefDecoder]] — a clean-room decoder
+  * written independently from the same public format documentation, in a
+  * different shape — so egress frames are validated against something
+  * other than the encoder's own inverse (the hand-built fixtures pin the
+  * byte layout; the ref decoder pins the full block/split/shuffle/lz
+  * pipeline). REMAINING GAP (accepted): no frame produced by the actual
+  * pinned python-blosc binary exists here — this environment has neither
+  * the package nor network egress — so before a real migration, vendor a
+  * handful of frames from the pinned python-blosc (typesizes 8/16/64,
+  * compressible + incompressible, >16 KB multi-block) and assert
+  * byte-exact decode against them.
   */
 class BloscSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -110,6 +114,45 @@ class BloscSpec extends AnyFunSuite {
       }
       val back = BloscCodec.decompress(BloscCodec.compress(data, ts))
       assert(back.toSeq == data.toSeq, s"typesize=$ts trial=$trial n=$n")
+    }
+  }
+
+  test("second-source validation: an independent decoder reads every egress frame") {
+    // the frames a migrating deployment would hand to the REAL blosc:
+    // multi-block (>16 KiB), split (typesize ≤ 16) and unsplit (> 16),
+    // shuffled and not, compressible / sparse / incompressible, ragged
+    // tails, RLE-heavy runs — each decoded by BloscRefDecoder, which
+    // shares no code with BloscCodec (see its scaladoc)
+    val rnd = new scala.util.Random(9)
+    val cases = Seq(
+      ("zeros-multiblock", Array.fill[Byte](40000)(0), 8, true),
+      ("rle-runs", Array.tabulate[Byte](33000)(i => (i / 5000).toByte), 8, true),
+      ("repeat-u16", Array.tabulate[Byte](70000)(i => (i % 6).toByte), 16, true),
+      ("sparse-u64", {
+        val a = new Array[Byte](65536)
+        (0 until 200).foreach(_ => a(rnd.nextInt(a.length)) = rnd.nextInt(256).toByte)
+        a
+      }, 64, true),
+      ("random-memcpy", Array.fill[Byte](20000)(rnd.nextInt(256).toByte), 8, true),
+      ("noshuffle", Array.tabulate[Byte](30000)(i => (i % 11).toByte), 8, false),
+      ("ragged-tail", Array.tabulate[Byte](16411)(i => (i % 9).toByte), 16, true),
+      ("single-block", Array.tabulate[Byte](512)(i => (i % 3).toByte), 4, true),
+      ("tiny", Array[Byte](5, 5, 5), 8, true),
+      ("empty", Array.empty[Byte], 8, true))
+    cases.foreach { case (name, data, ts, sh) =>
+      val frame = BloscCodec.compress(data, ts, shuffle = sh)
+      assert(BloscRefDecoder.decode(frame).toSeq == data.toSeq,
+        s"$name: independent decoder disagreed with the source bytes")
+    }
+    // and across the randomized sweep, both decoders agree byte-for-byte
+    for (ts <- Seq(1, 2, 8, 16, 64); trial <- 0 until 4) {
+      val n = rnd.nextInt(50000)
+      val data = new Array[Byte](n)
+      if (trial % 2 == 0) rnd.nextBytes(data)
+      else (0 until n).foreach(i => data(i) = (i % 13).toByte)
+      val frame = BloscCodec.compress(data, ts)
+      assert(BloscRefDecoder.decode(frame).toSeq == data.toSeq,
+        s"ref decode typesize=$ts trial=$trial n=$n")
     }
   }
 
