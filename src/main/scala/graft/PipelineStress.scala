@@ -115,6 +115,14 @@ object PipelineStress {
     }.foreach(n => println(s"[stress]   indexed-probe near-dup pairs: $n"))
     // PRODUCTION df-cap: group salting keeps every gram's df ≤ 4, so
     // maxDf = 16 runs unchanged at 1M docs (the 100 TB configuration)
+    // Profile split: candidate generation (gram hashing + ONE corpus
+    // exchange + pair aggregation) timed alone, so ngram_jaccard_pairs
+    // minus this ≈ the exact-verification tail (semi-join-shrunk gram
+    // arrays + sorted-merge intersections) — which of the two dominates
+    // decides where any future optimization effort goes
+    timed("ngram_candidates_only") {
+      force(Dedup.ngramCandidates(docs, "doc_id", "text"))
+    }.foreach(n => println(s"[stress]   ngram candidate pairs: $n"))
     timed("ngram_jaccard_pairs") {
       force(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
     }.foreach(n => println(s"[stress]   ngram near-dup pairs found: $n"))
