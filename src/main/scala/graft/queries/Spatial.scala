@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.GraftDB
 import graft.core.{Morton, Region, Resource, VoxelType}
 import graft.engine.SpatialOps
+import graft.storage.{CuboidCodec, VersionedStore, VoxelRow}
 
 /** Oracle-checked queries for the spatial/volumetric operator surface
   * (SURVEY §2.2-§2.10): every operator runs over the deterministic
@@ -53,7 +54,52 @@ object Spatial {
       db
     })
 
+  /** q91 fixture: a façade store whose LAST data commit is deliberately
+    * ORPHANED — the t=1 slice is committed straight to the
+    * [[VersionedStore]], bypassing index maintenance, exactly the state a
+    * writer that died between its data commit and its index commit leaves
+    * behind. Separate from [[facadeCache]], whose store must stay fully
+    * indexed for q82/q83.
+    */
+  private val repairCache = new java.util.concurrent.ConcurrentHashMap[String, GraftDB]()
+  private def repairDb(s: SparkSession, dir: String): GraftDB =
+    repairCache.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val fixture = Resource.fixture(VoxelType.UInt64)
+      val res = fixture.copy(experiment = fixture.experiment.copy(numTimeSamples = 2))
+      val db = new GraftDB(
+        s, res, java.nio.file.Files.createTempDirectory("graft-repair").toString, dims)
+      val deduped = VoxelView.df(s, dir)
+        .groupBy(col("t"), col("x"), col("y"), col("z"))
+        .agg(max(col("id")).as("value"))
+      db.writeCuboid(deduped.where(col("t") === 0)
+        .select(col("t"), col("x"), col("y"), col("z"), col("value")))
+      val orphan = CuboidCodec.fromVoxels(
+        deduped.where(col("t") === 1)
+          .select(lit(VoxelView.LK).as("lookupKey"), lit(0).as("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .as[VoxelRow],
+        VoxelType.UInt64, dims)
+      VersionedStore.commitDelta(orphan, db.storeRoot)
+      db
+    })
+
   val defs: Map[String, QueryDef] = Map(
+
+    // Data/index crash-window repair through the façade: the store's last
+    // commit is orphaned (data committed, index commit never ran — see
+    // repairDb), yet ids-in-region over BOTH time slices must still be
+    // exact: IndexStore.readCurrent detects index-behind-store via the
+    // _STORE_V stamp and masks the orphaned version's rows in on the fly.
+    // Oracle = distinct surviving ids of the full deduped volume.
+    "q91_facade_index_repair" -> QueryDef(
+      (s, dir) =>
+        out(repairDb(s, dir).getIdsInRegion((0, 0, 0), (64, 256, 16), 0, 0 until 2)
+          .orderBy(col("id"))),
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z, max(id) AS id FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT DISTINCT id FROM g WHERE id <> 0
+              |ORDER BY id""".stripMargin.replace("\n", " "))),
 
     // P1-P4/S1 cutout: box + time-range predicates over the voxel plane.
     "q11_cutout" -> QueryDef(
