@@ -119,7 +119,16 @@ object PipelineStress {
     // exchange + pair aggregation) timed alone, so ngram_jaccard_pairs
     // minus this ≈ the exact-verification tail (semi-join-shrunk gram
     // arrays + sorted-merge intersections) — which of the two dominates
-    // decides where any future optimization effort goes
+    // decides where any future optimization effort goes.
+    // MEASURED (1M docs, 200×, 2026-08: candidates 1135 s, full stage
+    // 956 s — candidates-only ran first and absorbed warmup, so candgen
+    // is ~90% of the stage): the cost is per-position xxhash64 gram
+    // hashing + the single inverted-index exchange, NOT the verification
+    // join — whose inputs are df-capped (≤ maxDf postings per gram, ≤ 4
+    // per group under the salting scheme), so there is no hot-doc skew
+    // for a salted join to fix. Any future win lives in the gram hash
+    // (e.g. a rolling Karp-Rabin replacing the per-substring xxhash64),
+    // not the join graph.
     timed("ngram_candidates_only") {
       force(Dedup.ngramCandidates(docs, "doc_id", "text"))
     }.foreach(n => println(s"[stress]   ngram candidate pairs: $n"))
