@@ -409,9 +409,12 @@ object Dedup {
       .where(length(col(textCol)) >= n))
     val pairGen = "flatten(transform(ids, (x, i) -> " +
       "transform(slice(ids, i + 2, size(ids)), y -> named_struct('doc_a', x, 'doc_b', y))))"
+    // one rolling pass per doc (NgramHashes) — the unfused
+    // substring+xxhash64 form re-hashed n chars per position and was
+    // ~90% of the 1M-doc stress stage (see stress.json
+    // ngram_candidates_only + the NgramHashes scaladoc)
     src
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, length($textCol)-$n), i -> xxhash64(substring($textCol, i+1, $n)))")).as("g"))
+      .select(col(idCol), explode(NgramHashes(col(textCol), n)).as("g"))
       .groupBy(col("g"))
       .agg(SortedSetOps.boundedDistinctSet(col(idCol), maxDf).as("ids"))
       .where(col("ids").isNotNull)
@@ -436,9 +439,9 @@ object Dedup {
       import org.apache.spark.sql.types._
       Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(idCol).dataType)
     }, s"ngramJaccardPairs requires an integral id column; $idCol is ${df.schema(idCol).dataType}")
-    val garrSorted = expr(
-      s"array_sort(transform(sequence(0, length($textCol)-$n), " +
-        s"i -> xxhash64(substring($textCol, i+1, $n))))")
+    // MUST match ngramCandidates' gram hash exactly (same rolling pass):
+    // verification intersections count the same keys candgen grouped on
+    val garrSorted = array_sort(NgramHashes(col(textCol), n))
     // gram hashing is the CPU-dense stage — make sure a low-split source
     // doesn't serialize it on one core (no-op at production split counts)
     val src = Par.fanOut(df.select(col(idCol), col(textCol))

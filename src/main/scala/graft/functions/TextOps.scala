@@ -267,10 +267,12 @@ object TextOps {
       size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
-  /** Per-doc distinct char-`n`-gram hashes (xxhash64, the q54 family). */
-  private def gramSet(textCol: String, n: Int): Column = expr(
-    s"array_distinct(transform(sequence(0, length($textCol)-$n), " +
-      s"i -> xxhash64(substring($textCol, i+1, $n))))")
+  /** Per-doc distinct char-`n`-gram hashes (one rolling pass — the q54
+    * family; see [[NgramHashes]]). Bench and corpus sides must both use
+    * this so hit-join keys line up.
+    */
+  private def gramSet(textCol: String, n: Int): Column =
+    array_distinct(NgramHashes(col(textCol), n))
 
   /** Benchmark decontamination: score every corpus doc by its distinct
     * char-`n`-gram overlap with an eval/benchmark set, the standard

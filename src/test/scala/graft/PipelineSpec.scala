@@ -417,6 +417,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids == (0L until 60L).toSet)
   }
 
+  test("NgramHashes: rolling pass equals the naive per-window hash; code-point windows; plan stays codegen") {
+    import graft.functions.NgramHashes
+    // naive reference: hash every window independently with the same
+    // polynomial + finalizer — any rolling-update bug (wrong outgoing
+    // weight, off-by-one window) diverges immediately
+    def naive(s: String, n: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - n).map { i =>
+        var h = 0L
+        (i until i + n).foreach(j => h = h * NgramHashes.P + cps(j))
+        NgramHashes.fmix64(h)
+      }
+    }
+    val rnd = new scala.util.Random(23)
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaa", // RLE text: all windows identical
+      "ab", // shorter than n → empty
+      "naïve café über — ünïcödé",  // multi-byte BMP
+      "emoji 😀 pair and 🤖 another", // non-BMP (surrogate pairs = 1 cp)
+      rnd.alphanumeric.take(500).mkString)
+    import spark.implicits._
+    for (n <- Seq(3, 12); s <- samples) {
+      val got = Seq(s).toDF("text")
+        .select(NgramHashes(col("text"), n).as("g"))
+        .as[Seq[Long]].head()
+      assert(got == naive(s, n), s"n=$n text=${s.take(20)}")
+    }
+    // expression is codegen-friendly: no eval fallback in the plan
+    val plan = Seq("hello world").toDF("text")
+      .select(explode(NgramHashes(col("text"), 3)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no whole-stage-codegen span: $plan")
+  }
+
   test("ivfIndexSkew: balanced index stays under the rebuild trigger, a drifted append trips it") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
