@@ -120,15 +120,15 @@ object PipelineStress {
     // minus this ≈ the exact-verification tail (semi-join-shrunk gram
     // arrays + sorted-merge intersections) — which of the two dominates
     // decides where any future optimization effort goes.
-    // MEASURED (1M docs, 200×, 2026-08: candidates 1135 s, full stage
-    // 956 s — candidates-only ran first and absorbed warmup, so candgen
-    // is ~90% of the stage): the cost is per-position xxhash64 gram
-    // hashing + the single inverted-index exchange, NOT the verification
-    // join — whose inputs are df-capped (≤ maxDf postings per gram, ≤ 4
-    // per group under the salting scheme), so there is no hot-doc skew
-    // for a salted join to fix. Any future win lives in the gram hash
-    // (e.g. a rolling Karp-Rabin replacing the per-substring xxhash64),
-    // not the join graph.
+    // MEASURED (1M docs, 200×, 2026-08): with the unfused per-position
+    // substring+xxhash64 grams, candidates were 1135 s vs 956 s for the
+    // full stage (candidates-only ran first and absorbed warmup) —
+    // candgen ~90% of the stage, the df-capped verification join skewless
+    // (≤ maxDf postings per gram, ≤ 4 per group under the salting
+    // scheme), so no salted join applies. ACTED ON: the one-pass rolling
+    // NgramHashes expression cut candidates to 272.7 s (4.2×) and the
+    // full stage to 298.3 s (3.2×), with identical candidate (208,300)
+    // and verified-pair (43,060) counts.
     timed("ngram_candidates_only") {
       force(Dedup.ngramCandidates(docs, "doc_id", "text"))
     }.foreach(n => println(s"[stress]   ngram candidate pairs: $n"))
