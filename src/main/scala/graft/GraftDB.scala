@@ -61,17 +61,22 @@ final class GraftDB(
     //    forever. Readers are safe in the interim via
     //    [[IndexStore.readCurrent]]'s on-the-fly masking.
     val covered = IndexStore.coveredStoreVersion(indexPath)
-    val missing = (covered.getOrElse(-1) + 1) to version
+    // a racing writer's index commit may have covered our version already
+    // (it derives every unindexed version, not just its own) — nothing to
+    // do, and stamping `version` would move coverage BACKWARDS
+    if (!full && covered.exists(_ >= version)) return
+    val missing = (covered.getOrElse(-1) + 1) to math.max(version, covered.getOrElse(-1))
+    val stampV = math.max(version, covered.getOrElse(-1))
     val needFull = full ||
       (covered.isEmpty && version > 0) || // no/unstamped index, prior history
       !missing.forall(VersionedStore.isDelta(storeRoot, _))
     if (needFull)
       IndexStore.commitFull(
         IndexStore.fromCuboids(VersionedStore.read(spark, storeRoot), vt),
-        indexPath, version)
+        indexPath, stampV)
     else
       IndexStore.commitDelta(
-        IndexStore.deltaRowsFor(spark, storeRoot, missing, vt), indexPath, version)
+        IndexStore.deltaRowsFor(spark, storeRoot, missing, vt), indexPath, stampV)
     ()
   }
 

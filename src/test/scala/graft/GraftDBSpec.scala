@@ -301,6 +301,22 @@ class GraftDBSpec extends AnyFunSuite {
     VersionedStore.commitDelta(shaved, db.storeRoot)
     assert(db.getIdsInRegion((0, 0, 0), (16, 16, 8)).as[Long].collect().toSet
       == Set(7L, 8L)) // 42 gone for readers immediately, pre-heal
+    // a SECOND orphan rewriting the SAME cuboid: the on-the-fly repair
+    // must take the newest orphan per cuboid key (deltaRowsFor masking
+    // across multiple missing versions), not union both
+    val orphan2 = CuboidCodec.fromVoxels(
+      Seq(VoxelRow(db.resource.lookupKey, 0, 0, 9L, 9L, 3L, 99L)).toDS(),
+      VoxelType.UInt64, dims)
+    VersionedStore.commitDelta(orphan2, db.storeRoot)
+    assert(IndexStore.coveredStoreVersion(ip).contains(2)) // two behind now
+    assert(db.getIdsInRegion((0, 0, 0), (16, 16, 8)).as[Long].collect().toSet
+      == Set(7L, 8L, 99L))
+    // heal: the next write's index delta covers BOTH orphaned versions
+    db.writeCuboid(Seq((0L, 3L, 3L, 3L, 6L)).toDF("t", "x", "y", "z", "value"))
+    assert(IndexStore.coveredStoreVersion(ip).contains(5))
+    assert(IndexStore.read(spark, ip).where($"id" === 99L)
+      .select("morton").as[Long].collect().toSet == Set(Morton.encode(1, 1, 0)))
+    assert(IndexStore.read(spark, ip).where($"id" === 42L).isEmpty)
   }
 
   test("propagate delta is bounded by the patch footprint, not the store (big-store contract)") {
