@@ -268,50 +268,48 @@ final class GraftDB(
     * Persisted next to the snapshot pointer so the status survives
     * sessions and is visible to every reader of the store.
     */
-  def downsampleStatus: String = {
-    val p = java.nio.file.Paths.get(storeRoot, "_DOWNSAMPLE_STATUS")
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-    else GraftDB.NotDownsampled
-  }
+  def downsampleStatus: String =
+    readControl("_DOWNSAMPLE_STATUS").getOrElse(GraftDB.NotDownsampled)
 
   private def setDownsampleStatus(s: String): Unit =
     atomicWrite("_DOWNSAMPLE_STATUS", s)
 
-  /** Write-then-atomic-move (the _CURRENT pointer pattern): a concurrent
-    * reader can never observe an empty/torn control file. Logical races
-    * between a base writer and the downsample worker remain governed by
-    * the single-downsample-worker deployment contract documented in
-    * buildHierarchy.
+  /** Control-file replace/read through [[graft.storage.CommitProtocol]]'s
+    * `publish`/`readSmall` — the same primitives the `_CURRENT` pointer
+    * uses, so a concurrent reader can never observe an empty/torn control
+    * file AND the façade's whole control plane (status, hierarchy marker,
+    * snapshot pointers, locks, id counters) runs on one storage contract:
+    * atomic rename locally, put-if-absent generation chains on a
+    * rename-less object store (GraftDBSpec runs the façade battery over
+    * both). Logical races between a base writer and the downsample worker
+    * remain governed by the single-downsample-worker deployment contract
+    * documented in buildHierarchy.
     */
   private def atomicWrite(name: String, content: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.createDirectories(Paths.get(storeRoot))
-    val tmp = Paths.get(storeRoot, s"$name.tmp${Thread.currentThread().getId}")
-    Files.write(tmp, content.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(storeRoot, name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeRoot))
+    VersionedStore.protocol.publish(
+      java.nio.file.Paths.get(storeRoot, name), content.getBytes("UTF-8"))
   }
+
+  private def readControl(name: String): Option[String] =
+    VersionedStore.protocol.readSmall(java.nio.file.Paths.get(storeRoot, name))
+      .map(new String(_, "UTF-8").trim)
 
   /** `(base store version the current hierarchy reflects, levels built)`,
     * recorded by [[buildHierarchy]]/[[propagate]] so [[propagate]] can
     * tell exactly which committed versions the pyramid has not seen yet.
     */
-  def hierarchyMarker: Option[(Int, Int)] = {
-    val p = java.nio.file.Paths.get(storeRoot, "_HIERARCHY_V")
-    if (!java.nio.file.Files.exists(p)) None
-    else
+  def hierarchyMarker: Option[(Int, Int)] =
+    readControl("_HIERARCHY_V").flatMap { s =>
       try {
-        val parts =
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.split("\\s+")
+        val parts = s.split("\\s+")
         Some((parts(0).toInt, parts(1).toInt))
       } catch {
         // a corrupt marker must degrade to the full-rebuild path, never
         // wedge the channel
         case _: RuntimeException => None
       }
-  }
+    }
 
   private def setHierarchyMarker(v: Int, levels: Int): Unit =
     atomicWrite("_HIERARCHY_V", s"$v $levels")
