@@ -44,39 +44,10 @@ final class GraftDB(
     * (`object_indices.py:730-817`).
     */
   private def commitIndexFor(version: Int, full: Boolean): Unit = {
-    // Self-healing delta scope: an index commit covers EVERY store
-    // version since the one its predecessor was stamped with (`_STORE_V`),
-    // not just the version that triggered it. That closes two gaps in one
-    // shape:
-    //  - bootstrap — the first index commit against a store that already
-    //    has history (written before index maintenance, or by a writer
-    //    that skipped it) must be a FULL build, or the index-first read
-    //    paths would treat a one-write delta as authoritative and
-    //    silently miss ids in never-indexed cuboids;
-    //  - crash repair — a writer that died between its data commit and
-    //    its index commit left versions unindexed; the next write's index
-    //    delta re-derives those versions' rows too ([[IndexStore
-    //    .deltaRowsFor]] newest-wins masking), so the standing index
-    //    heals deterministically instead of staying one write behind
-    //    forever. Readers are safe in the interim via
-    //    [[IndexStore.readCurrent]]'s on-the-fly masking.
-    val covered = IndexStore.coveredStoreVersion(indexPath)
-    // a racing writer's index commit may have covered our version already
-    // (it derives every unindexed version, not just its own) — nothing to
-    // do, and stamping `version` would move coverage BACKWARDS
-    if (!full && covered.exists(_ >= version)) return
-    val missing = (covered.getOrElse(-1) + 1) to math.max(version, covered.getOrElse(-1))
-    val stampV = math.max(version, covered.getOrElse(-1))
-    val needFull = full ||
-      (covered.isEmpty && version > 0) || // no/unstamped index, prior history
-      !missing.forall(VersionedStore.isDelta(storeRoot, _))
-    if (needFull)
-      IndexStore.commitFull(
-        IndexStore.fromCuboids(VersionedStore.read(spark, storeRoot), vt),
-        indexPath, stampV)
-    else
-      IndexStore.commitDelta(
-        IndexStore.deltaRowsFor(spark, storeRoot, missing, vt), indexPath, stampV)
+    // the coverage check, delta/full decision and `_STORE_V` stamp all
+    // run INSIDE the index commit lock (see [[IndexStore.commitCovering]])
+    // so a racing façade writer can never stamp coverage backwards
+    IndexStore.commitCovering(spark, indexPath, storeRoot, version, full, vt)
     ()
   }
 

@@ -22,6 +22,10 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+      // a stale _err marker from a previous run into the same outDir must
+      // not shadow a now-green query (the parquet is overwritten, the
+      // marker never was — cost us 5 false reds against a reused /tmp dir)
+      Files.deleteIfExists(Paths.get(s"$outDir/${name}._err"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -44,23 +44,43 @@ object Multimodal {
     else if (bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
     else None
 
+  /** Decode failures outside the KNOWN broken-codec shapes, counted per
+    * JVM so a systematic bug in the decode path (an NPE / ClassCast from
+    * a plugin lookup) is observable instead of silently misclassified as
+    * corrupt media. On a cluster each executor counts its own; wire into
+    * a metrics sink or accumulator at deployment. The first few are also
+    * logged with their stack for diagnosis.
+    */
+  private val unexpectedDecodeFailures = new java.util.concurrent.atomic.AtomicLong
+  def unexpectedDecodeFailureCount: Long = unexpectedDecodeFailures.get
+
   /** Real image decode (JDK ImageIO). None when the blob is not a
     * decodable image — including one whose magic bytes sniff as an image
     * but whose body is corrupt or truncated (`ImageIO.read` throws
-    * `IIOException`/`IOException`, and broken third-party codecs throw
-    * unchecked) — so callers fall back to [[stubDecode]] and one bad blob
-    * never fails a whole partition; corrupt media is routine in a large
-    * multimodal ingest. Call `ImageIO.setUseCache(false)` once per
-    * partition first so decode never touches a disk cache (see
-    * [[decodeMeta]]).
+    * `IIOException`/`IOException`, and the JDK codecs throw unchecked
+    * `IllegalArgumentException`/`IndexOutOfBoundsException`/
+    * `NegativeArraySizeException` on malformed headers) — so callers fall
+    * back to [[stubDecode]] and one bad blob never fails a whole
+    * partition; corrupt media is routine in a large multimodal ingest.
+    * Any OTHER RuntimeException still yields None (robustness) but is
+    * counted and sampled to stderr ([[unexpectedDecodeFailureCount]]) —
+    * a genuine bug in our own path must not masquerade as corrupt data.
+    * Call `ImageIO.setUseCache(false)` once per partition first so decode
+    * never touches a disk cache (see [[decodeMeta]]).
     */
   def decodeImage(bytes: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
     imageFormat(bytes).flatMap { fmt =>
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map(img => (fmt, img))
       catch {
-        case _: java.io.IOException => None
-        case _: RuntimeException    => None
+        case _: java.io.IOException            => None // IIOException incl.
+        case _: IllegalArgumentException       => None // malformed header
+        case _: IndexOutOfBoundsException      => None // truncated body
+        case _: NegativeArraySizeException     => None // bogus dimensions
+        case e: RuntimeException =>
+          if (unexpectedDecodeFailures.getAndIncrement() < 5)
+            e.printStackTrace(System.err)
+          None
       }
     }
 

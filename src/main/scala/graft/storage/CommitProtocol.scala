@@ -164,25 +164,43 @@ object ObjectStoreCommitProtocol extends CommitProtocol {
 
   private def genPrefix(target: Path): String = s"${target.getFileName}.g"
 
-  /** (gen, contentHex) pairs for `target`'s chain, unsorted. */
+  /** (gen, contentHex) pairs for `target`'s chain, unsorted.
+    *
+    * An IOException mid-iteration is RETRIED, never truncated: a partial
+    * listing would let [[readSmall]] resolve an older generation (stale
+    * pointer) or None (pointer transiently absent) and let [[publish]]
+    * compute a stale max generation — violating the never-see-old-pointer
+    * guarantee the chain emulation exists to provide. Only a genuinely
+    * absent directory yields an empty listing; persistent listing failure
+    * is surfaced, not silently read as "no pointer".
+    */
   private def listGens(target: Path): Seq[(Long, String)] = {
-    val dir = target.getParent
-    if (dir == null || !Files.isDirectory(dir)) return Seq.empty
     val prefix = genPrefix(target)
-    val out = Seq.newBuilder[(Long, String)]
-    var stream: DirectoryStream[Path] = null
-    try {
-      stream = Files.newDirectoryStream(dir, prefix + "*")
-      stream.forEach { p =>
-        val rest = p.getFileName.toString.stripPrefix(prefix)
-        val dot = rest.indexOf('.')
-        if (dot == 10) // g<gen%010d>.<hex>; anything else is not ours
-          try out += ((rest.substring(0, dot).toLong, rest.substring(dot + 1)))
-          catch { case _: NumberFormatException => () }
+    var attempt = 0
+    while (true) {
+      val dir = target.getParent
+      if (dir == null || !Files.isDirectory(dir)) return Seq.empty
+      try {
+        val out = Seq.newBuilder[(Long, String)]
+        val stream: DirectoryStream[Path] = Files.newDirectoryStream(dir, prefix + "*")
+        try stream.forEach { p =>
+          val rest = p.getFileName.toString.stripPrefix(prefix)
+          val dot = rest.indexOf('.')
+          if (dot == 10) // g<gen%010d>.<hex>; anything else is not ours
+            try out += ((rest.substring(0, dot).toLong, rest.substring(dot + 1)))
+            catch { case _: NumberFormatException => () }
+        } finally stream.close()
+        return out.result()
+      } catch {
+        case _: java.nio.file.NoSuchFileException => return Seq.empty // dir vanished: truly empty
+        case e @ (_: java.io.IOException | _: java.nio.file.DirectoryIteratorException) =>
+          attempt += 1
+          if (attempt >= 50)
+            throw new IllegalStateException(s"listGens($target): listing failed after $attempt attempts", e)
+          Thread.sleep(2)
       }
-    } catch { case _: java.io.IOException => () }
-    finally if (stream != null) stream.close()
-    out.result()
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   override def tryCreateExclusive(marker: Path): Boolean =

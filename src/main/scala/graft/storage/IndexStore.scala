@@ -87,17 +87,6 @@ object IndexStore {
     }
   }
 
-  /** Commit the index rows of a write's touched cuboids as a delta version
-    * (O(write) IO; older entries for those cuboid keys are masked on read).
-    * `storeV` stamps the store version this commit brings coverage up to.
-    */
-  def commitDelta(rows: Dataset[IdxRow], path: String, storeV: Int): Int =
-    VersionedStore.withCommitLock(path) { next =>
-      write(rows, s"$path/v$next", clustered = false)
-      Files.write(Paths.get(path, s"v$next", "_DELTA"), Array.emptyByteArray)
-      stamp(path, next, storeV)
-    }
-
   /** Commit a full index snapshot (rebuilds — e.g. after a hierarchy
     * build re-derives every level), covering store version `storeV`.
     */
@@ -105,6 +94,54 @@ object IndexStore {
     VersionedStore.withCommitLock(path) { next =>
       write(rows, s"$path/v$next", clustered = true)
       stamp(path, next, storeV)
+    }
+
+  /** Bring index coverage up to store version `storeV` — the self-healing
+    * index commit behind [[graft.GraftDB]]'s write path. The coverage
+    * read, the delta/full decision, the row derivation and the `_STORE_V`
+    * stamp ALL execute inside the index commit lock, so the stamp is
+    * monotone by construction: two racing façade writers serialize here,
+    * the second observes the first's coverage, and the
+    * lower-store-version writer can never land last and mask the newer
+    * rows (the check-then-act race a lock-free pre-check allows).
+    *
+    * Scope is self-healing, as in the reference's per-write DynamoDB
+    * index updates (`object_indices.py:730-817`) but with the crash
+    * window closed: a commit covers EVERY store version since the one
+    * its predecessor was stamped with, so
+    *  - bootstrap (a store with pre-index history) forces a FULL build;
+    *  - crash repair (a writer that died between its data commit and its
+    *    index commit) is folded into the next writer's delta via
+    *    [[deltaRowsFor]] newest-wins masking.
+    * `full = true` forces a full rebuild (hierarchy builds re-derive
+    * every level wholesale). No-op (no new index version) when coverage
+    * already reaches `storeV` and `full` is false.
+    */
+  def commitCovering(
+      spark: SparkSession, path: String, storeRoot: String,
+      storeV: Int, full: Boolean, vt: VoxelType): Option[Int] =
+    VersionedStore.withCommitLockAbortable(path) { next =>
+      val covered = coveredStoreVersion(path)
+      if (!full && covered.exists(_ >= storeV)) false // racer already covered us
+      else {
+        val floor = covered.getOrElse(-1)
+        val stampV = math.max(storeV, floor)
+        val missing = (floor + 1) to stampV
+        val needFull = full ||
+          (covered.isEmpty && storeV > 0) || // no/unstamped index, prior history
+          !missing.forall(VersionedStore.isDelta(storeRoot, _))
+        if (needFull) {
+          write(fromCuboids(VersionedStore.read(spark, storeRoot), vt),
+            s"$path/v$next", clustered = true)
+        } else {
+          write(deltaRowsFor(spark, storeRoot, missing, vt),
+            s"$path/v$next", clustered = false)
+          Files.write(Paths.get(path, s"v$next", "_DELTA"), Array.emptyByteArray)
+          ()
+        }
+        stamp(path, next, stampV)
+        true
+      }
     }
 
   private def stamp(path: String, next: Int, storeV: Int): Unit = {

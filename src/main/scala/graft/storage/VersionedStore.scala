@@ -204,7 +204,20 @@ object VersionedStore {
   def compact(spark: SparkSession, path: String): Int =
     commit(read(spark, path), path)
 
-  private[storage] def withCommitLock(path: String)(write: Int => Unit): Int = {
+  private[storage] def withCommitLock(path: String)(write: Int => Unit): Int =
+    withCommitLockAbortable(path) { next => write(next); true }
+      .getOrElse(throw new IllegalStateException(s"commit to $path aborted"))
+
+  /** [[withCommitLock]] whose body may ABORT: returning false skips the
+    * pointer publish (no new version becomes visible) and yields None.
+    * This is what lets a committer make its do-I-even-need-to-commit
+    * decision INSIDE the lock — e.g. [[IndexStore.commitCovering]]'s
+    * coverage check, which would be a check-then-act race if evaluated
+    * before acquiring the mutex. An aborting body must not have written
+    * anything under `v{next}`.
+    */
+  private[storage] def withCommitLockAbortable(
+      path: String)(write: Int => Boolean): Option[Int] = {
     if (isLocked(path))
       throw new IllegalStateException(s"store $path is write-locked")
     Files.createDirectories(Paths.get(path))
@@ -214,10 +227,12 @@ object VersionedStore {
       throw new IllegalStateException(s"commit lock on $path not released")
     try {
       val next = currentVersion(path).getOrElse(-1) + 1
-      write(next)
-      protocol.publish(currentFile(path),
-        next.toString.getBytes(StandardCharsets.UTF_8))
-      next
+      if (!write(next)) None
+      else {
+        protocol.publish(currentFile(path),
+          next.toString.getBytes(StandardCharsets.UTF_8))
+        Some(next)
+      }
     } finally protocol.delete(marker)
   }
 

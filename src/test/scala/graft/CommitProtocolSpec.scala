@@ -37,14 +37,11 @@ class CommitProtocolSpec extends AnyFunSuite {
     "local-fs" -> LocalFsCommitProtocol,
     "object-store" -> ObjectStoreCommitProtocol)
 
-  /** Run `body` with the engine-wide protocol swapped (restored after). */
-  private def withProtocol[A](p: CommitProtocol)(body: => A): A = {
-    val (vs, ir) = (VersionedStore.protocol, IdReservation.protocol)
-    VersionedStore.protocol = p
-    IdReservation.protocol = p
-    try body
-    finally { VersionedStore.protocol = vs; IdReservation.protocol = ir }
-  }
+  /** Run `body` with the engine-wide protocol swapped (restored after);
+    * serialized against every other swapper via [[ProtocolSwap]].
+    */
+  private def withProtocol[A](p: CommitProtocol)(body: => A): A =
+    ProtocolSwap.withProtocol(p)(body)
 
   for ((name, p) <- impls) {
 

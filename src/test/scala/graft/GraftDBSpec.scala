@@ -349,15 +349,13 @@ class GraftDBSpec extends AnyFunSuite {
 
   test("facade battery over the rename-less object-store protocol (put-if-absent only)") {
     import spark.implicits._
-    import graft.engine.IdReservation
-    import graft.storage.{IndexStore, ObjectStoreCommitProtocol, VersionedStore}
+    import graft.storage.{IndexStore, LocalFsCommitProtocol, ObjectStoreCommitProtocol, VersionedStore}
     // swap the engine-wide control plane to the object-store emulation:
     // every pointer publish, status write, lock and id counter must work
-    // without atomic rename or in-place overwrite
-    val (vs, ir) = (VersionedStore.protocol, IdReservation.protocol)
-    VersionedStore.protocol = ObjectStoreCommitProtocol
-    IdReservation.protocol = ObjectStoreCommitProtocol
-    try {
+    // without atomic rename or in-place overwrite. ProtocolSwap holds the
+    // JVM-wide swap lock for the whole battery (reentrant for the nested
+    // local-FS rebuild below).
+    ProtocolSwap.withProtocol(ObjectStoreCommitProtocol) {
       val db = newDb()
       db.writeCuboid(VolumeGen.voxels(spark, db.resource.lookupKey, 0, Box(0, 16, 0, 16, 0, 8),
         0 until 1, VoxelType.UInt64, seed = 83).toDF())
@@ -388,17 +386,15 @@ class GraftDBSpec extends AnyFunSuite {
           .as[(Long, Long, Long, Long)].collect().toSet)
       val objSide = levels(db)
       val base = db.cutout((0, 0, 0), (16, 16, 8)).collect()
-      VersionedStore.protocol = vs; IdReservation.protocol = ir
-      val db2 = newDb()
-      db2.writeCuboid(spark.createDataFrame(
-        spark.sparkContext.parallelize(base.toSeq),
-        db.cutout((0, 0, 0), (16, 16, 8)).schema))
-      db2.buildHierarchy(2)
-      val fsSide = levels(db2)
+      val fsSide = ProtocolSwap.withProtocol(LocalFsCommitProtocol) {
+        val db2 = newDb()
+        db2.writeCuboid(spark.createDataFrame(
+          spark.sparkContext.parallelize(base.toSeq),
+          db.cutout((0, 0, 0), (16, 16, 8)).schema))
+        db2.buildHierarchy(2)
+        levels(db2)
+      }
       assert(objSide == fsSide, "object-store and local-FS stores diverged")
-    } finally {
-      VersionedStore.protocol = vs
-      IdReservation.protocol = ir
     }
   }
 
