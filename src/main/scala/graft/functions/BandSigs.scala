@@ -81,8 +81,18 @@ object BandSigs {
     * drawn from [[Similarity.planeVals]]'s deterministic md5 family
     * (plane j = the same values the SQL oracle derives inline).
     */
-  def apply(qe: Column, dim: Int, numBands: Int, planesPerBand: Int): Column = {
-    val planes = Array.tabulate(numBands * planesPerBand)(j => Similarity.planeVals(j, dim))
+  def apply(qe: Column, dim: Int, numBands: Int, planesPerBand: Int): Column =
+    apply(qe, dim, numBands, planesPerBand, planesPerBand)
+
+  /** Strided layout: band `b` bit `j` reads plane `b·planeStride + j` —
+    * adaptive banding fixes `planeStride` ([[Similarity.PlaneStride]]) so
+    * plane indices stay literal while `planesPerBand` varies with the
+    * corpus; `planeStride = planesPerBand` is the classic packed layout.
+    */
+  def apply(qe: Column, dim: Int, numBands: Int, planesPerBand: Int, planeStride: Int): Column = {
+    require(planeStride >= planesPerBand, s"planeStride $planeStride < planesPerBand $planesPerBand")
+    val planes = Array.tabulate(numBands * planesPerBand)(k =>
+      Similarity.planeVals((k / planesPerBand) * planeStride + (k % planesPerBand), dim))
     Bridge.column(BandSigs(Bridge.expression(qe), planes, planesPerBand))
   }
 }

@@ -93,25 +93,69 @@ object Similarity {
       s"CASE WHEN ${dotQSql(s"(${planeSql(planeOffset + j, dim)})", qe, dim)} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ") + " AS BIGINT)"
 
+  /** Plane-index stride of the ADAPTIVE banding scheme, and the upper
+    * clamp on its derived `planesPerBand`: band `b`, bit `j` always reads
+    * plane `b·PlaneStride + j`, whatever `p` the corpus size yields — so
+    * every plane index is a compile-time LITERAL on both the Spark side
+    * and the SQL-oracle side even though `p` itself is data-derived.
+    */
+  final val PlaneStride = 20
+
+  /** The ~log₂(corpus) sizing rule for `planesPerBand` (`ceil(log₂ n)`,
+    * clamped to [4, [[PlaneStride]]]): 2^p bucket keys per band then
+    * TRACK the corpus, so expected bucket size stays O(1) and per-band
+    * candidate volume stays near-linear at every scale — a fixed p is
+    * quadratic N²/2^p at some scale, and too large a p costs recall for
+    * nothing. Integer bit-math (not float log) so the SQL oracle's
+    * `length(ltrim(bin(n-1),'0'))` derives the identical value.
+    */
+  def adaptivePlanesPerBand(n: Long): Int = {
+    val bits = if (n <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(4, math.min(PlaneStride, bits))
+  }
+
+  /** Banded candidate pairs (id_a < id_b, distinct): pairs agreeing on
+    * ALL `planesPerBand` sign bits of at least ONE of `numBands` bands —
+    * a union of equi-joins on `(band, signature)` keys. The banded frame
+    * carries no vectors ((id, band, sig) only, one fused plane sweep).
+    * `planeStride` spaces the bands' plane indices (=`planesPerBand` for
+    * the classic packed layout; [[PlaneStride]] in adaptive mode).
+    */
+  private[graft] def bandedCandidates(
+      base: DataFrame, idCol: String, dim: Int,
+      numBands: Int, planesPerBand: Int, planeStride: Int): DataFrame = {
+    val banded = base
+      .select(col(idCol),
+        posexplode(BandSigs(col("qe"), dim, numBands, planesPerBand, planeStride))
+          .as(Seq("band", "sig")))
+    banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs, banded hyperplane LSH:
-    * candidates = pairs agreeing on ALL `planesPerBand` sign bits of at
-    * least ONE of `numBands` bands — a union of equi-joins on
-    * `(band, signature)` keys (the [[graft.functions.Dedup.nearDupPairs]]
-    * band shape), then each candidate is verified with the EXACT int64
-    * squared cosine form `tauDen² · dot² ≥ tauNum² · |a|²·|b|²` (with
-    * `dot > 0`) — no float tolerance.
+    * candidates from [[bandedCandidates]], then each candidate is
+    * verified with the EXACT int64 squared cosine form
+    * `tauDen² · dot² ≥ tauNum² · |a|²·|b|²` (with `dot > 0`) — no float
+    * tolerance.
     *
     * Scale: a single fixed-2^p bucketing self-joins N²/2^p pairs — still
     * quadratic for any fixed p (the round-8 stress run measured it at
     * 1255 s / 400k vectors). Banding decouples precision from recall:
-    * `planesPerBand` sets bucket granularity (size it ~log₂(corpus) so
-    * expected bucket size stays O(1) — 2^16 keys/band makes the join key
-    * cardinality track the corpus, and AQE skew-splits any hot cluster
-    * bucket), while `numBands` buys back recall with b independent
-    * chances to collide. Per-band candidate volume is Σ n_k² over bucket
-    * sizes n_k — near-linear when buckets are O(1) — and verification is
-    * candidate-bounded: only candidate ids' vectors are re-joined
-    * (semi-join shrink), the banded frame carries no vectors at all.
+    * `planesPerBand` sets bucket granularity while `numBands` buys back
+    * recall with b independent chances to collide. Per-band candidate
+    * volume is Σ n_k² over bucket sizes n_k — near-linear when buckets
+    * are O(1) — and verification is candidate-bounded: only candidate
+    * ids' vectors are re-joined (semi-join shrink).
+    *
+    * `planesPerBand ≤ 0` (the default) derives p from the CORPUS SIZE
+    * via [[adaptivePlanesPerBand]] (one O(1)-column count; at table
+    * scale it is parquet-metadata cheap) — the scale property then holds
+    * at every SF with no caller tuning, which is the difference between
+    * "banded at the SF the constant was tuned for" and "banded". AQE
+    * skew-splits any residual hot (cluster) bucket either way.
     */
   def embeddingNearDups(
       df: DataFrame,
@@ -121,19 +165,15 @@ object Similarity {
       tauNum: Long,
       tauDen: Long,
       numBands: Int = 8,
-      planesPerBand: Int = 16): DataFrame = {
+      planesPerBand: Int = 0): DataFrame = {
+    val adaptive = planesPerBand <= 0
+    val p =
+      if (adaptive) adaptivePlanesPerBand(df.select(col(idCol)).count())
+      else planesPerBand
+    val stride = if (adaptive) PlaneStride else planesPerBand
     val src = Par.fanOut(df.select(col(idCol), col(embCol)))
     val base = src.select(col(idCol), quantize(col(embCol)).as("qe"))
-    // (id, band, sig) only — one fused plane sweep (BandSigs), then the
-    // vectors are dropped before the self-join shuffle
-    val banded = base
-      .select(col(idCol), posexplode(BandSigs(col("qe"), dim, numBands, planesPerBand))
-        .as(Seq("band", "sig")))
-    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
-      .join(banded.select(col(idCol).as("id_b"), col("band"), col("sig")),
-        Seq("band", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cand = bandedCandidates(base, idCol, dim, numBands, p, stride)
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
     val sub = base.join(candIds, Seq(idCol), "left_semi")
@@ -156,11 +196,27 @@ object Similarity {
       tauNum: Long,
       tauDen: Long,
       numBands: Int = 8,
-      planesPerBand: Int = 16): String = {
+      planesPerBand: Int = 0): String = {
+    val adaptive = planesPerBand <= 0
+    // adaptive twin of the Spark side: p = clamp(ceil(log2 n), 4, stride)
+    // via integer bit-length (bin() is zero-padded in DuckDB ⇒ ltrim),
+    // and band b bit j reads LITERAL plane b·stride+j with a `j < p`
+    // gate — the sig expression's structure is count-independent even
+    // though its value is count-derived, exactly like the Spark plan
+    val pSql =
+      s"greatest(4, least($PlaneStride, length(ltrim(bin((SELECT count(*) FROM $tbl) - 1), '0'))))"
+    def gatedSigSql(b: Int): String =
+      "CAST(" + (0 until PlaneStride).map { j =>
+        s"CASE WHEN $j < p AND ${dotQSql(s"(${planeSql(b * PlaneStride + j, dim)})", "qe", dim)} > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ") + " AS BIGINT)"
     val bandSelects = (0 until numBands).map { b =>
-      s"SELECT $idCol, $b AS band, ${lshBucketSql("qe", dim, planesPerBand, b * planesPerBand)} AS sig FROM qv"
+      if (adaptive)
+        s"SELECT $idCol, $b AS band, ${gatedSigSql(b)} AS sig FROM qv, params"
+      else
+        s"SELECT $idCol, $b AS band, ${lshBucketSql("qe", dim, planesPerBand, b * planesPerBand)} AS sig FROM qv"
     }.mkString(" UNION ALL ")
-    s"""WITH qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
+    val paramsCte = if (adaptive) s"params AS (SELECT CAST($pSql AS INT) AS p), " else ""
+    s"""WITH ${paramsCte}qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.$idCol AS id_a, bb.$idCol AS id_b
        |         FROM bands a JOIN bands bb

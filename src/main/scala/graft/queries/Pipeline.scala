@@ -328,20 +328,21 @@ object Pipeline {
     // arbitrary graphs in PipelineSpec.
     "q81_dup_clusters" -> QueryDef(
       (s, dir) => {
-        // 8×8 banding (not the 8×16 scale default): the closure operator
-        // is the subject here, so trade bucket granularity for recall —
-        // 8-bit sigs keep the moderate-cosine planted dups colliding at
-        // this SF while the join stays banded
+        // adaptive banding (p ~ log₂ corpus) at 16 bands: bucket
+        // granularity tracks the SF so the join stays near-linear at
+        // every scale, and the doubled band count buys back the recall
+        // the moderate-cosine planted dups need (16 independent
+        // collision chances vs the r9 run's fixed 8×8)
         val pairs = Similarity.embeddingNearDups(tbl(s, dir, "embeddings"),
           "vec_id", "embedding", DIM, tauNum = 2, tauDen = 5,
-          numBands = 8, planesPerBand = 8)
+          numBands = 16)
         Graph.connectedComponents(pairs, "id_a", "id_b")
           .orderBy(col("id"))
       },
       Some(s"""WITH RECURSIVE pairs AS (
               |  SELECT id_a, id_b FROM (${Similarity.embeddingNearDupsSql("embeddings",
                    "vec_id", "embedding", DIM, tauNum = 2, tauDen = 5,
-                   numBands = 8, planesPerBand = 8)}) p),
+                   numBands = 16)}) p),
               |${Graph.connectedComponentsSql("id_a", "id_b")}
               |ORDER BY id""".stripMargin.replace("\n", " "))),
 

@@ -25,6 +25,42 @@ class PipelineSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("adaptive banding: candidate volume tracks N, not N², across corpus sizes") {
+    import spark.implicits._
+    // Random corpora at N and 4N: with p = adaptivePlanesPerBand(N)
+    // (≈ ceil(log₂ N)) the per-band bucket count tracks the corpus, so
+    // expected candidate volume is ~numBands·N/2 — LINEAR. A fixed p
+    // would grow candidates 16× for a 4× corpus; adaptive should stay
+    // near 4×. (Bound at 8× — halfway — to keep the probabilistic test
+    // robust while still cleanly rejecting quadratic growth.)
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(41)
+      (0 until n).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+        .toDF("vec_id", "embedding")
+    }
+    def candCount(n: Int): (Int, Long) = {
+      val p = Similarity.adaptivePlanesPerBand(n.toLong)
+      val base = corpus(n).select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qe"))
+      (p, Similarity.bandedCandidates(
+        base, "vec_id", 16, 8, p, Similarity.PlaneStride).count())
+    }
+    val (p1, c1) = candCount(2000)
+    val (p2, c2) = candCount(8000)
+    assert(p1 == 11 && p2 == 13, s"derived p: $p1/$p2") // ceil(log2) rule
+    assert(c1 > 0, "no candidates at N=2000 — test corpus degenerate")
+    val growth = c2.toDouble / c1.toDouble
+    assert(growth < 8.0, s"candidate volume grew ${growth}× for a 4× corpus — quadratic regression")
+    // the derivation itself: exact bit-math ceil(log2), clamped
+    assert(Similarity.adaptivePlanesPerBand(1) == 4)
+    assert(Similarity.adaptivePlanesPerBand(16) == 4)
+    assert(Similarity.adaptivePlanesPerBand(17) == 5)
+    assert(Similarity.adaptivePlanesPerBand(500) == 9)
+    assert(Similarity.adaptivePlanesPerBand(512) == 9)
+    assert(Similarity.adaptivePlanesPerBand(513) == 10)
+    assert(Similarity.adaptivePlanesPerBand(Long.MaxValue) == Similarity.PlaneStride)
+  }
+
   test("portableHash matches the DuckDB definition (top 60 bits of md5)") {
     import spark.implicits._
     // independently computed: int(md5('abc').hexdigest()[:15], 16)
