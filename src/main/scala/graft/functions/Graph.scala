@@ -53,17 +53,30 @@ object Graph {
       .agg(min(col("v")).as("nbr"))
       .select(col("id"), least(col("id"), col("nbr")).as("component"))
       .localCheckpoint(true)
+    // The convergence signal rides an ACCUMULATOR inside the checkpoint
+    // materialization itself — one Spark job per pass, not two (the
+    // former separate `count()` action doubled the driver round trips on
+    // the bench's slowest query). Task retries can only over-count rows
+    // that DID change; a converged pass has nothing to add, so the
+    // `== 0` test stays exact.
+    val changedAcc = pairs.sparkSession.sparkContext.longAccumulator("graft.cc.changed")
+    val markChanged = udf { (component: Long, old: Long) =>
+      if (component != old) changedAcc.add(1L)
+      component
+    }
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = propagateOnce(edges, labels).localCheckpoint(true)
-      val changed = next.where(col("component") =!= col("old")).count()
+      changedAcc.reset()
+      val next = propagateOnce(edges, labels)
+        .select(col("id"), markChanged(col("component"), col("old")).as("component"))
+        .localCheckpoint(true)
       // the superseded round's checkpoint blocks are dead the moment
       // `next` is materialized — release them now instead of letting
       // them accumulate one labels-copy per pass in the block manager
       releaseCheckpoint(labels)
-      labels = next.select(col("id"), col("component"))
-      converged = changed == 0
+      labels = next
+      converged = changedAcc.value == 0L
       iter += 1
     }
     edges.unpersist()
