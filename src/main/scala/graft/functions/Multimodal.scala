@@ -121,25 +121,24 @@ object Multimodal {
     (fmt, w, ht)
   }
 
-  /** Decode a blob table (doc_id, blob: binary) to typed metadata rows.
-    * Image blobs (magic-byte sniff) decode for REAL via ImageIO — true
-    * width/height; anything else falls back to the deterministic stub.
+  /** Decode a blob table (doc_id, blob: binary) to typed metadata rows
+    * through the [[MediaDecoder]] chain (first match wins; the default
+    * chain is real JDK-ImageIO for images, deterministic stub for
+    * everything else — bind an FFmpeg-style decoder by prepending it).
     * `mapPartitions` so decoder init is once per partition.
     */
-  def decodeMeta(df: DataFrame, idCol: String, blobCol: String): Dataset[MediaMeta] = {
+  def decodeMeta(
+      df: DataFrame, idCol: String, blobCol: String,
+      decoders: Seq[MediaDecoder] = MediaDecoder.default): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // codec init, once per partition: never let ImageIO spill its
-        // stream cache to local disk on an executor
-        javax.imageio.ImageIO.setUseCache(false)
+        decoders.foreach(_.init())
         it.map { case (id, bytes) =>
-          val (fmt, w, h) = decodeImage(bytes) match {
-            case Some((f, img)) => (f, img.getWidth, img.getHeight)
-            case None           => stubDecode(bytes)
-          }
+          val (fmt, w, h) = decoders.iterator.flatMap(_.meta(bytes)).nextOption()
+            .getOrElse(stubDecode(bytes)) // chain exhausted: stub semantics
           MediaMeta(id, bytes.length.toLong, fmt, w, h)
         }
       }
@@ -176,9 +175,11 @@ object Multimodal {
       }.toDF(idCol, "format", "width", "height", "px_sum")
   }
 
-  /** Frame sampling: every `stride`-th fixed-size window of the blob as a
-    * frame row (the video → frames explode; with a real codec the window
-    * becomes a decoded frame). Output is safe to re-partition for
+  /** Frame sampling: the video → frames explode. A [[MediaDecoder]] in
+    * the chain that implements `frames` (a real codec) emits decoded
+    * frames; otherwise every `stride`-th fixed-size byte window of the
+    * blob becomes a frame row (the default chain's behavior — its
+    * decoders all decline `frames`). Output is safe to re-partition for
     * downstream feature extraction.
     */
   def sampleFrames(
@@ -186,15 +187,24 @@ object Multimodal {
       idCol: String,
       blobCol: String,
       frameBytes: Int = 64,
-      stride: Int = 4): Dataset[MediaFrame] = {
+      stride: Int = 4,
+      decoders: Seq[MediaDecoder] = MediaDecoder.default): Dataset[MediaFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val nFrames = bytes.length / frameBytes
-        (0 until nFrames by stride).iterator.map { f =>
-          MediaFrame(id, f, java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+      .mapPartitions { it =>
+        decoders.foreach(_.init())
+        it.flatMap { case (id, bytes) =>
+          decoders.iterator.flatMap(_.frames(bytes, frameBytes, stride)).nextOption() match {
+            case Some(fs) => fs.map { case (i, b) => MediaFrame(id, i, b) }
+            case None =>
+              val nFrames = bytes.length / frameBytes
+              (0 until nFrames by stride).iterator.map { f =>
+                MediaFrame(id, f,
+                  java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+              }
+          }
         }
       }
   }

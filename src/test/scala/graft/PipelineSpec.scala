@@ -6,6 +6,29 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
 
+/** A deployment-bound "video codec" for the MediaDecoder plug-point
+  * test: blobs tagged `FKV0 <w:2><h:2>` decode to ("fkv", w, h) and to
+  * 4-byte payload frames; everything else is declined so the rest of the
+  * chain handles it. Top-level class: the instance rides to executors in
+  * task closures, so it must serialize without an outer test reference.
+  */
+class FakeVideoDecoder extends graft.functions.MediaDecoder {
+  private def isVid(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 'F' && b(1) == 'K' && b(2) == 'V' && b(3) == '0'
+  override def meta(bytes: Array[Byte]): Option[(String, Int, Int)] =
+    if (!isVid(bytes)) None
+    else Some(("fkv",
+      ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff),
+      ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)))
+  override def frames(bytes: Array[Byte], frameBytes: Int, stride: Int): Option[Iterator[(Int, Array[Byte])]] =
+    if (!isVid(bytes)) None
+    else {
+      val payload = java.util.Arrays.copyOfRange(bytes, 8, bytes.length)
+      Some((0 until payload.length / 4 by stride).iterator.map(i =>
+        (i, java.util.Arrays.copyOfRange(payload, i * 4, i * 4 + 4))))
+    }
+}
+
 /** Specs for the training-data pipeline operators not (or not fully)
   * covered by the DuckDB oracle gate: the multimodal Dataset plumbing,
   * portable-hash invariants, and dedup edge cases with actual duplicate
@@ -59,6 +82,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.adaptivePlanesPerBand(512) == 9)
     assert(Similarity.adaptivePlanesPerBand(513) == 10)
     assert(Similarity.adaptivePlanesPerBand(Long.MaxValue) == Similarity.PlaneStride)
+  }
+
+  test("MediaDecoder plug point: a bound fake video codec decodes end to end") {
+    import spark.implicits._
+    import graft.functions.MediaDecoder
+    // corpus: 2 fake videos (16 payload bytes each), 1 real PNG, 1 text blob
+    def vid(id: Byte, w: Int, h: Int): Array[Byte] =
+      Array[Byte]('F', 'K', 'V', '0',
+        (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
+        Array.tabulate[Byte](16)(i => (id + i).toByte)
+    val png = Multimodal.encodeGrayPng(3, 2, (x, y) => x * 10 + y)
+    val txt = "just some text bytes, no media header".getBytes("UTF-8")
+    val df = Seq(
+      (1L, vid(10, 640, 480)), (2L, vid(50, 1920, 1080)),
+      (3L, png), (4L, txt)).toDF("doc_id", "blob")
+    val chain = new FakeVideoDecoder +: MediaDecoder.default
+    // metadata routes per decoder: codec for videos, ImageIO for the png,
+    // stub for the rest — same schema, same partition-batched stage
+    val meta = Multimodal.decodeMeta(df, "doc_id", "blob", chain)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "fkv" && meta(1L).width == 640 && meta(1L).height == 480)
+    assert(meta(2L).format == "fkv" && meta(2L).width == 1920 && meta(2L).height == 1080)
+    assert(meta(3L).format == "png" && meta(3L).width == 3 && meta(3L).height == 2)
+    assert(meta(4L).format != "fkv" && meta(4L).format != "png") // stub fallback
+    // frames: the codec emits decoded payload frames for ITS media only;
+    // everything else keeps the byte-window fallback
+    val frames = Multimodal.sampleFrames(df, "doc_id", "blob",
+      frameBytes = 8, stride = 1, decoders = chain)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc(1L).length == 4 && byDoc(1L).forall(_.frame_bytes.length == 4)) // 16B payload / 4B frames
+    assert(byDoc(1L).map(_.frame_bytes(0)).sorted.toSeq == Seq[Byte](10, 14, 18, 22))
+    assert(byDoc(4L).forall(_.frame_bytes.length == 8)) // text: byte windows
+    // ...and the downstream feature stage consumes codec frames unchanged
+    val feats = Multimodal.extractFeatures(frames, bins = 16)
+    assert(feats.where(col("doc_id") === 1L).count() > 0)
+    // default chain unchanged: no decoder claims frames, all byte windows
+    val defFrames = Multimodal.sampleFrames(df, "doc_id", "blob", frameBytes = 8, stride = 1)
+    assert(defFrames.collect().forall(_.frame_bytes.length == 8))
   }
 
   test("portableHash matches the DuckDB definition (top 60 bits of md5)") {
