@@ -400,6 +400,78 @@ object Spatial {
               |       EXISTS(SELECT 1 FROM stored s WHERE s.t = g.t AND s.morton = g.morton) AS present
               |FROM grid g ORDER BY t, morton""".stripMargin.replace("\n", " "))),
 
+    // O2 cube sort (`spatialdb.py:139-185`): the time-sample assembly
+    // contract — per cuboid morton, samples come back as ONE t-ascending
+    // array (posexploded here so the oracle can state the ordering
+    // relationally: sample_idx ≡ t-rank within the morton). n_bytes pins
+    // each sample to a real dense blob (codec losslessness itself is
+    // q50's subject).
+    "q92_sort_cubes" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.storage.{CuboidCodec, VoxelRow}
+        val deduped = VoxelView.df(s, dir)
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(col("id")).as("value"))
+          .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .as[VoxelRow]
+        out(SpatialOps.sortCubes(CuboidCodec.fromVoxels(deduped, VoxelType.UInt64, dims))
+          .select(col("morton"), posexplode(col("samples")).as(Seq("sample_idx", "s")))
+          .select(col("morton"), col("sample_idx"),
+            col("s.t").cast("long").as("t"),
+            length(col("s.data")).cast("long").as("n_bytes"))
+          .orderBy(col("morton"), col("sample_idx")))
+      },
+      Some(s"""WITH $V, k AS (
+              |  SELECT DISTINCT t, ${cuboidMortonSql(dims)} AS morton FROM v)
+              |SELECT morton,
+              |  CAST(row_number() OVER (PARTITION BY morton ORDER BY t) - 1 AS INT) AS sample_idx,
+              |  t, CAST(${dims.x * dims.y * dims.z * 8} AS BIGINT) AS n_bytes
+              |FROM k ORDER BY morton, sample_idx""".stripMargin.replace("\n", " "))),
+
+    // F8 catalog level math (`resource.py:21-118`): per-level extents,
+    // voxel sizes and the isotropic switchover level for BOTH hierarchy
+    // methods, over the reference suite's frame2048 fixture (4×4×35 nm
+    // voxels). Driver-side by nature (catalog metadata); the oracle
+    // recomputes every row from the same constants, including the
+    // argmin-by-aspect-ratio isotropic level. Voxel sizes emitted as
+    // integer nanometers (exact at these levels) to keep the compare
+    // hash-exact.
+    "q93_resource_levels" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val base = Resource.fixture(VoxelType.UInt64)
+        val variants = Seq(
+          "aniso" -> base,
+          "iso" -> base.copy(experiment =
+            base.experiment.copy(hierarchyMethod = graft.core.HierarchyMethod.Isotropic)))
+        val rows = for {
+          (method, r) <- variants
+          res <- 0 until r.experiment.numHierarchyLevels
+        } yield {
+          val (ex, ey, ez) = r.extentAt(res)
+          val (vx, vy, vz) = r.voxelDimsAt(res)
+          (method, res, ex, ey, ez, vx.toLong, vy.toLong, vz.toLong, r.isotropicLevel)
+        }
+        out(rows.toDF("method", "res", "ex", "ey", "ez",
+          "vx_nm", "vy_nm", "vz_nm", "iso_level")
+          .orderBy(col("method"), col("res")))
+      },
+      Some("""WITH m(method, zscale) AS (VALUES ('aniso', 0), ('iso', 1)),
+             |lv AS (SELECT CAST(res AS INT) AS res FROM range(0, 7) t(res)),
+             |iso AS (SELECT CAST(res AS INT) AS lvl FROM range(0, 7) t(res)
+             |        ORDER BY abs(4.0 * (1 << res) / 35.0 - 1.0) ASC, res ASC LIMIT 1)
+             |SELECT m.method, lv.res,
+             |  greatest(1, 2048 // (1 << lv.res)) AS ex,
+             |  greatest(1, 2048 // (1 << lv.res)) AS ey,
+             |  CAST(CASE WHEN m.zscale = 1 THEN greatest(1, 128 // (1 << lv.res)) ELSE 128 END AS BIGINT) AS ez,
+             |  CAST(4 * (1 << lv.res) AS BIGINT) AS vx_nm,
+             |  CAST(4 * (1 << lv.res) AS BIGINT) AS vy_nm,
+             |  CAST(CASE WHEN m.zscale = 1 THEN 35 * (1 << lv.res) ELSE 35 END AS BIGINT) AS vz_nm,
+             |  (SELECT lvl FROM iso) AS iso_level
+             |FROM m, lv ORDER BY method, res""".stripMargin.replace("\n", " "))),
+
     // A9 id_index with overflow-chunk rows (the reference's 400 KB item
     // split; here the giant-row OOM guard). chunkSize 64 on a ≤256-
     // cuboid-per-id view forces real multi-chunk ids.
