@@ -129,6 +129,80 @@ class CommitProtocolSpec extends AnyFunSuite {
       }
     }
 
+    test(s"[$name] randomized N-writer soak: no lost commit, no torn read, O(1) chains") {
+      // moto-style torture of the control plane (the reference's
+      // test_state.py analog): 6 mutexed writers × 25 increments of one
+      // pointer, 4 readers polling it continuously, 4 id-reservers
+      // hammering the same directory — all concurrently, with random
+      // jitter. Asserts the three contracts the engine's commit path
+      // rests on: every increment lands (no lost commit), no reader ever
+      // observes the pointer move backwards or a value never published
+      // (no torn/stale read), and the generation chain stays O(1) files.
+      withProtocol(p) {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val dir = Paths.get(tmp(s"soak-$name"))
+        val target = dir.resolve("_PTR")
+        val marker = dir.resolve("_MTX")
+        val writers = 6; val ops = 25
+        p.publish(target, "0".getBytes)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val readers = (1 to 4).map(r => Future {
+          val rnd = new scala.util.Random(1000 + r)
+          var last = -1L
+          while (!stop.get()) {
+            p.readSmall(target).foreach { b =>
+              val v = new String(b).toLong
+              if (v < last) violations.add(s"pointer went backwards: $last -> $v")
+              if (v < 0 || v > writers.toLong * ops) violations.add(s"unpublished value: $v")
+              last = math.max(last, v)
+            }
+            if (rnd.nextInt(4) == 0) Thread.sleep(1)
+          }
+        })
+        val writerFs = (1 to writers).map(w => Future {
+          val rnd = new scala.util.Random(w)
+          (1 to ops).foreach { _ =>
+            assert(p.acquireMutex(marker, staleMs = 60000, deadlineMs = 60000, pollMs = 1),
+              "soak writer failed to acquire mutex")
+            try {
+              val cur = new String(p.readSmall(target).get).toLong
+              if (rnd.nextInt(3) == 0) Thread.sleep(rnd.nextInt(3).toLong)
+              p.publish(target, (cur + 1).toString.getBytes)
+            } finally p.delete(marker)
+          }
+        })
+        val reservers = (1 to 4).map(r => Future {
+          val rnd = new scala.util.Random(2000 + r)
+          (1 to 10).map { _ =>
+            if (rnd.nextInt(3) == 0) Thread.sleep(rnd.nextInt(2).toLong)
+            IdReservation.reserve(dir.toString, "c", 0, 50)
+          }
+        })
+        Await.result(Future.sequence(writerFs), 120.seconds)
+        val ranges = Await.result(Future.sequence(reservers), 120.seconds).flatten
+        stop.set(true)
+        Await.result(Future.sequence(readers), 30.seconds)
+        assert(violations.isEmpty, s"soak violations: ${violations.toArray.mkString("; ")}")
+        // no lost commit: all 150 mutexed increments survived the race
+        assert(new String(p.readSmall(target).get).toLong == writers.toLong * ops)
+        // reservations: non-overlapping, gapless coverage of 40×50 ids
+        val sorted = ranges.sortBy(_._1)
+        assert(sorted.head._1 == 1L)
+        assert(sorted.last._2 == 1L + 40L * 50L)
+        sorted.sliding(2).foreach {
+          case Seq((_, e), (s2, _)) => assert(s2 == e, s"gap/overlap at $e -> $s2")
+          case _                    =>
+        }
+        // generation-chain pruning: the directory holds O(1) control
+        // files, not one per publish (150 pointer gens + 40 counter gens)
+        val files = Files.list(dir).toArray.length
+        assert(files <= 16, s"control-file chain not pruned: $files files in $dir")
+      }
+    }
+
     test(s"[$name] concurrent id reservations: monotone, non-overlapping") {
       withProtocol(p) {
         import scala.concurrent.{Await, Future}
