@@ -263,7 +263,10 @@ final class GraftDB(
   }
 
   private def readControl(name: String): Option[String] =
-    VersionedStore.protocol.readSmall(java.nio.file.Paths.get(storeRoot, name))
+    // stamp-memoized ([[graft.storage.ControlCache]]): status/marker
+    // polls at high QPS cost a stat while unchanged, not a readSmall
+    graft.storage.ControlCache.readSmall(
+      VersionedStore.protocol, java.nio.file.Paths.get(storeRoot, name))
       .map(new String(_, "UTF-8").trim)
 
   /** `(base store version the current hierarchy reflects, levels built)`,

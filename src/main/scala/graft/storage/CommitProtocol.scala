@@ -73,6 +73,24 @@ trait CommitProtocol {
   /** Read-after-write-consistent read of `target`; None if absent. */
   def readSmall(target: Path): Option[Array[Byte]]
 
+  /** Cheap change-detection token for a PUBLISHED pointer — what
+    * [[ControlCache]] validates its memo against instead of re-reading
+    * the content per call. None when the pointer is absent. Local FS:
+    * the mtime (cheap stat; see [[pointerStampExact]] for the
+    * granularity caveat). S3 mapping: `HeadObject` ETag — strictly
+    * cheaper than the `GetObject` it saves, and exact.
+    */
+  def pointerStamp(target: Path): Option[Long] = stampMs(target)
+
+  /** Whether [[pointerStamp]] tokens are EXACT (change on every publish,
+    * never repeat). False for mtime-based stamps: two publishes inside
+    * one filesystem-timestamp granule can share a stamp, so a cache must
+    * additionally require the stamp to be older than its skew window
+    * before trusting a match. True for the object-store chain (monotone
+    * generation numbers) and for an ETag-based S3 implementation.
+    */
+  def pointerStampExact: Boolean = false
+
   /** Mutex acquire over [[tryCreateExclusive]] with crashed-holder
     * recovery: a marker older than `staleMs` is broken (its holder is
     * presumed to have crashed without [[delete]]); polls every `pollMs`
@@ -243,4 +261,14 @@ object ObjectStoreCommitProtocol extends CommitProtocol {
     if (gens.isEmpty) None
     else Some(unhex(gens.maxBy(_._1)._2))
   }
+
+  /** The chain's max generation number: strictly monotone per publish —
+    * an EXACT cache-validation token (no clock involved).
+    */
+  override def pointerStamp(target: Path): Option[Long] = {
+    val gens = listGens(target)
+    if (gens.isEmpty) None else Some(gens.map(_._1).max)
+  }
+
+  override def pointerStampExact: Boolean = true
 }

@@ -49,15 +49,23 @@ object IndexStore {
   /** The store version the current index snapshot covers (its `_STORE_V`
     * stamp); None when no index exists or the stamp is unreadable — both
     * mean "coverage unknown", which callers must treat as fully stale.
+    * The per-version stamp is IMMUTABLE once its version is current
+    * (written inside the commit lock before the pointer publish), so it
+    * memoizes unconditionally — only the pointer read pays IO.
     */
   def coveredStoreVersion(path: String): Option[Int] =
     VersionedStore.currentVersion(path).flatMap { v =>
-      val p = Paths.get(path, s"v$v", "_STORE_V")
-      if (!Files.exists(p)) None
-      else
-        try Some(new String(Files.readAllBytes(p), "UTF-8").trim.toInt)
-        catch { case _: NumberFormatException => None }
+      stampCache.computeIfAbsent(s"$path/v$v", _ => {
+        val p = Paths.get(path, s"v$v", "_STORE_V")
+        if (!Files.exists(p)) None
+        else
+          try Some(new String(Files.readAllBytes(p), "UTF-8").trim.toInt)
+          catch { case _: NumberFormatException => None }
+      })
     }
+
+  private val stampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Int]]()
 
   /** Flat index rows for a cuboid set: one row per distinct non-zero id in
     * each blob, plus one unconditional `id = 0` tombstone per cuboid key.

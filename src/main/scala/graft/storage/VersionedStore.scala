@@ -41,8 +41,12 @@ object VersionedStore {
   private def currentFile(path: String): Path = Paths.get(path, "_CURRENT")
   private def lockFile(path: String): Path = Paths.get(path, "_LOCK")
 
+  /** The hot pointer read of every query — stamp-memoized
+    * ([[ControlCache]]): repeated resolutions of an unchanged snapshot
+    * cost one stat, not one readSmall each.
+    */
   def currentVersion(path: String): Option[Int] =
-    protocol.readSmall(currentFile(path))
+    ControlCache.readSmall(protocol, currentFile(path))
       .map(b => new String(b, StandardCharsets.UTF_8).trim.toInt)
 
   def isLocked(path: String): Boolean = Files.exists(lockFile(path))

@@ -28,6 +28,39 @@ class GraftDBSpec extends AnyFunSuite {
     spark, Resource.fixture(VoxelType.UInt64),
     java.nio.file.Files.createTempDirectory("graftdb").toString, dims)
 
+  test("hot control reads are stamp-memoized: one readSmall per stamp change, not per call") {
+    import spark.implicits._
+    import graft.storage.{ControlCache, VersionedStore}
+    val db = newDb()
+    db.writeCuboid(VolumeGen.voxels(spark, db.resource.lookupKey, 0, Box(0, 16, 0, 16, 0, 4),
+      0 until 1, VoxelType.UInt64, seed = 77).toDF())
+    db.buildHierarchy(2) // materializes _DOWNSAMPLE_STATUS + _HIERARCHY_V
+    Thread.sleep(ControlCache.SettleMs + 30) // mtime stamps must settle past the skew window
+    // warm the memo once per control file
+    db.downsampleStatus; db.hierarchyMarker
+    VersionedStore.currentVersion(db.storeRoot)
+    val m0 = ControlCache.missCount
+    (1 to 10).foreach { _ =>
+      assert(db.downsampleStatus == GraftDB.Downsampled)
+      assert(db.hierarchyMarker.isDefined)
+      assert(VersionedStore.currentVersion(db.storeRoot).isDefined)
+    }
+    assert(ControlCache.missCount == m0,
+      s"${ControlCache.missCount - m0} readSmall calls for 30 unchanged-pointer reads")
+    // a write moves the stamps; after settling, exactly one re-read each
+    db.writeCuboid(Seq((0L, 1L, 1L, 1L, 99L)).toDF("t", "x", "y", "z", "value"))
+    Thread.sleep(ControlCache.SettleMs + 30)
+    assert(db.downsampleStatus == GraftDB.NotDownsampled) // the new content IS seen
+    VersionedStore.currentVersion(db.storeRoot)
+    val m1 = ControlCache.missCount
+    assert(m1 > m0, "stamp change must trigger a re-read")
+    (1 to 10).foreach { _ =>
+      db.downsampleStatus
+      VersionedStore.currentVersion(db.storeRoot)
+    }
+    assert(ControlCache.missCount == m1, "post-change reads must hit the refreshed memo")
+  }
+
   test("write / cutout round-trip and filtered cutout through the facade") {
     import spark.implicits._
     val db = newDb()
