@@ -12,12 +12,15 @@ import graft.storage.{CuboidCodec, CuboidStore, VolumeGen}
 /** Spatial-engine stress run: generates a multi-million-voxel volume,
   * writes the Z-order-clustered store, and times the heavy spatial paths
   * (pruned cutout, index-first ids-in-region, bulk cuboid merge, pyramid,
-  * and the façade's index-first bounding box). Writes one BENCH-style
-  * JSON line (stress_spatial.json). Usage: runMain graft.SpatialStress [sideVoxels]
+  * and the façade's index-first bounding box), then the delta-chain depth
+  * battery (deep-chain reads, propagate, compaction). Writes one
+  * BENCH-style JSON line (stress_spatial.json).
+  * Usage: runMain graft.SpatialStress [sideVoxels] [zDepth]
   */
 object SpatialStress {
   def main(args: Array[String]): Unit = {
     val side = args.headOption.map(_.toInt).getOrElse(512)
+    val zDepth = args.lift(1).map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +30,7 @@ object SpatialStress {
     spark.sparkContext.setLogLevel("ERROR")
     import Region.{Box, CuboidDims}
     val dims = CuboidDims(64, 64, 16)
-    val box = Box(0, side, 0, side, 0, 64)
+    val box = Box(0, side, 0, side, 0, zDepth)
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -46,7 +49,7 @@ object SpatialStress {
     timed("pruned_cutout_small") {
       SpatialOps.cutoutFromStore(spark, path, "s", 0, small, 0 until 1, VoxelType.UInt64, dims).count()
     }
-    val wide = Box(0, side, 0, side, 0, 48)
+    val wide = Box(0, side, 0, side, 0, math.max(48, zDepth * 3 / 4))
     timed("wide_cutout_75pct") {
       SpatialOps.cutoutFromStore(spark, path, "s", 0, wide, 0 until 1, VoxelType.UInt64, dims).count()
     }
@@ -109,9 +112,61 @@ object SpatialStress {
     timed("facade_propagate_incremental") {
       db.propagate()
     }
+    // --- delta-chain depth battery: the VERSION-COUNT axis. K more patch
+    // writes deepen the chain; the O(touched) contracts must hold at the
+    // deep chain, and compaction restores depth 1. The regression signal
+    // is deep_chain_patch_write vs facade_patch_write: a chain read that
+    // rescans the store would scale with the volume, not the patch.
+    val K = 24
+    timed(s"chain_${K}_patch_writes") {
+      (1 to K).foreach { i =>
+        val cx = (i % 8).toLong * 64; val cy = ((i / 8) % 8).toLong * 64
+        db.writeCuboid(VolumeGen.constant(
+          spark, "s", 0, Box(cx, cx + 64, cy, cy + 64, 16, 32), 0 until 1, value = 2000L + i)
+          .toDF().select(col("t"), col("x"), col("y"), col("z"), col("value")))
+      }
+    }
+    timed("deep_chain_small_cutout") {
+      db.cutout((100, 100, 10), (64, 64, 16)).count()
+    }
+    timed("deep_chain_patch_write") {
+      db.writeCuboid(VolumeGen.constant(
+        spark, "s", 0, Box(40, 56, 40, 56, 4, 12), 0 until 1, value = 77L)
+        .toDF().select(col("t"), col("x"), col("y"), col("z"), col("value")))
+    }
+    timed("deep_chain_propagate") {
+      db.propagate()
+    }
+    // files a ONE-KEY chain read opens at max depth — must be ~1/version
+    // (each delta contributes its own files), never the snapshot's file
+    // count per version; PlanContractSpec asserts the growth bound, this
+    // records the absolute number at scale
+    val chainDepth = graft.storage.VersionedStore.currentVersion(db.storeRoot).getOrElse(0)
+    val deepChainFiles = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import spark.implicits._
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val keys = Seq((db.resource.lookupKey, 0, 0, graft.core.Morton.encode(1L, 1L, 1L)))
+          .toDF("lookupKey", "res", "t", "morton")
+        val df = graft.storage.VersionedStore.readForKeys(spark, db.storeRoot, keys)
+        // execute THIS QueryExecution so its scan metrics populate
+        df.queryExecution.toRdd.count()
+        df.queryExecution.executedPlan
+          .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    println(s"[stress] one-key chain read at store version $chainDepth opens $deepChainFiles files")
+    timed("compact_store_and_index") {
+      db.compact()
+    }
+    timed("post_compact_cutout") {
+      db.cutout((100, 100, 10), (64, 64, 16)).count()
+    }
     val total = math.rint(stages.values.sum * 100) / 100
     val json =
       s"""{"metric":"spatial_stress","voxels":$nVox,"unit":"sec","total":$total,""" +
+        s""""store_version_max":$chainDepth,"deep_chain_files_read":$deepChainFiles,""" +
         stages.map { case (k, v) => s""""$k":$v""" }.mkString("\"stages\":{", ",", "}}")
     Files.writeString(Paths.get("stress_spatial.json"), json + "\n")
     println(json)

@@ -224,6 +224,50 @@ class PlanContractSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*res".r.findFirstIn(p).isDefined, p.take(1500))
   }
 
+  test("chain-read file count grows with versions touched, not store size (runtime numFiles bound)") {
+    import spark.implicits._
+    import graft.core.{Morton, Region, Resource, VoxelType}
+    import graft.storage.{VersionedStore, VolumeGen}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val db = new graft.GraftDB(
+      spark, Resource.fixture(VoxelType.UInt64),
+      java.nio.file.Files.createTempDirectory("plan-chainfiles").toString,
+      Region.CuboidDims(8, 8, 4))
+    // v0: a 256-cuboid snapshot (several parquet files after clustering)
+    db.writeCuboid(VolumeGen.voxels(spark, db.resource.lookupKey, 0,
+      Region.Box(0, 64, 0, 64, 0, 16), 0 until 1, VoxelType.UInt64, seed = 11).toDF())
+    // every patch rewrites the SAME probed cuboid, so each new version
+    // genuinely participates in the one-key chain read below
+    def patch(i: Int): Unit =
+      db.writeCuboid(Seq((0L, (i % 8).toLong, 1L, 1L, 100L + i))
+        .toDF("t", "x", "y", "z", "value"))
+    // physical files the one-key chain read opens, from the executed
+    // scans' numFiles metric (AQE off so the executed tree is walkable)
+    def filesForOneKey(): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val keys = Seq((db.resource.lookupKey, 0, 0, Morton.encode(0L, 0L, 0L)))
+          .toDF("lookupKey", "res", "t", "morton")
+        val df = VersionedStore.readForKeys(spark, db.storeRoot, keys)
+        // execute THIS QueryExecution (df.count() would plan a separate
+        // aggregate query and leave these scan nodes' metrics at zero)
+        df.queryExecution.toRdd.count()
+        df.queryExecution.executedPlan
+          .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    (1 to 3).foreach(patch)
+    val f3 = filesForOneKey()
+    (4 to 12).foreach(patch)
+    val f12 = filesForOneKey()
+    // the bound: 9 extra chain versions may add ≤ 2 files each (the
+    // delta's own data file + slack for a split), and NEVER re-open the
+    // snapshot's file set per version — the O(store × depth) failure this
+    // contract exists to catch
+    assert(f3 > 0, "chain read opened no files — probe key missed the store")
+    assert(f12 - f3 <= 2L * 9, s"one-key chain read grew $f3 -> $f12 files over 9 extra versions")
+  }
+
   test("relational scans prune columns (no full-width reads for narrow projections)") {
     val p = plan("q01_pricing_summary")
     // lineitem has 16 columns; the pricing summary needs 5
