@@ -95,15 +95,6 @@ object IndexStore {
     }
   }
 
-  /** Commit a full index snapshot (rebuilds — e.g. after a hierarchy
-    * build re-derives every level), covering store version `storeV`.
-    */
-  def commitFull(rows: Dataset[IdxRow], path: String, storeV: Int): Int =
-    VersionedStore.withCommitLock(path) { next =>
-      write(rows, s"$path/v$next", clustered = true)
-      stamp(path, next, storeV)
-    }
-
   /** Bring index coverage up to store version `storeV` — the self-healing
     * index commit behind [[graft.GraftDB]]'s write path. The coverage
     * read, the delta/full decision, the row derivation and the `_STORE_V`
@@ -182,11 +173,18 @@ object IndexStore {
       spark: SparkSession, path: String, storeRoot: String,
       vt: VoxelType, preV: Option[Int], storeV: Int): Int = {
     import spark.implicits._
-    val covered = coveredStoreVersion(path)
-    val rows =
-      if (covered.isDefined && covered == preV) read(spark, path)
-      else readCurrent(spark, path, storeRoot, vt)
-    commitFull(rows.as[IdxRow], path, storeV)
+    // coverage check AND chain resolution inside the commit lock (the
+    // same discipline as [[commitCovering]]): a racing writer's index
+    // delta committed after a lock-free resolution would be masked
+    // wholesale by the compacted full snapshot
+    VersionedStore.withCommitLock(path) { next =>
+      val covered = coveredStoreVersion(path)
+      val rows =
+        if (covered.isDefined && covered == preV) read(spark, path)
+        else readCurrent(spark, path, storeRoot, vt)
+      write(rows.as[IdxRow], s"$path/v$next", clustered = true)
+      stamp(path, next, math.max(storeV, covered.getOrElse(-1)))
+    }
   }
 
   /** Index rows (tombstones included) of the store's committed version

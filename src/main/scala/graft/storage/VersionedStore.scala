@@ -203,10 +203,17 @@ object VersionedStore {
     }
 
   /** Collapse the delta chain into a fresh full snapshot (maintenance
-    * job; readers never require it).
+    * job; readers never require it). The chain is resolved INSIDE the
+    * commit lock: resolving it first and then committing would let a
+    * delta land in between, and the full snapshot — masking everything
+    * older key-by-key — would silently erase that racer's write. With
+    * the resolution under the lock, compaction is content-preserving
+    * under any interleaving with writers.
     */
   def compact(spark: SparkSession, path: String): Int =
-    commit(read(spark, path), path)
+    withCommitLock(path) { next =>
+      CuboidStore.write(read(spark, path), s"$path/v$next")
+    }
 
   private[storage] def withCommitLock(path: String)(write: Int => Unit): Int =
     withCommitLockAbortable(path) { next => write(next); true }

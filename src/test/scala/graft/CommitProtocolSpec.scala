@@ -129,6 +129,34 @@ class CommitProtocolSpec extends AnyFunSuite {
       }
     }
 
+    test(s"[$name] compaction racing delta writers loses no write") {
+      // compact resolves the chain INSIDE the commit lock; were it
+      // resolved first, a delta landing in between would be masked
+      // wholesale by the full snapshot (lost update). Interleave real
+      // compactions with real delta commits and require every written
+      // cuboid to survive.
+      withProtocol(p) {
+        import spark.implicits._
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val store = tmp(s"compactrace-$name")
+        def cuboidAt(m: Long) = CuboidCodec.fromVoxels(
+          Seq(VoxelRow("k", 0, 0, m * dims.x, 0, 0, m + 1)).toDS(), VoxelType.UInt64, dims)
+        VersionedStore.commit(cuboidAt(0L), store)
+        val writers = (1L to 5L).map(m => Future {
+          Thread.sleep(m * 7); VersionedStore.commitDelta(cuboidAt(m), store)
+        })
+        val compactor = Future {
+          (1 to 3).foreach { _ => VersionedStore.compact(spark, store); Thread.sleep(11) }
+        }
+        Await.result(Future.sequence(writers :+ compactor.map(_ => 0)), 300.seconds)
+        val mortons = VersionedStore.read(spark, store)
+          .select($"morton").as[Long].collect().toSet
+        assert(mortons.size == 6, s"lost a write under racing compaction: $mortons")
+      }
+    }
+
     test(s"[$name] randomized N-writer soak: no lost commit, no torn read, O(1) chains") {
       // moto-style torture of the control plane (the reference's
       // test_state.py analog): 6 mutexed writers × 25 increments of one
