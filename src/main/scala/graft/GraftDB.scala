@@ -77,6 +77,16 @@ final class GraftDB(
     * One atomic DELTA commit replaces the reference's write-buffer /
     * page-out pipeline: the chain read and the write both cost O(write),
     * never O(store). Returns the committed version.
+    *
+    * Concurrency contract: commits serialize (commit lock), and writers
+    * touching DISJOINT cuboids compose under any interleaving. The
+    * read-merge-write of a SHARED cuboid is not transactional — the
+    * last committer's merged cuboid wins, so a racer's voxels inside
+    * that same cuboid can be lost (the reference serializes this case
+    * via its write-lock/page-out machinery). Deployments with multiple
+    * writers to overlapping regions route them through ONE
+    * [[graft.streaming.StreamingIngest]] writer or take
+    * [[setResourceLock]] around the write.
     */
   def writeCuboid(voxels: DataFrame, res: Int = 0, toBlack: Boolean = false): Int = {
     // behavioral parity with the reference's resolution guard
