@@ -101,6 +101,33 @@ object Spatial {
               |SELECT DISTINCT id FROM g WHERE id <> 0
               |ORDER BY id""".stripMargin.replace("\n", " "))),
 
+    // Compaction is content-preserving, oracle-checked end to end: two
+    // delta commits build a chain, compact() collapses BOTH planes (data
+    // + id index, chain resolution inside the commit lock), and the
+    // index-first ids-in-region over the COMPACTED store must still
+    // equal the relational oracle. Fresh store per call (compaction
+    // mutates); exercises IndexStore.compact + the post-compact read.
+    "q94_facade_compact" -> QueryDef(
+      (s, dir) => {
+        val fixture = Resource.fixture(VoxelType.UInt64)
+        val res = fixture.copy(experiment = fixture.experiment.copy(numTimeSamples = 2))
+        val db = new GraftDB(
+          s, res, java.nio.file.Files.createTempDirectory("graft-compactq").toString, dims)
+        val deduped = VoxelView.df(s, dir)
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(col("id")).as("value"))
+          .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+        db.writeCuboid(deduped.where(col("t") === 0))
+        db.writeCuboid(deduped.where(col("t") === 1)) // chain depth 2 + index deltas
+        db.compact()
+        out(db.getIdsInRegion((0, 0, 0), (64, 256, 16), 0, 0 until 2)
+          .orderBy(col("id")))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z, max(id) AS id FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT DISTINCT id FROM g WHERE id <> 0
+              |ORDER BY id""".stripMargin.replace("\n", " "))),
+
     // P1-P4/S1 cutout: box + time-range predicates over the voxel plane.
     "q11_cutout" -> QueryDef(
       (s, dir) =>
