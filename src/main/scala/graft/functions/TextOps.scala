@@ -267,6 +267,44 @@ object TextOps {
       size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
+  /** Sequence packing for pretraining data assembly — the
+    * concat-then-chunk discipline: documents are concatenated in a
+    * deterministic order and cut into fixed `maxLen`-token sequences, so
+    * each doc lands at `(pack_id, pack_offset)` (a doc may straddle a
+    * pack boundary, as in standard GPT-style packing). Returns
+    * (id, shard, pack_id, pack_offset, n_tokens); a pack is the
+    * `(shard, pack_id)` pair.
+    *
+    * 100 TB shape: a single global concatenation order would be one
+    * window over the corpus — a scale-killer. Instead docs hash into
+    * `numShards` INDEPENDENT streams (packs never span shards, so
+    * sharding changes nothing downstream), each stream is one
+    * partitioned cumulative sum, and the hash order makes the result
+    * identical on any cluster, any partitioning, any run. Size
+    * `numShards` to the cluster; packs-per-shard stays balanced by the
+    * hash.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxLen: Long = 2048,
+      numShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLen > 0 && numShards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol),
+        portableHash(col(idCol).cast("string")).as("hv"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard", (col("hv") % numShards).cast("int"))
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"),
+        expr(s"(cum_after - n_tokens) div $maxLen").as("pack_id"),
+        ((col("cum_after") - col("n_tokens")) % maxLen).as("pack_offset"),
+        col("n_tokens"))
+  }
+
   /** Per-doc distinct char-`n`-gram hashes (one rolling pass — the q54
     * family; see [[NgramHashes]]). Bench and corpus sides must both use
     * this so hit-join keys line up.

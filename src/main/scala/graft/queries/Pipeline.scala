@@ -150,6 +150,26 @@ object Pipeline {
              |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Sequence packing (concat-then-chunk, GPT-style): every doc lands at
+    // a deterministic (shard, pack_id, pack_offset) under the fixed
+    // 512-token budget; shard-parallel cumulative sums, never a global
+    // window. The oracle replays the identical hash order and running sum.
+    "q95_sequence_pack" -> QueryDef(
+      (s, dir) =>
+        TextOps.packSequences(tbl(s, dir, "documents"), "doc_id", "text",
+          maxLen = 512, numShards = 8)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id,
+              |  ${TextOps.portableHashSql("CAST(doc_id AS VARCHAR)")} AS hv,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, CAST(hv % 8 AS INT) AS shard, n_tokens,
+              |  sum(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum_after FROM tk)
+              |SELECT doc_id, shard,
+              |       CAST((cum_after - n_tokens) // 512 AS BIGINT) AS pack_id,
+              |       CAST((cum_after - n_tokens) % 512 AS BIGINT) AS pack_offset, n_tokens
+              |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Winnowing document fingerprints (window w=4 over 3-gram hashes).
     "q38_fingerprint_winnow" -> QueryDef(
       (s, dir) =>

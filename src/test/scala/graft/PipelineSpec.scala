@@ -122,6 +122,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(defFrames.collect().forall(_.frame_bytes.length == 8))
   }
 
+  test("packSequences: gapless concat-then-chunk per shard, partitioning-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 120L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))("tok").mkString(" "))).toDF("doc_id", "text")
+    val maxLen = 64L
+    val out = TextOps.packSequences(df, "doc_id", "text", maxLen, numShards = 4)
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("pack_offset"), r.getAs[Long]("n_tokens"), r.getAs[Long]("doc_id")))
+    // per shard: global positions pack_id*maxLen + offset form a gapless
+    // running sum of token counts — the concat really is contiguous
+    out.groupBy(_._1).values.foreach { docs =>
+      var expect = 0L
+      docs.sortBy(d => (d._2, d._3)).foreach { case (_, pid, off, n, id) =>
+        assert(pid * maxLen + off == expect, s"doc $id at gap: ${pid * maxLen + off} != $expect")
+        expect += n
+      }
+    }
+    assert(out.forall(d => d._3 >= 0 && d._3 < maxLen)) // offsets in-range
+    assert(out.map(_._2).max > 0, "test corpus produced a single pack — weak test")
+    // identical result under a different input partitioning (determinism)
+    val out2 = TextOps.packSequences(df.repartition(7), "doc_id", "text", maxLen, 4)
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("pack_offset"), r.getAs[Long]("n_tokens"), r.getAs[Long]("doc_id")))
+    assert(out.toSet == out2.toSet)
+  }
+
   test("portableHash matches the DuckDB definition (top 60 bits of md5)") {
     import spark.implicits._
     // independently computed: int(md5('abc').hexdigest()[:15], 16)
