@@ -305,6 +305,70 @@ object TextOps {
         col("n_tokens"))
   }
 
+  /** Token-budget mixture sampling — the training-mix step: every
+    * stratum (language/source) contributes documents in a deterministic
+    * hash order until its TOKEN budget is exhausted; the doc straddling
+    * the boundary is kept (budgets are soft by one doc, the standard
+    * convention). Returns (id, stratum, pos, n_tokens, kept) where `pos`
+    * is the doc's global token position within its stratum's order —
+    * reproducible on any cluster, any partitioning, any run.
+    *
+    * 100 TB shape: a global per-stratum cumulative sum would be one
+    * window per stratum — a handful of partitions doing all the work.
+    * Instead this runs the classic PARALLEL PREFIX SUM: per-(stratum,
+    * shard) token totals (one tiny aggregate, strata × shards rows —
+    * driver-bounded by construction), prefix offsets per stratum
+    * broadcast back, then a per-shard window adds its offset — exact
+    * global positions with every shard's window independent. Stratum
+    * order is (shard, hash, id): shard-concatenated, so the sharded sum
+    * and a sequential replay agree exactly.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stratumCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
+      numShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0 && defaultBudget >= 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // base is evaluated twice (tiny totals aggregate + the final pass) —
+    // deliberately NOT persisted: the projection is narrow and cheap, and
+    // this operator pins nothing a caller can't release
+    val base = df.select(col(idCol), col(stratumCol).cast("string").as("stratum"),
+        portableHash(col(idCol).cast("string")).as("hv"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard", (col("hv") % numShards).cast("int"))
+    // parallel prefix sum, stage 1: per-(stratum, shard) totals →
+    // per-stratum offsets in shard order (strata × numShards rows on
+    // the driver — bounded, this is the model not the data)
+    val totals = base.groupBy(col("stratum"), col("shard"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+    val offsets = totals.groupBy(_._1._1).iterator.flatMap { case (st, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1._2).map { case ((_, sh), tot) =>
+        val off = acc; acc += tot; (st, sh, off)
+      }
+    }.toSeq.toDF("stratum", "shard", "offset")
+    // stage 2: independent per-shard windows + broadcast offsets
+    val w = Window.partitionBy(col("stratum"), col("shard"))
+      .orderBy(col("hv"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetExpr = budgets.foldLeft(lit(defaultBudget)) { case (e, (k, v)) =>
+      when(col("stratum") === k, lit(v)).otherwise(e)
+    }
+    base.join(broadcast(offsets), Seq("stratum", "shard"))
+      .withColumn("cum_in_shard", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("stratum"),
+        (col("offset") + col("cum_in_shard") - col("n_tokens")).as("pos"),
+        col("n_tokens"),
+        ((col("offset") + col("cum_in_shard") - col("n_tokens")) < budgetExpr).as("kept"))
+  }
+
   /** Per-doc distinct char-`n`-gram hashes (one rolling pass — the q54
     * family; see [[NgramHashes]]). Bench and corpus sides must both use
     * this so hit-join keys line up.

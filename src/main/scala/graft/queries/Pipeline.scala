@@ -170,6 +170,29 @@ object Pipeline {
               |       CAST((cum_after - n_tokens) % 512 AS BIGINT) AS pack_offset, n_tokens
               |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Token-budget mixture sampling (training-mix step): each language
+    // contributes docs in deterministic hash order until its token quota
+    // is spent (boundary doc kept). Spark runs the sharded parallel
+    // prefix sum; the oracle replays the same (shard, hash, id) order as
+    // ONE window per stratum — exact equality proves the hierarchical
+    // sum ≡ the sequential definition.
+    "q96_token_budget_mix" -> QueryDef(
+      (s, dir) =>
+        TextOps.tokenBudgetSample(tbl(s, dir, "documents"), "doc_id", "text",
+          "lang", budgets = Map("en" -> 9000L, "de" -> 4000L),
+          defaultBudget = 2500L, numShards = 8)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, lang AS stratum,
+              |  ${TextOps.portableHashSql("CAST(doc_id AS VARCHAR)")} AS hv,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, stratum, n_tokens,
+              |  sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hv % 8, hv, doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum_after FROM tk)
+              |SELECT doc_id, stratum, CAST(cum_after - n_tokens AS BIGINT) AS pos, n_tokens,
+              |  (cum_after - n_tokens) <
+              |    (CASE stratum WHEN 'en' THEN 9000 WHEN 'de' THEN 4000 ELSE 2500 END) AS kept
+              |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Winnowing document fingerprints (window w=4 over 3-gram hashes).
     "q38_fingerprint_winnow" -> QueryDef(
       (s, dir) =>
