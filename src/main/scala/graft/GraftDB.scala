@@ -66,9 +66,36 @@ final class GraftDB(
       res: Int = 0,
       tRange: Range = 0 until 1,
       filterIds: Option[Seq[Long]] = None): DataFrame = {
-    val out = SpatialOps.cutoutFromCuboids(
-      VersionedStore.read(spark, storeRoot), lk, res, box(corner, extent), tRange, vt, dims)
+    val out =
+      if (resource.channel.isCloudVolume) {
+        // alternate backend (`resource.py:273-280`): the channel's voxels
+        // live in a precomputed chunk layout at cvPath; it has no time
+        // axis, so only t=0 is addressable — same 3-D shape the
+        // reference's cloudvol channels expose.
+        require(tRange == (0 until 1),
+          s"precomputed channels are 3-D (t=0 only), got $tRange")
+        graft.sources.Precomputed.cutout(
+          spark, resource.channel.cvPath, res.toString, box(corner, extent), lk)
+      } else SpatialOps.cutoutFromCuboids(
+        VersionedStore.read(spark, storeRoot), lk, res, box(corner, extent), tRange, vt, dims)
     filterIds.fold(out)(ids => SpatialOps.filterIds(out, ids))
+  }
+
+  /** Export the current snapshot's t=0 slice as a precomputed layer at
+    * `cvRoot` (info + raw chunk objects) — the migration path onto the
+    * reference's alternate `storage_type='cloudvol'` backend
+    * (`resource.py:247-259`). One scale per resolution present in the
+    * store; chunk writes are partition-local, nothing collects.
+    */
+  def exportPrecomputed(cvRoot: String): Unit = {
+    import graft.sources.Precomputed
+    val cubs = VersionedStore.read(spark, storeRoot)
+    val resLevels = cubs.toDF().select(col("res")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val levels = if (resLevels.isEmpty) 1 else resLevels.max + 1
+    val info = Precomputed.infoFor(resource, dims, levels)
+    Precomputed.writeInfo(cvRoot, info)
+    resLevels.foreach { r => Precomputed.exportScale(cubs, cvRoot, info, r.toString, dims) }
   }
 
   /** `SpatialDB.write_cuboid` (`spatialdb.py:719`): merge-write a voxel

@@ -67,9 +67,20 @@ final case class Channel(
     baseResolution: Int = 0,
     sources: Seq[String] = Nil,
     related: Seq[String] = Nil,
-    defaultTimeSample: Int = 0) {
+    defaultTimeSample: Int = 0,
+    storageType: String = "graft",
+    cvPath: String = "") {
   def isImage: Boolean = channelType == ChannelType.Image
   def isAnnotation: Boolean = channelType == ChannelType.Annotation
+
+  /** Alternate-backend switch, mirroring the reference's per-channel
+    * `storage_type`/`cv_path` selector and `is_cloudvolume()` guard
+    * (`spdb/project/resource.py:247-259,273-280`): a "precomputed"
+    * channel answers cutouts from a neuroglancer-precomputed-style chunk
+    * layout ([[graft.sources.Precomputed]]) at `cvPath` instead of the
+    * engine's versioned cuboid store.
+    */
+  def isCloudVolume: Boolean = storageType == "precomputed" && cvPath.nonEmpty
 }
 
 /** A fully-resolved resource: everything a query needs to address and

@@ -84,6 +84,32 @@ object Spatial {
       db
     })
 
+  /** q97 fixture: the deduped t=0 volume committed to a normal store,
+    * exported once as a precomputed layer, and wrapped in a
+    * storage_type="precomputed" channel façade (the reference's cloudvol
+    * switch, `resource.py:273-280`). Cached per testdata dir like
+    * [[facadeDb]] so the export cost is not paid per pass.
+    */
+  private val precomputedCache = new java.util.concurrent.ConcurrentHashMap[String, GraftDB]()
+  private def precomputedDb(s: SparkSession, dir: String): GraftDB =
+    precomputedCache.computeIfAbsent(dir, _ => {
+      val fixture = Resource.fixture(VoxelType.UInt64)
+      val db = new GraftDB(
+        s, fixture, java.nio.file.Files.createTempDirectory("graft-cvsrc").toString, dims)
+      val deduped = VoxelView.df(s, dir)
+        .where(col("t") === 0)
+        .groupBy(col("t"), col("x"), col("y"), col("z"))
+        .agg(max(col("id")).as("value"))
+        .select(col("t"), col("x"), col("y"), col("z"), col("value"))
+      db.writeCuboid(deduped)
+      val cvRoot = java.nio.file.Files.createTempDirectory("graft-cvlayer").toString
+      db.exportPrecomputed(cvRoot)
+      val cvRes = fixture.copy(channel =
+        fixture.channel.copy(storageType = "precomputed", cvPath = cvRoot))
+      new GraftDB(s, cvRes,
+        java.nio.file.Files.createTempDirectory("graft-cvempty").toString, dims)
+    })
+
   val defs: Map[String, QueryDef] = Map(
 
     // Data/index crash-window repair through the façade: the store's last
@@ -127,6 +153,26 @@ object Spatial {
               |  SELECT t, x, y, z, max(id) AS id FROM v GROUP BY 1, 2, 3, 4)
               |SELECT DISTINCT id FROM g WHERE id <> 0
               |ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // S13 alternate backend (`resource.py:247-280`): the deduped t=0
+    // volume is exported as a neuroglancer-precomputed-style layer
+    // (info + raw edge-clipped chunk objects), then read back through a
+    // storage_type="precomputed" channel's cutout — the same pruned-scan
+    // contract as q50, via a byte-layout second source. Oracle = the
+    // relational replay of the box, t=0 only (the layout is 3-D).
+    "q97_precomputed_cutout" -> QueryDef(
+      (s, dir) => {
+        val db = precomputedDb(s, dir)
+        out(db.cutout((8, 32, 2), (32, 128, 8))
+          .select(col("t").cast("long").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value")))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z, max(id) AS value FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT t, x, y, z, value FROM g
+              |WHERE x >= 8 AND x < 40 AND y >= 32 AND y < 160 AND z >= 2 AND z < 10
+              |  AND t = 0 AND value <> 0
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
 
     // P1-P4/S1 cutout: box + time-range predicates over the voxel plane.
     "q11_cutout" -> QueryDef(
