@@ -413,19 +413,25 @@ object Similarity {
     * [[appendIvfIndex]]: centroids come from the corpus the index was
     * built on, appended rows are assigned by the same frozen model.
     */
-  def ivfTopKDetSql(
+  /** Squared-L2 distance between two DuckDB quantized-list expressions. */
+  private def distSql(dim: Int)(v: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+
+  /** The deterministic-Lloyd CTE prefix shared by every det-IVF oracle
+    * (`qv` quantized corpus, `tv` training rows, `cs$iters` trained
+    * centroids, `asgn` full-corpus cell assignment) — the SQL twin of
+    * [[writeIvfIndex]]+[[appendIvfIndex]]'s state, reused by
+    * [[ivfTopKDetSql]] (probe) and [[ivfDriftDetSql]] (occupancy stat).
+    */
+  private def detAssignCtes(
       tbl: String,
       idCol: String,
       embCol: String,
-      queryPredSql: String,
-      k: Int,
       dim: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      iters: Int = 2,
-      trainWhereSql: String = "TRUE"): String = {
-    def dist(v: String, c: String) =
-      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> ($v[i]-$c[i])*($v[i]-$c[i]))) AS BIGINT)"
+      nlist: Int,
+      iters: Int,
+      trainWhereSql: String): String = {
+    val dist = distSql(dim) _
     // one Lloyd step: assign to cs{j-1}, mean per (cell, dim), carry empty cells
     def step(j: Int): String =
       s"""a$j AS (SELECT $idCol, qe, cell FROM (
@@ -438,7 +444,7 @@ object Similarity {
          |n$j AS (SELECT cell, list(mv ORDER BY i) AS qe FROM m$j GROUP BY cell),
          |cs$j AS (SELECT p.cell, coalesce(n$j.qe, p.qe) AS qe FROM cs${j - 1} p LEFT JOIN n$j USING (cell))"""
     val steps = (1 to iters).map(step).mkString(",\n")
-    s"""WITH qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
+    s"""qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
        |tv AS (SELECT $idCol, qe FROM qv WHERE $trainWhereSql),
        |cs0 AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cell, qe
        |        FROM tv ORDER BY $idCol LIMIT $nlist),
@@ -446,7 +452,39 @@ object Similarity {
        |asgn AS (SELECT $idCol, qe, cell FROM (
        |  SELECT v.$idCol, v.qe, c.cell,
        |    row_number() OVER (PARTITION BY v.$idCol ORDER BY ${dist("v.qe", "c.qe")}, c.cell) AS rn
-       |  FROM qv v CROSS JOIN cs$iters c) t WHERE rn = 1),
+       |  FROM qv v CROSS JOIN cs$iters c) t WHERE rn = 1)"""
+  }
+
+  /** DuckDB twin of [[ivfIndexSkewRaw]] over the det-trained index state:
+    * one row `(max_cell, total_rows, nlist)` of the full-corpus cell
+    * occupancy under the standing (possibly append-grown) model.
+    */
+  def ivfDriftDetSql(
+      tbl: String,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      nlist: Int = 16,
+      iters: Int = 2,
+      trainWhereSql: String = "TRUE"): String =
+    s"""WITH ${detAssignCtes(tbl, idCol, embCol, dim, nlist, iters, trainWhereSql)},
+       |occ AS (SELECT cell, count(*) AS n FROM asgn GROUP BY cell)
+       |SELECT max(n) AS max_cell, CAST(sum(n) AS BIGINT) AS total_rows,
+       |       (SELECT count(*) FROM cs0) AS nlist FROM occ""".stripMargin.replace("\n", " ")
+
+  def ivfTopKDetSql(
+      tbl: String,
+      idCol: String,
+      embCol: String,
+      queryPredSql: String,
+      k: Int,
+      dim: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2,
+      trainWhereSql: String = "TRUE"): String = {
+    val dist = distSql(dim) _
+    s"""WITH ${detAssignCtes(tbl, idCol, embCol, dim, nlist, iters, trainWhereSql)},
        |q AS (SELECT $idCol AS query_id, qe AS qv FROM qv WHERE $queryPredSql),
        |qc AS (SELECT query_id, qv, cell FROM (
        |  SELECT q.query_id, q.qv, c.cell,
@@ -529,18 +567,27 @@ object Similarity {
     * [[writeIvfIndex]] (off the hot path) when it trips.
     */
   def ivfIndexSkew(spark: SparkSession, indexPath: String): (Long, Double, Double) = {
+    val (mx, total, nlist) = ivfIndexSkewRaw(spark, indexPath)
+    val mean = total.toDouble / nlist
+    (mx, mean, mx / mean)
+  }
+
+  /** Integer form of [[ivfIndexSkew]] — `(maxCellRows, totalRows, nlist)`,
+    * from which `skew = max·nlist/total`. Exact (no float division), so
+    * the statistic itself is oracle-checkable bit-for-bit (q100).
+    */
+  def ivfIndexSkewRaw(spark: SparkSession, indexPath: String): (Long, Long, Long) = {
     import spark.implicits._
     val counts = spark.read.parquet(s"$indexPath/cells")
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .select(col("n")).as[Long].collect()
     require(counts.nonEmpty, s"IVF index at $indexPath has no cells")
-    // mean over the MODEL's nlist, not just occupied cells: a drift that
-    // empties cells is exactly the degradation this stat must surface
-    // (mean over occupied cells would bound skew at the occupied count)
+    // nlist from the MODEL's centroid table, not the occupied cell count:
+    // a drift that empties cells is exactly the degradation this stat
+    // must surface (mean over occupied cells would bound skew at the
+    // occupied count)
     val nlist = spark.read.parquet(s"$indexPath/centroids").count()
-    val mx = counts.max
-    val mean = counts.sum.toDouble / nlist
-    (mx, mean, mx / mean)
+    (counts.max, counts.sum, nlist)
   }
 
   /** The [[ivfIndexSkew]] rebuild trigger as a checkable predicate:

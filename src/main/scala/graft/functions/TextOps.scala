@@ -369,6 +369,80 @@ object TextOps {
         ((col("offset") + col("cum_in_shard") - col("n_tokens")) < budgetExpr).as("kept"))
   }
 
+  /** PII patterns shared by [[piiScrub]] and its oracle: kept inside the
+    * RE2 ∩ java.util.regex common subset (no lookaround, no backrefs) so
+    * Spark and DuckDB match byte-identically. Redaction order is part of
+    * the contract (emails first — an email's host can contain an
+    * IP-shaped substring).
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** PII detection + redaction: per doc, the match count of each PII
+    * class and the scrubbed text with matches replaced by class tokens —
+    * the standard pre-training privacy pass. Pure per-row regexp
+    * expressions (codegen'd, shuffle-free), so the operator is a map at
+    * any corpus scale. Returns (id, email_n, ip_n, phone_n, redacted).
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long").as(s"${name}_n")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    df.select((col(idCol) +: counts :+ redacted.as("redacted")): _*)
+  }
+
+  /** DuckDB twin of [[piiScrub]] over `textExpr` (RE2 needs the explicit
+    * 'g' flag to replace all occurrences; Spark replaces all by default).
+    */
+  def piiScrubSql(tbl: String, idCol: String, textExpr: String): String = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all($textExpr, '$pat')) AS BIGINT) AS ${name}_n"
+    }.mkString(", ")
+    val redacted = PiiPatterns.foldLeft(textExpr) { case (e, (_, pat, tok)) =>
+      s"regexp_replace($e, '$pat', '$tok', 'g')"
+    }
+    s"SELECT $idCol, $counts, $redacted AS redacted FROM $tbl"
+  }
+
+  /** Deterministic train/val/test assignment: bucket = [[portableHash]]
+    * of the id (salted) mod 100, mapped through cumulative percent
+    * ranges — stable under any partitioning, reshuffling, or re-run, and
+    * reproducible by any engine (the property that matters when a 100 TB
+    * corpus is split once and must never leak val rows into train on a
+    * later rebuild). `splits` are (name, percent) in declaration order.
+    */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)] = Seq(("train", 90), ("val", 5), ("test", 5)),
+      salt: String = "split"): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percents must sum to 100")
+    val bucket = pmod(portableHash(col(idCol).cast("string"), salt), lit(100))
+    val (expr, _) = splits.foldLeft((lit(null).cast("string"), 0)) {
+      case ((e, lo), (name, pct)) =>
+        (when(bucket >= lo && bucket < lo + pct, name).otherwise(e), lo + pct)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** DuckDB twin of [[splitAssign]]'s bucket→name mapping for `idExpr`. */
+  def splitAssignSql(
+      idExpr: String,
+      splits: Seq[(String, Int)] = Seq(("train", 90), ("val", 5), ("test", 5)),
+      salt: String = "split"): String = {
+    val bucket = s"(${portableHashSql(s"CAST($idExpr AS VARCHAR)", salt)}) % 100"
+    val (cases, _) = splits.foldLeft((List.empty[String], 0)) {
+      case ((cs, lo), (name, pct)) =>
+        (cs :+ s"WHEN $bucket >= $lo AND $bucket < ${lo + pct} THEN '$name'", lo + pct)
+    }
+    s"CASE ${cases.mkString(" ")} END"
+  }
+
   /** Per-doc distinct char-`n`-gram hashes (one rolling pass — the q54
     * family; see [[NgramHashes]]). Bench and corpus sides must both use
     * this so hit-join keys line up.

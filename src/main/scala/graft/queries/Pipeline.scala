@@ -591,6 +591,68 @@ object Pipeline {
         "vec_id < 10", 5, DIM, trainWhereSql = "vec_id % 13 <> 0") +
         " ORDER BY query_id, rk")),
 
+    // The IVF drift-guard statistic itself, oracle-checked: cell
+    // occupancy (max, total, nlist) of the append-GROWN index — the
+    // number a deployment compares against its rebuild threshold. The
+    // oracle replays the standing-corpus Lloyd model and the full-table
+    // assignment, so a Spark-side drift in either the frozen model or
+    // the append assignment shows up as a mismatched count.
+    "q100_ivf_drift" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val (mx, total, nlist) =
+          Similarity.ivfIndexSkewRaw(s, ivfGrownIndex(s, dir))
+        Seq((mx, total, nlist)).toDF("max_cell", "total_rows", "nlist")
+      },
+      Some(Similarity.ivfDriftDetSql("embeddings", "vec_id", "embedding", DIM,
+        trainWhereSql = "vec_id % 13 <> 0"))),
+
+    // PII detection + redaction over a deterministically-augmented text
+    // (the corpus itself is synthetic word salad, so both engines splice
+    // in the same doc_id-derived email/IP/phone substrings first): match
+    // counts per class and the hash of the scrubbed text. Redaction
+    // order is part of the contract (emails first).
+    "q101_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val aug = tbl(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org from 10."),
+            (col("doc_id") % 200).cast("string"), lit(".3."),
+            (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 3 === 0, lit(" tel 555-123-4567")).otherwise(lit("")))
+            .as("text"))
+        TextOps.piiScrub(aug, "doc_id", "text")
+          .select(col("doc_id"), col("email_n"), col("ip_n"), col("phone_n"),
+            TextOps.portableHash(col("redacted")).as("redacted_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val augExpr = "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@ex' || " +
+          "CAST(doc_id % 7 AS VARCHAR) || '.org from 10.' || CAST(doc_id % 200 AS VARCHAR) || " +
+          "'.3.' || CAST(doc_id % 50 AS VARCHAR) || " +
+          "(CASE WHEN doc_id % 3 = 0 THEN ' tel 555-123-4567' ELSE '' END)"
+        s"""WITH aug AS (SELECT doc_id, $augExpr AS text FROM documents),
+           |p AS (${TextOps.piiScrubSql("aug", "doc_id", "text")})
+           |SELECT doc_id, email_n, ip_n, phone_n,
+           |  ${TextOps.portableHashSql("redacted")} AS redacted_hash
+           |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
+    // Deterministic train/val/test split: hash-bucket assignment that is
+    // stable under any partitioning or re-run (the anti-leak property a
+    // one-shot 100 TB split must have), rolled up to per-split doc and
+    // char totals.
+    "q102_split_assign" -> QueryDef(
+      (s, dir) =>
+        TextOps.splitAssign(tbl(s, dir, "documents"), "doc_id")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("split")),
+      Some(s"""SELECT ${TextOps.splitAssignSql("doc_id")} AS split,
+              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     // Feature extraction over sampled frames: per-frame byte histogram
     // (16 bins) via the partition-batched extractor — the multimodal
     // decode → frames → features chain, oracle-checked end to end (the

@@ -442,6 +442,26 @@ object Relational {
              |  AND e.tn BETWEEN p.tn - 86400000000000 AND p.tn
              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin.replace("\n", " "))),
 
+    // Skew tool parity: the salted join (hot-key spreading for joins AQE
+    // cannot see, e.g. under a custom exec or a broadcast-disabled dim)
+    // must return row-for-row the plain join — salting changes the
+    // exchange layout, never the result. The oracle is the unsalted SQL
+    // join; integer aggregates keep the compare hash-exact.
+    "q99_salted_join" -> QueryDef(
+      (s, dir) => {
+        val fact = tbl(s, dir, "orders")
+          .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+        val dim = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        graft.functions.Skew.saltedJoin(fact, dim, Seq("c_custkey"), salts = 8)
+          .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             |  count(*) AS n_orders, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     "q10_intersect_ids" -> QueryDef(
       (s, dir) =>
         tbl(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk")).distinct()

@@ -503,6 +503,21 @@ object Spatial {
               |  t, CAST(${dims.x * dims.y * dims.z * 8} AS BIGINT) AS n_bytes
               |FROM k ORDER BY morton, sample_idx""".stripMargin.replace("\n", " "))),
 
+    // M9 constant-volume constructor (`imagecube.py:44-69` ones()-style):
+    // the distributed range→coordinate generator must cover the box
+    // exactly once per (t,x,y,z) at the constant value — the oracle is
+    // the cross product of ranges. (zeros() needs no constructor: the
+    // sparse plane encodes all-zero as no rows.)
+    "q98_volume_gen" -> QueryDef(
+      (s, dir) =>
+        out(graft.storage.VolumeGen.constant(s, LK, 0, Box(3, 20, 5, 21, 1, 7), 0 until 2, 9L)
+          .toDF()
+          .select(col("t").cast("long").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"))),
+      Some("""SELECT t, x, y, z, CAST(9 AS BIGINT) AS value
+             |FROM range(0, 2) r1(t), range(3, 20) r2(x), range(5, 21) r3(y), range(1, 7) r4(z)
+             |ORDER BY t, x, y, z""".stripMargin.replace("\n", " "))),
+
     // F8 catalog level math (`resource.py:21-118`): per-level extents,
     // voxel sizes and the isotropic switchover level for BOTH hierarchy
     // methods, over the reference suite's frame2048 fixture (4×4×35 nm

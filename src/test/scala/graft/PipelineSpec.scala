@@ -620,6 +620,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(spread >= 4, s"hot key spread over only $spread of 8 salts")
   }
 
+  test("piiScrub counts and redacts every class; redaction order shields email hosts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@host.co and 192.168.0.1 then 555-867-5309 done"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.ai one ip 8.8.8.8"),
+      // an email whose host EMBEDS an IP: redaction (emails first) must
+      // swallow it whole — no dangling <IP> inside the address. The
+      // per-class counts run on the original text, so ip_n still sees
+      // the embedded quad.
+      (4L, "root@10.0.0.1.example.com plus bare 10.0.0.2")).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"email_n", $"ip_n", $"phone_n", $"redacted")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 1L, 1L, "mail <EMAIL> and <IP> then <PHONE> done")))
+    assert(out(1) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(out(2) == ((2L, 1L, 0L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+    assert(out(3) == ((1L, 2L, 0L, "<EMAIL> plus bare <IP>")))
+  }
+
+  test("splitAssign is deterministic, partition-independent, and respects percents") {
+    import spark.implicits._
+    val ids = spark.range(0, 5000).toDF("doc_id")
+    val a = TextOps.splitAssign(ids, "doc_id")
+    val b = TextOps.splitAssign(ids.repartition(17), "doc_id")
+    // same assignment under any physical layout
+    assert(a.join(b.withColumnRenamed("split", "split2"), "doc_id")
+      .where($"split" =!= $"split2").isEmpty)
+    val byName = a.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    // 90/5/5 within a loose tolerance at n=5000
+    assert(math.abs(byName("train") - 4500L) < 150, byName.toString)
+    assert(math.abs(byName("val") - 250L) < 80 && math.abs(byName("test") - 250L) < 80)
+    intercept[IllegalArgumentException] {
+      TextOps.splitAssign(ids, "doc_id", Seq(("a", 50), ("b", 20)))
+    }
+  }
+
   test("image decode: checked-in PNG fixtures (independent stdlib encoder) decode exactly") {
     import spark.implicits._
     def fixture(name: String): Array[Byte] = {
