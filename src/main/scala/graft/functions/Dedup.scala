@@ -284,6 +284,47 @@ object Dedup {
   }
 
   /** DuckDB equivalent of [[nearDupPairs]] reading from `tbl`. */
+  /** Canonical-representative selection: resolve duplicate `pairs` into
+    * clusters and keep, per cluster, the member with the BEST score
+    * (`scoreCol` DESC, id ASC tie-break) — the quality-aware step after
+    * near-dup detection (min-id `rep` keeps an arbitrary member; a
+    * curation pipeline keeps the best one). `docs` must carry
+    * (idCol, scoreCol); singletons are their own canonical. One window
+    * over clusters after the CC fixpoint — cluster sizes are near-dup
+    * cluster sizes (small), so the window partition never skews.
+    */
+  def canonicalPick(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame =
+    canonicalPickFromCc(docs, idCol, scoreCol,
+      Graph.connectedComponents(pairs, aCol, bCol))
+
+  /** [[canonicalPick]] over an already-resolved component map (columns
+    * `id`, `component`) — the form a pipeline uses when one CC pass
+    * feeds several consumers.
+    */
+  def canonicalPickFromCc(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      cc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = docs.select(col(idCol), col(scoreCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    members
+      .withColumn("canonical", first(col(idCol)).over(w))
+      .select(col(idCol), col("component"), col("canonical"),
+        (col(idCol) === col("canonical")).as("kept"))
+  }
+
   def nearDupPairsSql(
       tbl: String,
       idCol: String,

@@ -660,6 +660,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalPick keeps the best-scored member per cluster; singletons keep themselves") {
+    import spark.implicits._
+    // clusters {1,2,3} (via 1-2, 2-3) and {10,11}; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), // tie on 9 → lower id 2 wins
+      (10L, 1L), (11L, 7L), (20L, 0L)).toDF("doc_id", "score")
+    val out = Dedup.canonicalPick(docs, "doc_id", "score", pairs, "a", "b")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"canonical", $"kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (10L, 11L, false), (11L, 11L, true), (20L, 20L, true)))
+  }
+
   test("image decode: checked-in PNG fixtures (independent stdlib encoder) decode exactly") {
     import spark.implicits._
     def fixture(name: String): Array[Byte] = {

@@ -76,6 +76,35 @@ class PrecomputedSpec extends AnyFunSuite {
     assert(sub == Seq((17L, 3L, 2L, 9L)))
   }
 
+  test("precomputed cutout opens only the request's chunk files (numFiles bound)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // a 128x128x16 volume = 8x8x4 = 256 chunk grid at 16x16x4 chunks;
+    // one voxel per chunk guarantees every chunk object exists
+    val frame = graft.core.CoordinateFrame("f", 0, 128, 0, 128, 0, 16)
+    val res = Resource.fixture(VoxelType.UInt8).copy(coordFrame = frame)
+    val voxels = (for { cx <- 0 until 8; cy <- 0 until 8; cz <- 0 until 4 }
+      yield VoxelRow(res.lookupKey, 0, 0, cx * 16L + 3, cy * 16L + 5, cz * 4L + 1,
+        (cx + cy + cz) % 200 + 1L)).toDS()
+    val root = Files.createTempDirectory("pcbound").toString
+    val info = Precomputed.infoFor(res, dims, 1)
+    Precomputed.writeInfo(root, info)
+    Precomputed.exportScale(
+      CuboidCodec.fromVoxels(voxels, VoxelType.UInt8, dims), root, info, "0", dims)
+    assert(new java.io.File(s"$root/0").listFiles().count(!_.getName.startsWith(".")) == 256)
+    // a 2x2x1-chunk request must open exactly those 4 chunk objects,
+    // never the 256-file layer
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Precomputed.cutout(spark, root, "0", Box(16, 48, 32, 64, 4, 8), res.lookupKey)
+      df.queryExecution.toRdd.count()
+      val files = df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+      assert(files == 4, s"sub-box cutout opened $files chunk files, expected 4")
+      assert(df.count() == 4)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("GraftDB routes a storage_type=precomputed channel's cutout to the layer") {
     import spark.implicits._
     val frame = graft.core.CoordinateFrame("f", 0, 64, 0, 32, 0, 8)
