@@ -91,6 +91,17 @@ object PipelineStress {
     timed("duplicate_clusters") {
       force(Graph.connectedComponents(lshPairs, "doc_a", "doc_b"))
     }
+    // resolve + keep-best (q103): CC over the persisted pair frame plus
+    // the quality-ranked window pick; lshPairs is forced OUTSIDE the
+    // timed block so subset reruns time the same work as full sweeps
+    lshPairs.count()
+    timed("canonical_pick") {
+      val cc = Graph.connectedComponents(lshPairs, "doc_a", "doc_b")
+      val scored = TextOps.qualityScore(
+        docs.withColumn("n_chars", length(col("text"))), "doc_id", "text", "n_chars")
+        .select(col("doc_id"), col("score"))
+      force(Dedup.canonicalPickFromCc(scored, "doc_id", "score", cc))
+    }
     lshPairs.unpersist()
     // incremental ingest shape: a ~1% "new batch" against the standing
     // corpus — the per-batch cost of a continuously-fed pipeline (q86)
@@ -150,6 +161,21 @@ object PipelineStress {
     }
     timed("winnowing_fingerprints") {
       force(TextOps.winnowFromText(docs, "doc_id", "text"))
+    }
+    // per-row privacy/split passes (q101/q102): pure map stages — the
+    // numbers here pin that they stay IO-bound at 1M docs
+    timed("pii_scrub") {
+      force(TextOps.piiScrub(docs, "doc_id", "text"))
+    }
+    timed("split_assign") {
+      force(TextOps.splitAssign(docs, "doc_id"))
+    }
+    // domain balancing (q104): 1000 synthetic domains of ~1000 docs —
+    // the per-domain window at real group sizes
+    timed("source_cap") {
+      force(TextOps.capPerGroup(
+        docs.withColumn("source", concat(lit("src"), col("doc_id") % 1000)),
+        "doc_id", "source", cap = 100))
     }
 
     // embeddings: embMult x 500 vectors; flip pattern varies with BOTH a

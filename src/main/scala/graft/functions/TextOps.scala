@@ -443,6 +443,28 @@ object TextOps {
     s"CASE ${cases.mkString(" ")} END"
   }
 
+  /** Domain balancing: keep at most `cap` docs per group (source/domain),
+    * chosen in deterministic salted-hash order — the "max N pages per
+    * domain" step that stops a single crawl host from dominating a mix.
+    * One window per group; group sizes are per-domain doc counts, and a
+    * pathological mega-domain is exactly what the cap bounds downstream,
+    * so the rank itself is the only place that sees the full group (swap
+    * in [[graft.plans.GroupedTopKExec]]'s bounded heap via `TopK` when a
+    * single domain exceeds executor memory). Adds (rank, kept).
+    */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      cap: Int,
+      salt: String = "domcap"): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(portableHash(col(idCol).cast("string"), salt), col(idCol))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rank") <= cap)
+  }
+
   /** Per-doc distinct char-`n`-gram hashes (one rolling pass — the q54
     * family; see [[NgramHashes]]). Bench and corpus sides must both use
     * this so hit-join keys line up.

@@ -704,6 +704,21 @@ object Pipeline {
            |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " ")
       }),
 
+    // Domain balancing: at most 3 docs per source in deterministic
+    // salted-hash order — per-doc rank and kept flag, so the oracle
+    // checks the ORDER inside each group, not just the counts.
+    "q104_source_cap" -> QueryDef(
+      (s, dir) =>
+        TextOps.capPerGroup(tbl(s, dir, "documents"), "doc_id", "source", cap = 3)
+          .select(col("doc_id"), col("source"), col("rank"), col("kept"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH r AS (SELECT doc_id, source,
+              |  row_number() OVER (PARTITION BY source ORDER BY
+              |    ${TextOps.portableHashSql("CAST(doc_id AS VARCHAR)", "domcap")}, doc_id) AS rank
+              |  FROM documents)
+              |SELECT doc_id, source, CAST(rank AS BIGINT) AS rank, rank <= 3 AS kept
+              |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Feature extraction over sampled frames: per-frame byte histogram
     // (16 bins) via the partition-batched extractor — the multimodal
     // decode → frames → features chain, oracle-checked end to end (the

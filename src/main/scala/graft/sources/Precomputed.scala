@@ -194,6 +194,63 @@ object Precomputed {
     }
   }
 
+  /** Bulk-load one scale of a precomputed layer as cuboid rows — the
+    * reverse of [[exportScale]], for migrating a cloudvol deployment INTO
+    * the engine (the counterpart of `BloscIngest.cuboidsFromBlosc` for
+    * the other reference storage tier). The whole scale directory is read
+    * (this is a bulk load; per-chunk work is task-parallel via the
+    * `binaryFile` source), edge-clipped chunks are zero-padded back to
+    * full cuboid bodies, and chunk grid == cuboid grid is required so the
+    * mapping is positional, never a shuffle.
+    */
+  def toCuboids(
+      spark: SparkSession,
+      root: String,
+      scaleKey: String,
+      lookupKey: String,
+      dims: CuboidDims): Dataset[CuboidRow] = {
+    import spark.implicits._
+    val info = readInfo(root)
+    val s = info.scale(scaleKey)
+    require(s.chunkX == dims.x && s.chunkY == dims.y && s.chunkZ == dims.z,
+      s"scale chunk ${(s.chunkX, s.chunkY, s.chunkZ)} != cuboid dims $dims")
+    val width = info.dataType.byteWidth
+    val res = scaleKey.toInt
+    val (dx, dy, dz) = (dims.x.toInt, dims.y.toInt, dims.z.toInt)
+    spark.read.format("binaryFile")
+      .load(new Path(root, scaleKey).toString + "/*")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val chunk = parseChunkName(path.substring(path.lastIndexOf('/') + 1))
+        val (nx, ny, nz) =
+          ((chunk.x1 - chunk.x0).toInt, (chunk.y1 - chunk.y0).toInt, (chunk.z1 - chunk.z0).toInt)
+        require(bytes.length == nx * ny * nz * width,
+          s"chunk $path: ${bytes.length} bytes != $nx*$ny*$nz*$width")
+        val full =
+          if (nx == dx && ny == dy && nz == dz) bytes
+          else {
+            // zero-pad a clipped edge chunk back to the dense cuboid body
+            val arr = new Array[Byte](dx * dy * dz * width)
+            var z = 0
+            while (z < nz) {
+              var y = 0
+              while (y < ny) {
+                System.arraycopy(bytes, ((z * ny + y) * nx) * width,
+                  arr, ((z * dy + y) * dx) * width, nx * width)
+                y += 1
+              }
+              z += 1
+            }
+            arr
+          }
+        val m = Morton.encode(
+          (chunk.x0 - s.offX) / dims.x, (chunk.y0 - s.offY) / dims.y,
+          (chunk.z0 - s.offZ) / dims.z)
+        CuboidRow(lookupKey, res, 0, m, full)
+      }
+  }
+
   /** Pruned cutout from a precomputed layer: enumerate only the chunk grid
     * cells intersecting `box` (O(request) driver work, existence-probed in
     * parallel like the reference's S3-index checks), then decode the

@@ -105,6 +105,32 @@ class PrecomputedSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("toCuboids bulk-load inverts exportScale, zero-padding clipped edge chunks") {
+    import spark.implicits._
+    val frame = graft.core.CoordinateFrame("f", 0, 40, 0, 20, 0, 6)
+    val res = Resource.fixture(VoxelType.UInt16).copy(coordFrame = frame)
+    val voxels = Seq(
+      (1L, 1L, 1L, 7L), (17L, 3L, 2L, 9L), (39L, 19L, 5L, 65535L),
+      (33L, 2L, 1L, 12L), (8L, 8L, 3L, 1L))
+      .map { case (x, y, z, v) => VoxelRow(res.lookupKey, 0, 0, x, y, z, v) }
+      .toDS()
+    val root = Files.createTempDirectory("pcingest").toString
+    val info = Precomputed.infoFor(res, dims, 1)
+    Precomputed.writeInfo(root, info)
+    val srcCubs = CuboidCodec.fromVoxels(voxels, VoxelType.UInt16, dims)
+    Precomputed.exportScale(srcCubs, root, info, "0", dims)
+    val back = Precomputed.toCuboids(spark, root, "0", res.lookupKey, dims)
+    // voxel-for-voxel identical to the source volume (zeros dropped by
+    // the codec on both sides; the padded edge voxels decode to nothing)
+    val src = CuboidCodec.toVoxels(srcCubs, VoxelType.UInt16, dims)
+      .map(v => (v.x, v.y, v.z, v.value)).collect().toSet
+    val got = CuboidCodec.toVoxels(back, VoxelType.UInt16, dims)
+      .map(v => (v.x, v.y, v.z, v.value)).collect().toSet
+    assert(got == src)
+    // the edge cuboid's body is a FULL cuboid after padding
+    assert(back.collect().forall(_.data.length == 16 * 16 * 4 * 2))
+  }
+
   test("GraftDB routes a storage_type=precomputed channel's cutout to the layer") {
     import spark.implicits._
     val frame = graft.core.CoordinateFrame("f", 0, 64, 0, 32, 0, 8)
