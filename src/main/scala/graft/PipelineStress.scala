@@ -162,6 +162,11 @@ object PipelineStress {
     timed("winnowing_fingerprints") {
       force(TextOps.winnowFromText(docs, "doc_id", "text"))
     }
+    // sub-document exact-dedup signal (q105): the corpus-wide window
+    // count exchange at 1M docs — hash rows only, never the text
+    timed("dup_window_stats") {
+      force(TextOps.dupWindowStats(docs, "doc_id", "text"))
+    }
     // per-row privacy/split passes (q101/q102): pure map stages — the
     // numbers here pin that they stay IO-bound at 1M docs
     timed("pii_scrub") {

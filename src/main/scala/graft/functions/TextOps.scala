@@ -465,6 +465,52 @@ object TextOps {
       .withColumn("kept", col("rank") <= cap)
   }
 
+  /** Corpus-level duplicated-window statistics: chunk each doc into
+    * non-overlapping `w`-token windows, hash them, and count per doc how
+    * many of its windows also occur elsewhere in the corpus — the
+    * sub-document exact-dedup signal (boilerplate / template text that
+    * near-dup DOC detection misses because the containing docs differ).
+    * Returns (id, n_windows, n_dup) as exact integers; the filter
+    * threshold (e.g. drop docs with n_dup/n_windows > 0.5) stays with
+    * the caller. Two hash-keyed exchanges (global window counts +
+    * join-back), both on compact (hash, count) rows — never the text.
+    */
+  def dupWindowStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 16): DataFrame = {
+    require(w >= 1, "window must be >= 1 token")
+    // non-overlapping w-token windows, hashed portably (trailing partial
+    // window kept: short boilerplate docs must still collide)
+    val wins = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, (size(tk) - 1) div $w), i ->
+           |  array_join(slice(tk, i * $w + 1, $w), ' '))""".stripMargin)).as("win"))
+      .select(col(idCol), portableHash(col("win"), "dupwin").as("wh"))
+    val counts = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col(idCol)).as("n_docs"))
+    wins.join(counts, "wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") > 1 || col("n_total") > col("n_docs"), 1L)
+          .otherwise(0L)).as("n_dup"))
+  }
+
+  /** DuckDB twin of [[dupWindowStats]]. */
+  def dupWindowStatsSql(tbl: String, idCol: String, textCol: String, w: Int = 16): String = {
+    val winExpr = s"array_to_string(tk[(i*$w+1):(i*$w+$w)], ' ')"
+    s"""WITH wins AS (
+       |  SELECT $idCol, ${portableHashSql(winExpr, "dupwin")} AS wh
+       |  FROM (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl) t
+       |  CROSS JOIN UNNEST(range(0, (len(tk) - 1) // $w + 1)) AS u(i)),
+       |c AS (SELECT wh, count(*) AS n_total, count(DISTINCT $idCol) AS n_docs
+       |      FROM wins GROUP BY wh)
+       |SELECT $idCol, count(*) AS n_windows,
+       |       CAST(sum(CASE WHEN c.n_docs > 1 OR c.n_total > c.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |FROM wins JOIN c USING (wh) GROUP BY $idCol""".stripMargin.replace("\n", " ")
+  }
+
   /** Per-doc distinct char-`n`-gram hashes (one rolling pass — the q54
     * family; see [[NgramHashes]]). Bench and corpus sides must both use
     * this so hit-join keys line up.

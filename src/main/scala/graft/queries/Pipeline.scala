@@ -719,6 +719,16 @@ object Pipeline {
               |SELECT doc_id, source, CAST(rank AS BIGINT) AS rank, rank <= 3 AS kept
               |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Sub-document exact dedup signal: per doc, how many of its 16-token
+    // windows occur elsewhere (other docs OR repeated within the doc) —
+    // the boilerplate/template statistic doc-level near-dup misses.
+    "q105_dup_windows" -> QueryDef(
+      (s, dir) =>
+        TextOps.dupWindowStats(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextOps.dupWindowStatsSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+
     // Feature extraction over sampled frames: per-frame byte histogram
     // (16 bins) via the partition-batched extractor — the multimodal
     // decode → frames → features chain, oracle-checked end to end (the
