@@ -511,6 +511,40 @@ object TextOps {
        |FROM wins JOIN c USING (wh) GROUP BY $idCol""".stripMargin.replace("\n", " ")
   }
 
+  /** Out-of-vocabulary statistics: build the corpus's top-`vocabSize`
+    * token vocabulary (count desc, token asc — deterministic at the
+    * boundary) and report per doc (n_tokens, n_oov) — the coverage
+    * number that sizes a tokenizer or flags corpus/vocab drift. The
+    * vocab is one count aggregate + a driver-bounded `limit` (O(vocab)
+    * rows, the model not the data) broadcast back; the per-doc pass is
+    * one explode + broadcast join + doc-keyed re-aggregate.
+    */
+  def oovStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** DuckDB twin of [[oovStats]]. */
+  def oovStatsSql(tbl: String, idCol: String, textCol: String, vocabSize: Int = 1000): String =
+    s"""WITH w AS (SELECT $idCol, unnest(string_split($textCol, ' ')) AS tok FROM $tbl),
+       |t AS (SELECT $idCol, tok FROM w WHERE tok <> ''),
+       |v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM t GROUP BY tok
+       |      ORDER BY n DESC, tok LIMIT $vocabSize))
+       |SELECT $idCol, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN t.tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+       |FROM t GROUP BY $idCol""".stripMargin.replace("\n", " ")
+
   /** Per-doc distinct char-`n`-gram hashes (one rolling pass — the q54
     * family; see [[NgramHashes]]). Bench and corpus sides must both use
     * this so hit-join keys line up.

@@ -729,6 +729,18 @@ object Pipeline {
       Some(TextOps.dupWindowStatsSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
 
+    // Vocabulary coverage: per-doc OOV counts against the corpus's own
+    // top-k vocab (deterministic boundary: count desc, token asc) — the
+    // tokenizer-sizing / corpus-drift number. Vocab is the model
+    // (driver-bounded limit, broadcast back); docs re-aggregate once.
+    // k=16 < the corpus's 31 distinct tokens so the OOV tail is real.
+    "q106_oov_stats" -> QueryDef(
+      (s, dir) =>
+        TextOps.oovStats(tbl(s, dir, "documents"), "doc_id", "text", vocabSize = 16)
+          .orderBy(col("doc_id")),
+      Some(TextOps.oovStatsSql("documents", "doc_id", "text", vocabSize = 16) +
+        " ORDER BY doc_id")),
+
     // Feature extraction over sampled frames: per-frame byte histogram
     // (16 bins) via the partition-batched extractor — the multimodal
     // decode → frames → features chain, oracle-checked end to end (the

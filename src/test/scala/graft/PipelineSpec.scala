@@ -676,6 +676,49 @@ class PipelineSpec extends AnyFunSuite {
       (10L, 11L, false), (11L, 11L, true), (20L, 20L, true)))
   }
 
+  test("index compaction merges append-grown files and changes no results") {
+    import spark.implicits._
+    import graft.functions.IndexMaintenance
+    def doc(i: Long) = (i, (0 until 30).map(j => s"w${(i * 7 + j * 3) % 11}").mkString(" "))
+    val corpus = (0L until 40L).map(doc).toDF("doc_id", "text")
+    val sigDir = java.nio.file.Files.createTempDirectory("compact-sig").toString
+    Dedup.writeSignatureIndex(corpus.where($"doc_id" < 20), "doc_id", "text", sigDir)
+    Dedup.appendSignatureIndex(corpus.where($"doc_id" >= 20 && $"doc_id" < 30), "doc_id", "text", sigDir)
+    Dedup.appendSignatureIndex(corpus.where($"doc_id" >= 30), "doc_id", "text", sigDir)
+    val batch = (100L until 106L).map(doc).toDF("doc_id", "text")
+    val beforeRows = Dedup.nearDupAgainstIndexed(batch, "doc_id", "text", sigDir)
+      .collect().toSet
+    val bandFilesBefore = spark.read.parquet(s"$sigDir/bands").inputFiles.length
+    IndexMaintenance.compactSignatureIndex(spark, sigDir)
+    val bandFilesAfter = spark.read.parquet(s"$sigDir/bands").inputFiles.length
+    assert(bandFilesAfter < bandFilesBefore,
+      s"compaction did not shrink band files: $bandFilesBefore -> $bandFilesAfter")
+    // one file per bk directory after compaction
+    val perDir = spark.read.parquet(s"$sigDir/bands").inputFiles
+      .groupBy(f => f.substring(0, f.lastIndexOf('/'))).values.map(_.length)
+    assert(perDir.forall(_ == 1), s"expected 1 file/dir, got ${perDir.toSeq.sorted.reverse.take(3)}")
+    assert(Dedup.nearDupAgainstIndexed(batch, "doc_id", "text", sigDir)
+      .collect().toSet == beforeRows)
+
+    val emb = (0L until 60L).map(i =>
+      (i, (0 until 8).map(j => ((i * 13 + j * 5) % 17 - 8).toFloat / 8f).toArray))
+      .toDF("vec_id", "embedding")
+    val ivfDir = java.nio.file.Files.createTempDirectory("compact-ivf").toString
+    Similarity.writeIvfIndex(emb.where($"vec_id" < 40), "vec_id", "embedding", ivfDir, nlist = 4)
+    Similarity.appendIvfIndex(emb.where($"vec_id" >= 40), "vec_id", "embedding", ivfDir)
+    val queries = emb.where($"vec_id" < 3)
+    val probeBefore = Similarity.ivfTopKIndexed(queries, "vec_id", "embedding", ivfDir, 5)
+      .collect().toSet
+    val skewBefore = Similarity.ivfIndexSkewRaw(spark, ivfDir)
+    IndexMaintenance.compactIvfIndex(spark, ivfDir)
+    val perCell = spark.read.parquet(s"$ivfDir/cells").inputFiles
+      .groupBy(f => f.substring(0, f.lastIndexOf('/'))).values.map(_.length)
+    assert(perCell.forall(_ == 1))
+    assert(Similarity.ivfTopKIndexed(queries, "vec_id", "embedding", ivfDir, 5)
+      .collect().toSet == probeBefore)
+    assert(Similarity.ivfIndexSkewRaw(spark, ivfDir) == skewBefore)
+  }
+
   test("image decode: checked-in PNG fixtures (independent stdlib encoder) decode exactly") {
     import spark.implicits._
     def fixture(name: String): Array[Byte] = {
