@@ -167,6 +167,11 @@ object PipelineStress {
     timed("dup_window_stats") {
       force(TextOps.dupWindowStats(docs, "doc_id", "text"))
     }
+    // vocab coverage (q106): the token-count exchange + broadcast-vocab
+    // join-back at 1M docs
+    timed("oov_stats") {
+      force(TextOps.oovStats(docs, "doc_id", "text", vocabSize = 1000))
+    }
     // per-row privacy/split passes (q101/q102): pure map stages — the
     // numbers here pin that they stay IO-bound at 1M docs
     timed("pii_scrub") {
