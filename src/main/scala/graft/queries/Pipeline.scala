@@ -741,6 +741,34 @@ object Pipeline {
       Some(TextOps.oovStatsSql("documents", "doc_id", "text", vocabSize = 16) +
         " ORDER BY doc_id")),
 
+    // The custom GroupedTopK plan operator under a DIRECT oracle: top-3
+    // docs per language by (quality score desc, id asc) through the
+    // bounded-heap exec (O(groups × k) state, no sort, no window) — the
+    // oracle is the row_number window it replaces, so the operator's
+    // row_number semantics (incl. rank values) are hash-checked, not
+    // just spec-asserted.
+    "q107_grouped_topk" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val scored = TextOps.qualityScore(docs, "doc_id", "text", "n_chars")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("score"))
+        graft.functions.TopK.perKey(scored, Seq("lang"),
+          Seq(("score", true), ("doc_id", false)), k = 3)
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some {
+        val stop = TextOps.langProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+        s"""WITH q AS (SELECT doc_id, lang,
+           |  CAST(len(tk) AS BIGINT) * 2 + CAST(len(list_distinct(tk)) AS BIGINT) * 3 +
+           |  CAST(len(list_filter(tk, t -> t IN ($stop))) AS BIGINT) * 5 - n_chars // 10 AS score
+           |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk FROM documents) t)
+           |SELECT doc_id, lang, score, rk FROM (
+           |  SELECT doc_id, lang, score,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+           |  FROM q) r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin.replace("\n", " ")
+      }),
+
     // Feature extraction over sampled frames: per-frame byte histogram
     // (16 bins) via the partition-batched extractor — the multimodal
     // decode → frames → features chain, oracle-checked end to end (the
