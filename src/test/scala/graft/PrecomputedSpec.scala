@@ -105,6 +105,34 @@ class PrecomputedSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("multi-scale export: a built hierarchy round-trips per level through the layer") {
+    import spark.implicits._
+    val frame = graft.core.CoordinateFrame("f", 0, 64, 0, 64, 0, 8)
+    val base = Resource.fixture(VoxelType.UInt8).copy(
+      coordFrame = frame,
+      experiment = Resource.fixture(VoxelType.UInt8).experiment.copy(numHierarchyLevels = 2))
+    val db = new GraftDB(spark, base, Files.createTempDirectory("pcmulti").toString, dims)
+    db.writeCuboid(graft.storage.VolumeGen.voxels(
+      spark, base.lookupKey, 0, Region.Box(0, 64, 0, 64, 0, 8),
+      0 until 1, VoxelType.UInt8, seed = 7).toDF())
+    db.buildHierarchy()
+    val cvRoot = Files.createTempDirectory("pcmulti-layer").toString
+    db.exportPrecomputed(cvRoot)
+    assert(Precomputed.readInfo(cvRoot).scales.map(_.key) == Seq("0", "1"))
+    val cvDb = new GraftDB(spark,
+      base.copy(channel = base.channel.copy(storageType = "precomputed", cvPath = cvRoot)),
+      Files.createTempDirectory("pcmulti-empty").toString, dims)
+    for (res <- 0 to 1) {
+      val (ex, ey, ez) = base.extentAt(res)
+      val want = db.cutout((0, 0, 0), (ex, ey, ez), res)
+        .select($"x", $"y", $"z", $"value").as[(Long, Long, Long, Long)].collect().toSet
+      val got = cvDb.cutout((0, 0, 0), (ex, ey, ez), res)
+        .select($"x", $"y", $"z", $"value").as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"res $res mismatch: ${got.size} vs ${want.size} voxels")
+      assert(want.nonEmpty)
+    }
+  }
+
   test("toCuboids bulk-load inverts exportScale, zero-padding clipped edge chunks") {
     import spark.implicits._
     val frame = graft.core.CoordinateFrame("f", 0, 40, 0, 20, 0, 6)
