@@ -667,4 +667,119 @@ object Similarity {
         dotQ(col("qv"), col("qe")).as("dot"))
     TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus with the deterministic integer Lloyd quantizer, compare
+    * only CELL-MATES with the exact int64 squared-cosine gate, close the
+    * match pairs transitively, and keep ONE representative per semantic
+    * group — the member CLOSEST TO ITS CENTROID (integer squared-L2,
+    * lowest-id tie-break), which is SemDeDup's own keep rule and differs
+    * from the min-id pick of [[embeddingNearDups]]-based resolution.
+    * Returns one row per vector: (id, cell, comp, rep, kept).
+    *
+    * Scale: candidate volume is Σ n_k² over CELL sizes — the clustering
+    * plays the role LSH bands play in [[embeddingNearDups]], but with
+    * semantically-coherent buckets (the paper's point: near-dups
+    * concentrate inside k-means cells, so modest nlist already captures
+    * them). At 100 TB, size `nlist ∝ N / targetCellSize` so cells stay
+    * O(1); the centroid model stays driver-bounded (nlist·dim longs) and
+    * ships as literals — beyond the literal-codegen comfort zone
+    * (nlist ≳ 10³) switch the assignment to a broadcast centroid join
+    * and reuse the cell-partitioned [[writeIvfIndex]] layout so the
+    * pair join reads co-partitioned cells. Edges only ever connect
+    * cell-mates, so components never span cells and the per-component
+    * pick window is cell-bounded, never corpus-scale. CC passes shuffle
+    * compact (id, label) rows only ([[Graph.connectedComponents]]).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      tauNum: Long,
+      tauDen: Long,
+      nlist: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val src = Par.fanOut(df.select(col(idCol), col(embCol)))
+    val qv = src.select(col(idCol), quantize(col(embCol)).as("qe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = try lloydCentroids(qv, idCol, nlist, iters) finally { qv.unpersist(); () }
+    // assignment + own-centroid distance in one pass: the min of the
+    // per-centroid distance array IS the assigned cell's distance
+    val dists = array(cents.map(l2): _*)
+    val a = src.select(col(idCol), quantize(col(embCol)).as("qe"))
+      .withColumn("ds", dists)
+      .withColumn("cell", (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+      .withColumn("cdist", array_min(col("ds")))
+      .drop("ds")
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+    // cell-mate pairs under the exact integer cosine gate (no float
+    // tolerance); the join key is the cell, so pair volume is bounded by
+    // cell sizes, never N²
+    val pairs = a.select(col(idCol).as("id_a"), col("cell"),
+        col("qe").as("qa"), col("n2").as("na2"))
+      .join(a.select(col(idCol).as("id_b"), col("cell"),
+        col("qe").as("qb"), col("n2").as("nb2")), "cell")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .where(col("dot") > 0 &&
+        lit(tauDen * tauDen) * col("dot") * col("dot") >=
+          lit(tauNum * tauNum) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"))
+    val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val withComp = a.select(col(idCol), col("cell"), col("cdist"))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cell").cast("long").as("cell"), col("cdist"),
+        coalesce(col("component"), col(idCol)).as("comp"))
+    // representative = argmin (cdist, id) per component: ONE struct-min
+    // aggregate (component populations are near-dup groups — small by
+    // construction, but a bounded aggregate beats a window either way)
+    val rep = withComp.groupBy(col("comp"))
+      .agg(min(struct(col("cdist"), col(idCol))).as("m"))
+      .select(col("comp"), col("m").getField(idCol).as("rep"))
+    withComp.join(rep, "comp")
+      .select(col(idCol), col("cell"), col("comp"), col("rep"),
+        (col(idCol) === col("rep")).as("kept"))
+  }
+
+  /** DuckDB twin of [[semanticDedup]] (requires `WITH RECURSIVE` from the
+    * caller): det-Lloyd CTEs ([[detAssignCtes]]), cell-mate pair gate,
+    * recursive transitive closure, closest-to-centroid pick.
+    */
+  def semanticDedupSql(
+      tbl: String,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      tauNum: Long,
+      tauDen: Long,
+      nlist: Int = 16,
+      iters: Int = 2): String = {
+    val dist = distSql(dim) _
+    val dot = dotQSql("a.qe", "b.qe", dim)
+    s"""${detAssignCtes(tbl, idCol, embCol, dim, nlist, iters, "TRUE")},
+       |sdd AS (SELECT g.$idCol AS id, g.cell, g.qe,
+       |  ${dist("g.qe", "c.qe")} AS cdist,
+       |  ${dotQSql("g.qe", "g.qe", dim)} AS n2
+       |  FROM asgn g JOIN cs$iters c USING (cell)),
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sdd a JOIN sdd b ON a.cell = b.cell AND a.id < b.id
+       |  WHERE $dot > 0
+       |    AND ${tauDen * tauDen} * $dot * $dot >= ${tauNum * tauNum} * a.n2 * b.n2),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+       |cc AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+       |wc AS (SELECT s.id, CAST(s.cell AS BIGINT) AS cell, s.cdist,
+       |       coalesce(cc.component, s.id) AS comp
+       |       FROM sdd s LEFT JOIN cc USING (id)),
+       |rp AS (SELECT comp, id AS rep FROM (
+       |  SELECT comp, id, row_number() OVER (PARTITION BY comp ORDER BY cdist, id) AS rn
+       |  FROM wc) t WHERE rn = 1)
+       |SELECT wc.id AS $idCol, wc.cell, wc.comp, rp.rep, wc.id = rp.rep AS kept
+       |FROM wc JOIN rp USING (comp)""".stripMargin.replace("\n", " ")
+  }
 }

@@ -769,6 +769,21 @@ object Pipeline {
            |  FROM q) r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin.replace("\n", " ")
       }),
 
+    // SemDeDup-style semantic dedup: det-Lloyd cells bound the candidate
+    // set (cell-mates only — the clustering plays the LSH-band role with
+    // semantically coherent buckets), exact integer cosine gate, CC
+    // closure, keep the member CLOSEST TO ITS CENTROID per group (the
+    // paper's keep rule — NOT min-id). Oracle replays training,
+    // assignment, pairing, the recursive closure and the pick.
+    "q108_semantic_dedup" -> QueryDef(
+      (s, dir) =>
+        Similarity.semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          DIM, tauNum = 3, tauDen = 10)
+          .orderBy(col("vec_id")),
+      Some(s"""WITH RECURSIVE ${Similarity.semanticDedupSql("embeddings", "vec_id", "embedding",
+                DIM, tauNum = 3, tauDen = 10)}
+              |ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
     // Feature extraction over sampled frames: per-frame byte histogram
     // (16 bins) via the partition-batched extractor — the multimodal
     // decode → frames → features chain, oracle-checked end to end (the

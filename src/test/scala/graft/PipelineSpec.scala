@@ -443,6 +443,41 @@ class PipelineSpec extends AnyFunSuite {
     (0L until 10L).foreach(i => assert(out.contains((i, 100L + i)), s"lost planted dup $i"))
   }
 
+  test("semanticDedup groups cell-mates transitively and keeps the centroid-closest member") {
+    import spark.implicits._
+    // four axis directions, one Lloyd seed each (ids 0-3 are the init
+    // centroids). Cluster A (e1): {0: 2.0, 10: 0.8, 11: 0.8} — the
+    // centroid converges to mean 1.2, so the CLOSEST member is id 10
+    // (tie with 11 → lower id), NOT the min id 0: the SemDeDup keep rule
+    // must beat min-id resolution here. Cluster B (e2): {1: 2.0,
+    // 12: 1.4} — midpoint centroid, exact distance tie → id tie-break
+    // keeps 1. Clusters C/D: singletons keep themselves.
+    def axis(i: Int, s: Float) = Array.tabulate(4)(j => if (j == i) s else 0f)
+    val df = Seq(
+      0L -> axis(0, 2.0f), 1L -> axis(1, 2.0f), 2L -> axis(2, 2.0f),
+      3L -> axis(3, 2.0f), 10L -> axis(0, 0.8f), 11L -> axis(0, 0.8f),
+      12L -> axis(1, 1.4f)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", dim = 4,
+      tauNum = 9, tauDen = 10, nlist = 4, iters = 2)
+      .select($"vec_id", $"comp", $"rep", $"kept")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 7)
+    // transitive grouping: same-direction members share a component
+    assert(Set(0L, 10L, 11L).map(out(_)._2).size == 1)
+    assert(Set(1L, 12L).map(out(_)._2).size == 1)
+    // keep rule: centroid-closest, not min-id, wins in cluster A
+    assert(Set(0L, 10L, 11L).map(out(_)._3) == Set(10L))
+    assert(out(10L)._4 && !out(0L)._4 && !out(11L)._4)
+    // exact-tie falls back to the lower id in cluster B
+    assert(Set(1L, 12L).map(out(_)._3) == Set(1L))
+    // singletons keep themselves
+    assert(out(2L)._4 && out(3L)._4 && out(2L)._3 == 2L && out(3L)._3 == 3L)
+    // exactly one kept member per component
+    out.values.groupBy(_._2).foreach { case (_, ms) =>
+      assert(ms.count(_._4) == 1)
+    }
+  }
+
   test("ivfTopK probes only nearby cells and keeps the self match") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
