@@ -713,9 +713,78 @@ object Similarity {
       .withColumn("cdist", array_min(col("ds")))
       .drop("ds")
       .withColumn("n2", dotQ(col("qe"), col("qe")))
-    // cell-mate pairs under the exact integer cosine gate (no float
-    // tolerance); the join key is the cell, so pair volume is bounded by
-    // cell sizes, never N²
+    // cell-mate pair gate → CC closure → centroid-closest pick: shared
+    // with the big-nlist path ([[semanticResolve]])
+    semanticResolve(a, idCol, tauNum, tauDen)
+  }
+
+  /** The big-`nlist` form of [[semanticDedup]] — the 100 TB path. The
+    * det-Lloyd variant ships centroids as codegen literals, which stops
+    * scaling past nlist ≈ 64 (generated-code volume); here the coarse
+    * quantizer is Spark ML KMeans fitted on a DETERMINISTIC capped
+    * sample (same trainer shape and rationale as [[ivfTopK]]: a coarse
+    * quantizer needs rough cells, not convergence, and cell-size control
+    * comes from `nlist ∝ N`), assignment is `model.transform` (internal
+    * argmin — no N×nlist row fan-out), and the own-centroid distance
+    * comes from ONE broadcast join against the O(nlist) centroid table.
+    * Downstream (cell-mate pair gate, CC closure, centroid-closest
+    * struct-min pick) is identical to [[semanticDedup]] — PipelineSpec
+    * asserts the two paths agree exactly when given the same cells.
+    * The learned partition is library-internal (not SQL-expressible), so
+    * this path is spec+stress-covered; [[semanticDedup]] is the
+    * oracle-checked twin of the semantics (q108).
+    */
+  def semanticDedupScaled(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      tauNum: Long,
+      tauDen: Long,
+      nlist: Int,
+      seed: Long = 42L,
+      trainCap: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withVec = Par.fanOut(df.select(col(idCol), col(embCol)))
+      .select(col(idCol), col(embCol),
+        array_to_vector(col(embCol).cast("array<float>")).as("fv"))
+    val fitInput = withVec
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
+      .select("fv")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+        .setInitMode("random").setFeaturesCol("fv")
+        .fit(fitInput)
+      finally { fitInput.unpersist(); () }
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(v => math.round(v * 1000))) }
+    val centDf = broadcast(cents.toSeq.toDF("cell", "cq"))
+    val assigned = model.transform(withVec)
+      .select(col(idCol), quantize(col(embCol)).as("qe"),
+        col("prediction").as("cell"))
+    semanticResolve(assigned
+      .join(centDf, "cell")
+      .withColumn("cdist", SqDistQ(col("qe"), col("cq")))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+      .select(col(idCol), col("cell"), col("qe"), col("cdist"), col("n2")),
+      idCol, tauNum, tauDen)
+  }
+
+  /** Shared back half of both semantic-dedup paths: cell-mate pairs
+    * under the exact integer cosine gate → CC closure → centroid-closest
+    * struct-min pick. `a` carries (idCol, cell, qe, cdist, n2).
+    */
+  private def semanticResolve(
+      a0: DataFrame, idCol: String, tauNum: Long, tauDen: Long): DataFrame = {
+    // the assigned frame feeds the pair self-join (both sides), the
+    // component join and the pick — localCheckpoint (eager) materializes
+    // the assignment once and truncates the quantizer lineage out of
+    // every downstream plan (blocks are cleaner-managed, nothing pinned
+    // in the cache manager across a bench sweep)
+    val a = a0.localCheckpoint(true)
     val pairs = a.select(col(idCol).as("id_a"), col("cell"),
         col("qe").as("qa"), col("n2").as("na2"))
       .join(a.select(col(idCol).as("id_b"), col("cell"),
@@ -731,9 +800,6 @@ object Similarity {
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cell").cast("long").as("cell"), col("cdist"),
         coalesce(col("component"), col(idCol)).as("comp"))
-    // representative = argmin (cdist, id) per component: ONE struct-min
-    // aggregate (component populations are near-dup groups — small by
-    // construction, but a bounded aggregate beats a window either way)
     val rep = withComp.groupBy(col("comp"))
       .agg(min(struct(col("cdist"), col(idCol))).as("m"))
       .select(col("comp"), col("m").getField(idCol).as("rep"))

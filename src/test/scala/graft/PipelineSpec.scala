@@ -478,6 +478,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupScaled (KMeans quantizer) resolves like the det path on separated clusters") {
+    import spark.implicits._
+    // 4 well-separated axis clusters × 5 members: any reasonable coarse
+    // quantizer with k=4 isolates them, so the scaled path must produce
+    // the same components and the same centroid-closest keeps as the
+    // oracle-checked det-Lloyd path produces for ITS cells — and both
+    // must satisfy the one-kept-per-component invariant.
+    // ids interleave the clusters (id = m*4 + c) so the det path's
+    // lowest-id Lloyd seeds span all four directions
+    def axis(i: Int, s: Float) = Array.tabulate(8)(j => if (j == i * 2) s else 0f)
+    val rows = for {
+      c <- 0 until 4
+      m <- 0 until 5
+    } yield ((m * 4 + c).toLong, axis(c, 1.0f + 0.2f * m))
+    val df = rows.toDF("vec_id", "embedding")
+    def collect(out: org.apache.spark.sql.DataFrame) =
+      out.select($"vec_id", $"comp", $"rep", $"kept")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val det = collect(Similarity.semanticDedup(df, "vec_id", "embedding", dim = 8,
+      tauNum = 9, tauDen = 10, nlist = 4, iters = 2))
+    val scaled = collect(Similarity.semanticDedupScaled(df, "vec_id", "embedding", dim = 8,
+      tauNum = 9, tauDen = 10, nlist = 4))
+    // same grouping, same representative, same keep decisions (cell ids
+    // may differ between quantizers — compare everything but the cell)
+    assert(det.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      scaled.map(r => (r._1, r._2, r._3, r._4)).toSeq)
+    // in each axis cluster the centroid converges to mean scale 1.4 →
+    // member m=2 (1.4, id 8+c) is closest: rep = 8+c, not the min id c
+    (0 until 4).foreach { c =>
+      val members = scaled.filter(_._1 % 4 == c)
+      assert(members.map(_._2).distinct.length == 1, s"cluster $c split")
+      assert(members.map(_._3).distinct.toSeq == Seq(8L + c), s"cluster $c rep")
+      assert(members.count(_._4) == 1)
+    }
+  }
+
   test("ivfTopK probes only nearby cells and keeps the self match") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

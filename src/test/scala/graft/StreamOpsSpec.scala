@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.{Region, Resource, VoxelType}
 import graft.engine.SpatialOps
 import graft.storage.{CuboidCodec, VolumeGen, VoxelRow}
-import graft.streaming.{StreamOps, WriteEvent}
+import graft.streaming.{StreamOps, StreamingDedup, WriteEvent}
 
 class StreamOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -86,6 +86,44 @@ class StreamOpsSpec extends AnyFunSuite {
     val out = spark.table("ackjoin")
       .select($"w_key", $"a_ts").as[(String, Timestamp)].collect()
     assert(out.toSeq == Seq(("k1", t(2))))
+  }
+
+  test("streaming dedup: per-batch probe + intra-batch pairs + index growth across drains") {
+    import spark.implicits._
+    val docsDir = java.nio.file.Files.createTempDirectory("sdd-docs").toString
+    val idx = java.nio.file.Files.createTempDirectory("sdd-idx").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("sdd-verd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sdd-ckpt").toString
+    // standing corpus → persistent index
+    graft.functions.Dedup.writeSignatureIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2L, "an entirely separate corpus document about versioned cuboid stores"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // batch 1: a near-dup of corpus doc 1, an unrelated doc, and an
+    // intra-batch near-dup pair
+    Seq((100L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (101L, "completely different content about spark clusters and parquet files everywhere"),
+      (102L, "training data pipelines dedup documents with minhash signatures at scale now"),
+      (103L, "training data pipelines dedup documents with minhash signatures at scale soon"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(docsDir)
+    StreamingDedup.runAvailableNow(spark, docsDir, idx, verdicts, ckpt)
+    // batch 2 (second drain, checkpoint resumes): near-dup of BATCH-1's
+    // doc 100 — only findable if batch 1's signatures reached the index
+    Seq((200L, "the quick brown fox jumps over the lazy dog near the river bank forever"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(docsDir)
+    StreamingDedup.runAvailableNow(spark, docsDir, idx, verdicts, ckpt)
+    val v = spark.read.parquet(verdicts)
+      .select($"batch_id", $"doc_new", $"doc_old", $"intra", $"is_dup")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+    val dups = v.filter(_._5).map(r => (r._2, r._3, r._4)).toSet
+    assert(dups.contains((100L, 1L, false)), "batch-1 doc must match the standing corpus")
+    assert(dups.contains((102L, 103L, true)), "intra-batch pair must surface")
+    assert(!v.exists(r => (r._2 == 101L || r._3 == 101L) && r._5), "unrelated doc clean")
+    assert(dups.contains((200L, 100L, false)),
+      "batch-2 doc must match batch-1's doc through the grown index")
+    // verdict log is partitioned by batch id; both drains logged
+    assert(v.map(_._1).toSet == Set(0L, 1L))
   }
 
   test("morton functions usable from SQL after registration") {
