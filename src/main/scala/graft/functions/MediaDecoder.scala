@@ -54,6 +54,69 @@ object MediaDecoder {
       }
   }
 
+  /** JDK audio decoder (`javax.sound.sampled`) — REAL decode for the
+    * formats the JDK ships parsers for (WAV/PCM, AIFF, AU), no external
+    * codec. Metadata mapping for the (format, width, height) surface:
+    * width = sample rate in Hz, height = frame count (samples per
+    * channel). `frames` decodes the actual PCM payload and windows it,
+    * so [[Multimodal.sampleFrames]] over audio emits real sample
+    * windows, not raw container bytes (header included). Blobs are
+    * magic-byte sniffed first (`RIFF…WAVE` / `FORM…AIFF` / `.snd`) so
+    * the chain never pays a thrown `UnsupportedAudioFileException` per
+    * non-audio blob; a sniffed-but-corrupt body yields None (next
+    * decoder gets a look) — same robustness contract as
+    * [[Multimodal.decodeImage]].
+    */
+  object JdkAudio extends MediaDecoder {
+    private def sniff(b: Array[Byte]): Option[String] =
+      if (b.length < 12) None
+      else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') Some("wav")
+      else if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F') Some("aiff")
+      else if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') Some("au")
+      else None
+
+    override def meta(bytes: Array[Byte]): Option[(String, Int, Int)] =
+      sniff(bytes).flatMap { fmt =>
+        try {
+          val ff = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+          Some((fmt, ff.getFormat.getSampleRate.toInt, ff.getFrameLength))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException                               => None
+          case _: IllegalArgumentException                          => None
+          case _: IndexOutOfBoundsException                         => None
+        }
+      }
+
+    /** Decoded PCM windows: `frameBytes` bytes of raw sample payload per
+      * emitted frame, every `stride`-th window — the audio analog of
+      * video frame sampling (header/container bytes never leak into a
+      * frame).
+      */
+    override def frames(
+        bytes: Array[Byte], frameBytes: Int, stride: Int): Option[Iterator[(Int, Array[Byte])]] =
+      sniff(bytes).flatMap { _ =>
+        try {
+          val in = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val pcm = in.readAllBytes()
+          in.close()
+          val nFrames = pcm.length / frameBytes
+          Some((0 until nFrames by stride).iterator.map { f =>
+            (f, java.util.Arrays.copyOfRange(pcm, f * frameBytes, (f + 1) * frameBytes))
+          })
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException                               => None
+          case _: IllegalArgumentException                          => None
+          case _: IndexOutOfBoundsException                         => None
+        }
+      }
+  }
+
   /** Deterministic STUB for media with no bound codec — fake dimensions
     * from a byte mix, stable for tests ([[Multimodal.stubDecode]]). Keep
     * it LAST in the chain: it accepts everything.
@@ -63,6 +126,8 @@ object MediaDecoder {
       Some(Multimodal.stubDecode(bytes))
   }
 
-  /** Default chain: real image decode, stub for everything else. */
-  val default: Seq[MediaDecoder] = Seq(ImageIO, Stub)
+  /** Default chain: real image decode, real JDK audio decode, stub for
+    * everything else (video stays stubbed: the JDK ships no video codec).
+    */
+  val default: Seq[MediaDecoder] = Seq(ImageIO, JdkAudio, Stub)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
+import graft.functions.{Dedup, MediaDecoder, Multimodal, Similarity, TextOps}
 
 /** A deployment-bound "video codec" for the MediaDecoder plug-point
   * test: blobs tagged `FKV0 <w:2><h:2>` decode to ("fkv", w, h) and to
@@ -830,6 +830,45 @@ class PipelineSpec extends AnyFunSuite {
     val junk = Seq((1L, Array.fill[Byte](64)(42))).toDF("doc_id", "blob")
     assert(Multimodal.imageStats(junk, "doc_id", "blob").isEmpty)
     assert(Multimodal.decodeMeta(junk, "doc_id", "blob").count() == 1)
+  }
+
+  test("audio decode: hand-rolled WAV through the JDK decoder — real rate/frames/PCM windows") {
+    import spark.implicits._
+    // independent fixture writer: canonical 44-byte RIFF header + 16-bit
+    // mono PCM, assembled by hand (NOT via AudioSystem — the decoder
+    // under test must agree with a second implementation of the format)
+    def wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val samples = Array.tabulate(256)(i => (i * 37 - 4000).toShort)
+    val blob = wav(8000, samples)
+    // header parse: real sample rate and frame count
+    assert(MediaDecoder.JdkAudio.meta(blob).contains(("wav", 8000, 256)))
+    // corrupt body behind valid magic: declined, not thrown
+    val corrupt = blob.take(12) ++ Array.fill[Byte](8)(0x7f)
+    assert(MediaDecoder.JdkAudio.meta(corrupt).isEmpty)
+    // decodeMeta through the DEFAULT chain: wav beats the stub
+    val meta = Multimodal.decodeMeta(
+      Seq((1L, blob)).toDF("doc_id", "blob"), "doc_id", "blob").collect()
+    assert(meta.head.format == "wav" && meta.head.width == 8000 && meta.head.height == 256)
+    // sampleFrames emits DECODED PCM windows (no container header bytes):
+    // window f covers payload bytes [f*64, (f+1)*64)
+    val frames = Multimodal.sampleFrames(
+      Seq((1L, blob)).toDF("doc_id", "blob"), "doc_id", "blob").collect()
+      .sortBy(_.frame_idx)
+    val pcm = blob.drop(44)
+    assert(frames.map(_.frame_idx).toSeq == (0 until 8 by 4).toSeq)
+    frames.foreach { f =>
+      assert(f.frame_bytes.toSeq == pcm.slice(f.frame_idx * 64, f.frame_idx * 64 + 64).toSeq)
+    }
   }
 
   test("multimodal decodeMeta and sampleFrames run partition-batched over binary") {
