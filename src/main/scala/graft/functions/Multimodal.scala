@@ -103,6 +103,59 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Canonical 16-bit mono PCM WAV encoder (hand-rolled 44-byte RIFF
+    * header + LE samples — deliberately NOT `AudioSystem`, so an
+    * encode→decode round trip exercises two independent implementations
+    * of the format; the fixture twin of [[MediaDecoder.JdkAudio]], same
+    * role [[encodeGrayPng]] plays for image decode).
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decoded-sample statistics for AUDIO blobs: (id, format, sample_rate,
+    * n_frames, amp_sum) with amp_sum = Σ of the decoded signed 16-bit
+    * samples — integer-exact, so a WAV encode→decode round trip is
+    * oracle-checkable (q109, the audio analog of [[imageStats]]/q84).
+    * Non-audio blobs are dropped (strict decode surface). Partition-
+    * batched like every extractor here.
+    */
+  def audioStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaDecoder.JdkAudio.meta(bytes).flatMap { case (fmt, rate, nFrames) =>
+            try {
+              val in = javax.sound.sampled.AudioSystem
+                .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+              val pcm = try in.readAllBytes() finally in.close()
+              var sum = 0L
+              var i = 0
+              while (i + 1 < pcm.length) { // signed LE 16-bit samples
+                sum += ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+                i += 2
+              }
+              Some((id, fmt, rate.toLong, nFrames.toLong, sum))
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException                               => None
+            }
+          }
+        }
+      }.toDF(idCol, "format", "sample_rate", "n_frames", "amp_sum")
+  }
+
   /** STUB decoder for non-image media: derives metadata deterministically
     * from the blob bytes. Swap for a real codec (FFmpeg) behind the same
     * signature — the Spark plumbing does not change.

@@ -833,6 +833,38 @@ object Pipeline {
              |SELECT doc_id, 'png' AS format, w AS width, h AS height, CAST(sum(p) AS BIGINT) AS px_sum
              |FROM px GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // REAL audio decode (JDK javax.sound, no stub): 16-bit mono WAVs are
+    // encoded per doc by the hand-rolled RIFF writer (rate/length/samples
+    // all formula-derived), then decoded back through the actual JDK
+    // codec — rate, frame count and the exact signed sample sum must
+    // survive the round trip. The audio analog of q84: two independent
+    // implementations of the format meet in the middle, and the oracle
+    // recomputes the formula relationally.
+    "q109_audio_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = graft.functions.Par.fanOut(tbl(s, dir, "documents").select(col("doc_id")))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val rate = (8000 + (id % 4) * 4000).toInt
+              val n = (40 + id % 17).toInt
+              val samples = Array.tabulate(n)(i =>
+                ((id * 31 + i * 7) % 4096 - 2048).toShort)
+              (id, Multimodal.encodeWavPcm16(rate, samples))
+            }
+          }.toDF("doc_id", "blob")
+        Multimodal.audioStats(blobs, "doc_id", "blob").orderBy(col("doc_id"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate,
+             |            40 + doc_id % 17 AS n FROM documents),
+             |sm AS (SELECT i.doc_id, i.rate, i.n,
+             |       (i.doc_id*31 + x.r*7) % 4096 - 2048 AS v
+             |       FROM ids i JOIN range(0, 57) x(r) ON x.r < i.n)
+             |SELECT doc_id, 'wav' AS format, rate AS sample_rate, n AS n_frames,
+             |       CAST(sum(v) AS BIGINT) AS amp_sum
+             |FROM sm GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // IVF ANN through the KMeans coarse quantizer, probed at
     // nprobe = nlist: every cell is searched, so the top-k is exactly the
     // brute-force result REGARDLESS of the (library-internal) centroid
