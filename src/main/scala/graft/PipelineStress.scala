@@ -167,6 +167,11 @@ object PipelineStress {
     timed("dup_window_stats") {
       force(TextOps.dupWindowStats(docs, "doc_id", "text"))
     }
+    // ...and the actionable scrub (q110): same counts plus the doc-keyed
+    // text rebuild — the one exchange here that must carry text
+    timed("dup_window_scrub") {
+      force(TextOps.dupWindowScrub(docs, "doc_id", "text"))
+    }
     // vocab coverage (q106): the token-count exchange + broadcast-vocab
     // join-back at 1M docs
     timed("oov_stats") {

@@ -511,6 +511,64 @@ object TextOps {
        |FROM wins JOIN c USING (wh) GROUP BY $idCol""".stripMargin.replace("\n", " ")
   }
 
+  /** The actionable form of [[dupWindowStats]]: REMOVE the duplicated
+    * windows (same non-overlapping w-token windows, same corpus-wide
+    * duplication predicate) and rebuild each document's text from the
+    * surviving windows in order — the boilerplate-scrub transform
+    * (header/footer/template removal) that the statistic only measures.
+    * Returns (id, n_windows, n_kept, text_scrubbed); a fully-boilerplate
+    * doc scrubs to the empty string (the caller's length filter then
+    * drops it).
+    *
+    * Scale: counts move as compact (hash, count) rows; the one exchange
+    * that carries text is the doc-keyed rebuild — irreducible, since the
+    * output IS text. Window strings cross the wh-keyed join exactly once.
+    */
+  def dupWindowScrub(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 16): DataFrame = {
+    require(w >= 1, "window must be >= 1 token")
+    val wins = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, (size(tk) - 1) div $w), i ->
+           |  array_join(slice(tk, i * $w + 1, $w), ' '))""".stripMargin)).as(Seq("pos", "win")))
+      .withColumn("wh", portableHash(col("win"), "dupwin"))
+    val counts = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col(idCol)).as("n_docs"))
+    wins.join(counts, "wh")
+      .withColumn("dup", col("n_docs") > 1 || col("n_total") > col("n_docs"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(!col("dup"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulled-out dup windows; order restored
+        // by the struct sort on pos
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT dup THEN struct(pos, win) END)), s -> s.win)"),
+          " ").as("text_scrubbed"))
+  }
+
+  /** DuckDB twin of [[dupWindowScrub]]. */
+  def dupWindowScrubSql(tbl: String, idCol: String, textCol: String, w: Int = 16): String = {
+    val winExpr = s"array_to_string(tk[(i*$w+1):(i*$w+$w)], ' ')"
+    s"""WITH wins AS (
+       |  SELECT $idCol, i AS pos, $winExpr AS win,
+       |         ${portableHashSql(winExpr, "dupwin")} AS wh
+       |  FROM (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl) t
+       |  CROSS JOIN UNNEST(range(0, (len(tk) - 1) // $w + 1)) AS u(i)),
+       |c AS (SELECT wh, count(*) AS n_total, count(DISTINCT $idCol) AS n_docs
+       |      FROM wins GROUP BY wh),
+       |j AS (SELECT wins.$idCol, wins.pos, wins.win,
+       |             (c.n_docs > 1 OR c.n_total > c.n_docs) AS dup
+       |      FROM wins JOIN c USING (wh))
+       |SELECT $idCol, count(*) AS n_windows,
+       |       CAST(sum(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       |       coalesce(string_agg(CASE WHEN NOT dup THEN win END, ' ' ORDER BY pos), '') AS text_scrubbed
+       |FROM j GROUP BY $idCol""".stripMargin.replace("\n", " ")
+  }
+
   /** Out-of-vocabulary statistics: build the corpus's top-`vocabSize`
     * token vocabulary (count desc, token asc — deterministic at the
     * boundary) and report per doc (n_tokens, n_oov) — the coverage

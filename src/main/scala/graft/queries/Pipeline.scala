@@ -729,6 +729,18 @@ object Pipeline {
       Some(TextOps.dupWindowStatsSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
 
+    // The actionable form of q105: REMOVE the duplicated windows and
+    // rebuild each doc's text from the survivors in order — the
+    // boilerplate scrub. The oracle rebuilds the same text with an
+    // ordered string_agg, so window order and the exact scrub boundary
+    // are hash-checked, not just counted.
+    "q110_dup_window_scrub" -> QueryDef(
+      (s, dir) =>
+        TextOps.dupWindowScrub(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextOps.dupWindowScrubSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+
     // Vocabulary coverage: per-doc OOV counts against the corpus's own
     // top-k vocab (deterministic boundary: count desc, token asc) — the
     // tokenizer-sizing / corpus-drift number. Vocab is the model

@@ -122,6 +122,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(defFrames.collect().forall(_.frame_bytes.length == 8))
   }
 
+  test("dupWindowScrub removes shared boilerplate windows and rebuilds text in order") {
+    import spark.implicits._
+    val w = 4
+    val b4 = "subscribe to our newsletter" // exactly w tokens: one shared window
+    val d = docs(
+      1L -> s"$b4 alpha beta gamma delta unique tail one x",
+      2L -> s"$b4 epsilon zeta eta theta unique tail two y",
+      3L -> "entirely unique document with no shared windows at all meow",
+      4L -> b4) // pure boilerplate → scrubs to empty
+    val out = TextOps.dupWindowScrub(d, "doc_id", "text", w)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_kept"), r.getAs[String]("text_scrubbed")))
+      .toMap
+    // docs 1/2/4 share the leading window; it must vanish from all three
+    assert(out(1L) == ((3L, 2L, "alpha beta gamma delta unique tail one x")))
+    assert(out(2L) == ((3L, 2L, "epsilon zeta eta theta unique tail two y")))
+    assert(out(4L) == ((1L, 0L, "")))
+    // the unique doc is untouched (3 windows incl. the trailing partial)
+    assert(out(3L) == ((3L, 3L, "entirely unique document with no shared windows at all meow")))
+  }
+
   test("packSequences: gapless concat-then-chunk per shard, partitioning-independent") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

@@ -124,6 +124,26 @@ class PlanContractSpec extends AnyFunSuite {
       s"banded candidate volume $vol not a banded fraction of n²=${n * n}")
   }
 
+  test("semantic dedup: cell-key pair join, no cartesian, components never span cells") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = graft.functions.Similarity.semanticDedup(
+      emb, "vec_id", "embedding", 64, tauNum = 3, tauDen = 10)
+    val p = q.queryExecution.sparkPlan.toString
+    // the only pair-generating join keys on the CELL (vectors ride the
+    // join deliberately — cell-mates need the dot gate); no all-pairs
+    // shape may appear anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert("cell#\\d+".r.findFirstIn(p).isDefined, p.take(1500))
+    // data contract: edges only ever connect cell-mates, so every
+    // component is cell-homogeneous — the property that keeps the
+    // closure and the pick cell-bounded at any scale
+    val span = q.groupBy(col("comp"))
+      .agg(countDistinct(col("cell")).as("nc"))
+      .agg(max(col("nc"))).collect()(0).getLong(0)
+    assert(span == 1L, s"a component spans $span cells")
+  }
+
   test("indexed IVF probe: cells scan prunes to the probed-cell union, queries broadcast") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("plan-ivfidx").toString
