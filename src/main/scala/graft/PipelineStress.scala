@@ -172,6 +172,11 @@ object PipelineStress {
     timed("dup_window_scrub") {
       force(TextOps.dupWindowScrub(docs, "doc_id", "text"))
     }
+    // LM-filter stand-in (q111): corpus count aggregate + token-keyed
+    // join-back at 1M docs
+    timed("surprisal_score") {
+      force(TextOps.surprisalScore(docs, "doc_id", "text"))
+    }
     // vocab coverage (q106): the token-count exchange + broadcast-vocab
     // join-back at 1M docs
     timed("oov_stats") {

@@ -569,6 +569,37 @@ object TextOps {
        |FROM j GROUP BY $idCol""".stripMargin.replace("\n", " ")
   }
 
+  /** Token-surprisal quality score — the integer-exact stand-in for LM
+    * perplexity filtering: each token's surprisal is `63 − ⌊log₂ c⌋`
+    * (c = corpus count, so rare tokens score high), per doc we report
+    * (n_tokens, surprisal_sum) and the caller thresholds the mean.
+    * ⌊log₂ c⌋ is computed as bit-length − 1 via `bin()` string length —
+    * exact in both engines (no float log anywhere, same trick as the
+    * adaptive-banding oracle). One corpus count aggregate, one
+    * token-keyed join-back (compact (token, count) rows), one doc
+    * re-aggregate.
+    */
+  def surprisalScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(col("tok"), (lit(63) - (length(bin(col("c"))) - 1)).cast("long").as("surp"))
+    toks.join(counts, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("surprisal_sum"))
+  }
+
+  /** DuckDB twin of [[surprisalScore]] (`bin()` is zero-padded there —
+    * ltrim before measuring).
+    */
+  def surprisalScoreSql(tbl: String, idCol: String, textCol: String): String =
+    s"""WITH w AS (SELECT $idCol, unnest(string_split($textCol, ' ')) AS tok FROM $tbl),
+       |t AS (SELECT $idCol, tok FROM w WHERE tok <> ''),
+       |c AS (SELECT tok, 63 - (length(ltrim(bin(count(*)), '0')) - 1) AS surp
+       |      FROM t GROUP BY tok)
+       |SELECT $idCol, count(*) AS n_tokens, CAST(sum(surp) AS BIGINT) AS surprisal_sum
+       |FROM t JOIN c USING (tok) GROUP BY $idCol""".stripMargin.replace("\n", " ")
+
   /** Out-of-vocabulary statistics: build the corpus's top-`vocabSize`
     * token vocabulary (count desc, token asc — deterministic at the
     * boundary) and report per doc (n_tokens, n_oov) — the coverage

@@ -741,6 +741,16 @@ object Pipeline {
       Some(TextOps.dupWindowScrubSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
 
+    // Integer-exact LM-filtering stand-in: per-doc token surprisal sums
+    // (63 − ⌊log₂ corpus-count⌋ per token, bit-length math — no float
+    // log in either engine).
+    "q111_surprisal" -> QueryDef(
+      (s, dir) =>
+        TextOps.surprisalScore(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextOps.surprisalScoreSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+
     // Vocabulary coverage: per-doc OOV counts against the corpus's own
     // top-k vocab (deterministic boundary: count desc, token asc) — the
     // tokenizer-sizing / corpus-drift number. Vocab is the model
