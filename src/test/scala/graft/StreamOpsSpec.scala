@@ -126,6 +126,51 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(v.map(_._1).toSet == Set(0L, 1L))
   }
 
+  test("streaming vectors: probe-before-append, index growth across drains, drift column") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    import graft.streaming.StreamingVectors
+    val vecsDir = java.nio.file.Files.createTempDirectory("svc-vecs").toString
+    val idx = java.nio.file.Files.createTempDirectory("svc-idx").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("svc-verd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("svc-ckpt").toString
+    def axis(i: Int, s: Float) = Array.tabulate(8)(j => if (j == i * 2) s else 0f)
+    // standing corpus: 4 axis clusters × 5 members (ids interleaved so
+    // the det-Lloyd seeds span directions), scales 1.0..1.8
+    val corpus = (for { c <- 0 until 4; m <- 0 until 5 }
+      yield ((m * 4 + c).toLong, axis(c, 1.0f + 0.2f * m))).toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx, nlist = 4, iters = 2)
+    // batch 1: one new vector per direction
+    Seq((100L, axis(0, 1.5f)), (101L, axis(1, 1.5f)), (102L, axis(2, 1.5f)),
+      (103L, axis(3, 0.9f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(vecsDir)
+    StreamingVectors.runAvailableNow(spark, vecsDir, idx, verdicts, ckpt, dim = 8)
+    // batch 2 (second drain): same direction as batch-1's vec 100 — it
+    // can only surface if the append grew the index
+    Seq((200L, axis(0, 1.2f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(vecsDir)
+    StreamingVectors.runAvailableNow(spark, vecsDir, idx, verdicts, ckpt, dim = 8)
+    val v = spark.read.parquet(verdicts)
+      .select($"batch_id", $"query_id", $"vec_id", $"rk", $"max_skew")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val b0 = v.filter(_._1 == 0L)
+    // probe ran BEFORE append: a batch vector never matches itself or a
+    // batch-mate in its own drain
+    assert(b0.forall(r => r._3 < 100L), s"self/batch-mate leak: ${b0.mkString(",")}")
+    // top-1 per direction = the largest-norm standing member (dot metric):
+    // corpus scale 1.8 lives at id 16+c
+    (0 until 4).foreach { c =>
+      val top = b0.filter(r => r._2 == 100L + c && r._4 == 1L).map(_._3)
+      assert(top.toSeq == Seq(16L + c), s"direction $c top-1: ${top.toSeq}")
+    }
+    // batch-2: vec 100 (appended in drain 1) must appear in 200's top-k
+    val b1 = v.filter(_._1 == 1L)
+    assert(b1.map(_._2).toSet == Set(200L))
+    assert(b1.exists(_._3 == 100L), s"grown index missing batch-1 vector: ${b1.mkString(",")}")
+    // the drift column rides every verdict row
+    assert(v.forall(_._5 > 0.0))
+  }
+
   test("morton functions usable from SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
