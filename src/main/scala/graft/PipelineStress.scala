@@ -177,6 +177,11 @@ object PipelineStress {
     timed("surprisal_score") {
       force(TextOps.surprisalScore(docs, "doc_id", "text"))
     }
+    // tokenizer-encode (q112): ranked-vocab broadcast + ordered per-doc
+    // id-sequence rebuild at 1M docs
+    timed("token_ids") {
+      force(TextOps.tokenIds(docs, "doc_id", "text"))
+    }
     // vocab coverage (q106): the token-count exchange + broadcast-vocab
     // join-back at 1M docs
     timed("oov_stats") {

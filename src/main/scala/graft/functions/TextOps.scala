@@ -569,6 +569,60 @@ object TextOps {
        |FROM j GROUP BY $idCol""".stripMargin.replace("\n", " ")
   }
 
+  /** Tokenizer-encode step: map each document to its token-ID sequence
+    * under the corpus's own ranked vocabulary (id = rank by count desc /
+    * token asc; OOV → `oovId`) — the deterministic stand-in for a
+    * trained tokenizer's encode pass, and the step that turns a text
+    * corpus into model-ready integer sequences. The vocabulary is
+    * driver-bounded (`limit vocabSize` = the model) and broadcast; the
+    * encode is one exploded broadcast join + an ordered per-doc rebuild.
+    * Returns (id, n_tokens, ids_str) with the ID sequence space-joined —
+    * a portable, hash-comparable encoding of the array.
+    */
+  def tokenIds(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 1000,
+      oovId: Long = -1L): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      // rank over ≤ vocabSize driver-bounded rows — the single-partition
+      // window IS the model build, never data-sized
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long") - 1)
+      .select(col("tok"), col("tid"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(expr(
+          s"transform(array_sort(collect_list(struct(pos AS pos, coalesce(tid, ${oovId}L) AS tid))), s -> s.tid)"),
+          " ").as("ids_str"))
+  }
+
+  /** DuckDB twin of [[tokenIds]]. */
+  def tokenIdsSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 1000,
+      oovId: Long = -1L): String =
+    s"""WITH w AS (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl),
+       |t AS (SELECT $idCol, u.pos, u.tok FROM (
+       |  SELECT $idCol, unnest(list_transform(range(len(tk)),
+       |         i -> struct_pack(pos := i, tok := tk[i+1]))) AS u FROM w) q),
+       |t2 AS (SELECT $idCol, pos, tok FROM t WHERE tok <> ''),
+       |v AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) - 1 AS tid FROM (
+       |  SELECT tok, count(*) AS n FROM t2 GROUP BY tok
+       |  ORDER BY n DESC, tok LIMIT $vocabSize) c),
+       |j AS (SELECT t2.$idCol, t2.pos, coalesce(v.tid, $oovId) AS tid
+       |      FROM t2 LEFT JOIN v USING (tok))
+       |SELECT $idCol, count(*) AS n_tokens,
+       |       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids_str
+       |FROM j GROUP BY $idCol""".stripMargin.replace("\n", " ")
+
   /** Token-surprisal quality score — the integer-exact stand-in for LM
     * perplexity filtering: each token's surprisal is `63 − ⌊log₂ c⌋`
     * (c = corpus count, so rare tokens score high), per doc we report

@@ -741,6 +741,17 @@ object Pipeline {
       Some(TextOps.dupWindowScrubSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
 
+    // Tokenizer-encode: every doc to its token-ID sequence under the
+    // corpus's own ranked vocab (rank = count desc / token asc, OOV =
+    // -1) — ID assignment, OOV handling and SEQUENCE ORDER are all
+    // hash-checked via the space-joined encoding.
+    "q112_token_ids" -> QueryDef(
+      (s, dir) =>
+        TextOps.tokenIds(tbl(s, dir, "documents"), "doc_id", "text", vocabSize = 100)
+          .orderBy(col("doc_id")),
+      Some(TextOps.tokenIdsSql("documents", "doc_id", "text", vocabSize = 100) +
+        " ORDER BY doc_id")),
+
     // Integer-exact LM-filtering stand-in: per-doc token surprisal sums
     // (63 − ⌊log₂ corpus-count⌋ per token, bit-length math — no float
     // log in either engine).
