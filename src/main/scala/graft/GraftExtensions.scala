@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupedTopKStrategy)
+    // auto-rewrite `row_number window + rank filter` → GroupedTopK, so
+    // the window idiom gets the bounded-heap plan from ANY surface
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 

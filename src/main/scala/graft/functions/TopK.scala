@@ -24,6 +24,20 @@ object TopK {
       exp.extraStrategies = exp.extraStrategies :+ GroupedTopKStrategy
   }
 
+  /** Install the window→GroupedTopK auto-rewrite ([[graft.plans
+    * .WindowTopKRewrite]]) plus the planner strategy on a LIVE session —
+    * the `experimental` twin of the `GraftExtensions` config-time hook.
+    * After this, plain `row_number() OVER (...) <= k` queries plan as
+    * the bounded heap with no API change.
+    */
+  def installRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(GroupedTopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ GroupedTopKStrategy
+    if (!exp.extraOptimizations.contains(graft.plans.WindowTopKRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.WindowTopKRewrite
+  }
+
   /** Top `k` rows per distinct `keys` under `orderBy` (column name →
     * descending?), with a 1-based `rankName` LongType column appended.
     * Exactly `row_number()` semantics; ties resolve by the later orderBy

@@ -72,11 +72,15 @@ final case class GroupedTopKExec(
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       val project = UnsafeProjection.create(outAttrs, outAttrs)
+      // the rank is written in the ATTRIBUTE's type: LongType from the
+      // TopK.perKey entry, IntegerType when WindowTopKRewrite reuses a
+      // row_number alias attribute
+      val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
       heaps.iterator.flatMap { case (_, h) =>
         // dequeueAll drains worst-first; reverse => rank-ascending
         val best = h.dequeueAll.reverseIterator
         best.zipWithIndex.map { case (row, i) =>
-          rankRow.setLong(0, i + 1L)
+          if (rankIsInt) rankRow.setInt(0, i + 1) else rankRow.setLong(0, i + 1L)
           project(joined(row, rankRow))
         }
       }

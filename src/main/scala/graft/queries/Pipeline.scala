@@ -817,6 +817,39 @@ object Pipeline {
                 DIM, tauNum = 3, tauDen = 10)}
               |ORDER BY vec_id""".stripMargin.replace("\n", " "))),
 
+    // The WindowTopKRewrite optimizer rule under the ORACLE gate: the
+    // plain row_number-window SQL idiom (verbatim user SQL, not the
+    // TopK.perKey API) is auto-rewritten to the bounded-heap operator
+    // and must still hash-match DuckDB's actual window. Runs on an
+    // isolated newSession so the rule install never leaks into the rest
+    // of the sweep; PlanContractSpec asserts the rewritten plan shape.
+    "q113_window_topk_sql" -> QueryDef(
+      (s, dir) => {
+        val s2 = s.newSession()
+        graft.functions.TopK.installRewrite(s2)
+        val docs = tbl(s2, dir, "documents")
+        val scored = TextOps.qualityScore(docs, "doc_id", "text", "n_chars")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("score"))
+        scored.createOrReplaceTempView("q113_scored")
+        s2.sql("""SELECT doc_id, lang, score, CAST(rk AS BIGINT) AS rk FROM (
+                 |  SELECT doc_id, lang, score,
+                 |         row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk
+                 |  FROM q113_scored) t
+                 |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)
+      },
+      Some {
+        val stop = TextOps.langProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+        s"""WITH q AS (SELECT doc_id, lang,
+           |  CAST(len(tk) AS BIGINT) * 2 + CAST(len(list_distinct(tk)) AS BIGINT) * 3 +
+           |  CAST(len(list_filter(tk, t -> t IN ($stop))) AS BIGINT) * 5 - n_chars // 10 AS score
+           |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk FROM documents) t)
+           |SELECT doc_id, lang, score, rk FROM (
+           |  SELECT doc_id, lang, score,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+           |  FROM q) r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin.replace("\n", " ")
+      }),
+
     // Feature extraction over sampled frames: per-frame byte histogram
     // (16 bins) via the partition-batched extractor — the multimodal
     // decode → frames → features chain, oracle-checked end to end (the

@@ -124,6 +124,12 @@ class PlanContractSpec extends AnyFunSuite {
       s"banded candidate volume $vol not a banded fraction of n²=${n * n}")
   }
 
+  test("q113: the SQL window idiom plans as the bounded heap through the optimizer rule") {
+    val p = plan("q113_window_topk_sql")
+    assert(p.contains("GroupedTopK"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
   test("semantic dedup: cell-key pair join, no cartesian, components never span cells") {
     import org.apache.spark.sql.functions.{col, countDistinct, max}
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

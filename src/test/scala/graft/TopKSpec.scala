@@ -72,6 +72,64 @@ class TopKSpec extends AnyFunSuite {
     assert(got == want && got.size == 10000)
   }
 
+  test("WindowTopKRewrite: the plain row_number SQL idiom plans as the bounded heap") {
+    // expected result computed in Scala — the session-global rewrite is
+    // installed before any comparison query could run through WindowExec
+    val df = sample
+    val expected = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._2, t._3)).take(3).zipWithIndex
+          .map { case ((k, s, i), idx) => (k, s, i, idx + 1) }.toSeq
+      }.toSet
+    val s = spark
+    TopK.installRewrite(s)
+    df.createOrReplaceTempView("topk_rewrite_in")
+    val q = s.sql(
+      """SELECT key, score, id, rk FROM (
+        |  SELECT key, score, id,
+        |         row_number() OVER (PARTITION BY key ORDER BY score DESC, id) AS rk
+        |  FROM topk_rewrite_in) t
+        |WHERE rk <= 3""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+    import org.apache.spark.sql.types.IntegerType
+    assert(q.schema("rk").dataType == IntegerType) // row_number's own type survives
+    val got = q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected)
+  }
+
+  test("WindowTopKRewrite: residual predicates survive above the heap; non-matching shapes keep WindowExec") {
+    val s = spark
+    TopK.installRewrite(s)
+    sample.createOrReplaceTempView("topk_rewrite_in2")
+    // conjunction: the rank bound is consumed, the rest filters above
+    val q = s.sql(
+      """SELECT key, id, rk FROM (
+        |  SELECT key, score, id,
+        |         row_number() OVER (PARTITION BY key ORDER BY score DESC, id) AS rk
+        |  FROM topk_rewrite_in2) t
+        |WHERE rk <= 2 AND key % 2 = 0""".stripMargin)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("GroupedTopK") && !p.contains("Window"), p.take(1200))
+    assert(q.collect().forall(r => r.getLong(0) % 2 == 0 && r.getInt(2) <= 2))
+    // rank() is NOT row_number — must stay a window
+    val rankQ = s.sql(
+      """SELECT key, id FROM (
+        |  SELECT key, id, rank() OVER (PARTITION BY key ORDER BY score DESC) AS rk
+        |  FROM topk_rewrite_in2) t WHERE rk <= 2""".stripMargin)
+    assert(rankQ.queryExecution.executedPlan.toString.contains("Window"))
+    // global top-k (no partition) — must stay out of the heap path
+    val globalQ = s.sql(
+      """SELECT id FROM (
+        |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rk
+        |  FROM topk_rewrite_in2) t WHERE rk <= 2""".stripMargin)
+    assert(!globalQ.queryExecution.executedPlan.toString.contains("GroupedTopK"))
+    assert(globalQ.collect().length == 2)
+  }
+
   test("SQL-extension injection plans the operator too") {
     // a fresh session wired via GraftExtensions (config-time hook)
     val s2 = spark.newSession()
