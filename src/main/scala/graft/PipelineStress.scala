@@ -162,6 +162,23 @@ object PipelineStress {
     timed("winnowing_fingerprints") {
       force(TextOps.winnowFromText(docs, "doc_id", "text"))
     }
+    // The md5 ORACLE TAX, quantified: the hash-dense stages re-timed
+    // under the production xxhash64 family (graft.hash.family) — same
+    // plans, same shuffles, only the per-shingle hash changes. The delta
+    // is what a deployment that needs no external oracle saves.
+    System.setProperty(TextOps.HashFamilyProp, "xxhash64")
+    try {
+      timed("minhash_signatures_xx") {
+        force(TextOps.minhashSignatures(
+          TextOps.shingles(docs, "doc_id", "text"), "doc_id"))
+      }
+      timed("lsh_near_dup_pairs_xx") {
+        force(Dedup.nearDupPairs(docs, "doc_id", "text"))
+      }
+      timed("winnowing_fingerprints_xx") {
+        force(TextOps.winnowFromText(docs, "doc_id", "text"))
+      }
+    } finally System.clearProperty(TextOps.HashFamilyProp)
     // sub-document exact-dedup signal (q105): the corpus-wide window
     // count exchange at 1M docs — hash rows only, never the text
     timed("dup_window_stats") {

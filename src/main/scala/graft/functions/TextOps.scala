@@ -19,9 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** 60-bit positive hash of `salt || c`, identical across engines. */
+  /** Hash-family switch: `"md5"` (default) is the cross-engine portable
+    * family every DuckDB oracle replays bit-for-bit; `"xxhash64"` swaps
+    * in Spark's codegen'd xxhash64 for PRODUCTION runs where no external
+    * oracle needs to reproduce values — same positive-60-bit domain, so
+    * every downstream operator (affine MinHash, banding, winnowing,
+    * window stats) is family-agnostic, and only the hash VALUES change
+    * (pair sets / counts are equal modulo 60-bit collisions; PipelineSpec
+    * asserts set-level equality on real near-dup fixtures). md5 is the
+    * measured hot cost of the signature stages at 1M docs — the oracle
+    * tax this flag removes (stress stages `*_xx`).
+    * JVM-wide (system property `graft.hash.family`), read at PLAN BUILD
+    * time on the driver — never flip it between building an index and
+    * probing it.
+    */
+  final val HashFamilyProp = "graft.hash.family"
+  private def xxMode: Boolean = System.getProperty(HashFamilyProp, "md5") == "xxhash64"
+
+  /** 60-bit positive hash of `salt || c` — identical across engines in
+    * the default md5 family (DuckDB twin: [[portableHashSql]]); see
+    * [[HashFamilyProp]] for the production xxhash64 family.
+    */
   def portableHash(c: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), c).cast("binary")), 1, 15), 16, 10).cast("long")
+    if (xxMode)
+      xxhash64(concat(lit(salt), c)).bitwiseAND(lit(0x0FFFFFFFFFFFFFFFL))
+    else
+      conv(substring(md5(concat(lit(salt), c).cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** DuckDB SQL equivalent of [[portableHash]] over expression `e`. */
   def portableHashSql(e: String, salt: String = ""): String =

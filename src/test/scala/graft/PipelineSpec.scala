@@ -122,6 +122,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(defFrames.collect().forall(_.frame_bytes.length == 8))
   }
 
+  test("hash-family switch: xxhash64 mode reproduces md5-mode verdicts (values differ, sets agree)") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bank tonight",
+      3L -> "an entirely different document about columnar execution engines and shuffles",
+      4L -> "an entirely different document about columnar execution engines and exchanges")
+    def pairs() = Dedup.nearDupPairs(d, "doc_id", "text")
+      .where($"is_dup").select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    def sig() = TextOps.minhashSignatures(
+      TextOps.shingles(d, "doc_id", "text"), "doc_id")
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val (mdPairs, mdSig) = (pairs(), sig())
+    System.setProperty(TextOps.HashFamilyProp, "xxhash64")
+    try {
+      val (xxPairs, xxSig) = (pairs(), sig())
+      // verdict SETS agree across families...
+      assert(xxPairs == mdPairs && mdPairs == Set((1L, 2L), (3L, 4L)))
+      // ...while the signature VALUES genuinely come from the other
+      // family (otherwise the flag tested nothing)
+      assert(xxSig != mdSig)
+      // domain contract: still positive 60-bit (affine rehash range holds)
+      assert(xxSig.forall(_.tail.forall(v => v.asInstanceOf[Long] >= 0L)))
+    } finally System.clearProperty(TextOps.HashFamilyProp)
+    // and the default is restored — md5 values come back bit-identical
+    assert(sig() == mdSig)
+  }
+
   test("dupWindowScrub removes shared boilerplate windows and rebuilds text in order") {
     import spark.implicits._
     val w = 4
