@@ -101,17 +101,24 @@ object Similarity {
     */
   final val PlaneStride = 20
 
-  /** The ~log₂(corpus) sizing rule for `planesPerBand` (`ceil(log₂ n)`,
-    * clamped to [4, [[PlaneStride]]]): 2^p bucket keys per band then
-    * TRACK the corpus, so expected bucket size stays O(1) and per-band
-    * candidate volume stays near-linear at every scale — a fixed p is
-    * quadratic N²/2^p at some scale, and too large a p costs recall for
-    * nothing. Integer bit-math (not float log) so the SQL oracle's
-    * `length(ltrim(bin(n-1),'0'))` derives the identical value.
+  /** The log₂(corpus)-plus-margin sizing rule for `planesPerBand`
+    * (`ceil(log₂ n) + 5`, clamped to [8, [[PlaneStride]]]): 2^p bucket
+    * keys per band TRACK the corpus, so per-band candidate volume stays
+    * near-linear at every scale — a fixed p is quadratic N²/2^p at some
+    * scale. The +5 margin sets the collision BUDGET: expected uniform
+    * collisions per band are N²/2^(p+1) ≈ N/64 instead of the bare
+    * rule's N/2 — measured at sf0.1 (N=2000) the bare `ceil(log₂ n)`
+    * spent 3× the whole query's time materializing collision pairs the
+    * verifier then rejected, while the extra planes' sweep cost is
+    * noise (the sweep is O(rows·planes·dim); pairs are O(collisions)).
+    * Recall margin stays ample at the p=20 ceiling: a cos≈0.99 pair
+    * agrees on a 20-plane band with P≈0.75, so 8 bands miss with
+    * P≈1.5e-5. Integer bit-math (not float log) so the SQL oracle's
+    * `length(ltrim(bin(n-1),'0')) + 5` derives the identical value.
     */
   def adaptivePlanesPerBand(n: Long): Int = {
     val bits = if (n <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    math.max(4, math.min(PlaneStride, bits))
+    math.max(8, math.min(PlaneStride, bits + 5))
   }
 
   /** Banded candidate pairs (id_a < id_b, distinct): pairs agreeing on
@@ -198,13 +205,13 @@ object Similarity {
       numBands: Int = 8,
       planesPerBand: Int = 0): String = {
     val adaptive = planesPerBand <= 0
-    // adaptive twin of the Spark side: p = clamp(ceil(log2 n), 4, stride)
+    // adaptive twin of the Spark side: p = clamp(ceil(log2 n)+5, 8, stride)
     // via integer bit-length (bin() is zero-padded in DuckDB ⇒ ltrim),
     // and band b bit j reads LITERAL plane b·stride+j with a `j < p`
     // gate — the sig expression's structure is count-independent even
     // though its value is count-derived, exactly like the Spark plan
     val pSql =
-      s"greatest(4, least($PlaneStride, length(ltrim(bin((SELECT count(*) FROM $tbl) - 1), '0'))))"
+      s"greatest(8, least($PlaneStride, length(ltrim(bin((SELECT count(*) FROM $tbl) - 1), '0')) + 5))"
     def gatedSigSql(b: Int): String =
       "CAST(" + (0 until PlaneStride).map { j =>
         s"CASE WHEN $j < p AND ${dotQSql(s"(${planeSql(b * PlaneStride + j, dim)})", "qe", dim)} > 0 THEN ${1L << j} ELSE 0 END"

@@ -70,17 +70,17 @@ class PipelineSpec extends AnyFunSuite {
     }
     val (p1, c1) = candCount(2000)
     val (p2, c2) = candCount(8000)
-    assert(p1 == 11 && p2 == 13, s"derived p: $p1/$p2") // ceil(log2) rule
+    assert(p1 == 16 && p2 == 18, s"derived p: $p1/$p2") // ceil(log2)+5 rule
     assert(c1 > 0, "no candidates at N=2000 — test corpus degenerate")
     val growth = c2.toDouble / c1.toDouble
     assert(growth < 8.0, s"candidate volume grew ${growth}× for a 4× corpus — quadratic regression")
-    // the derivation itself: exact bit-math ceil(log2), clamped
-    assert(Similarity.adaptivePlanesPerBand(1) == 4)
-    assert(Similarity.adaptivePlanesPerBand(16) == 4)
-    assert(Similarity.adaptivePlanesPerBand(17) == 5)
-    assert(Similarity.adaptivePlanesPerBand(500) == 9)
-    assert(Similarity.adaptivePlanesPerBand(512) == 9)
-    assert(Similarity.adaptivePlanesPerBand(513) == 10)
+    // the derivation itself: exact bit-math ceil(log2)+margin, clamped
+    assert(Similarity.adaptivePlanesPerBand(1) == 8)
+    assert(Similarity.adaptivePlanesPerBand(16) == 9)
+    assert(Similarity.adaptivePlanesPerBand(17) == 10)
+    assert(Similarity.adaptivePlanesPerBand(500) == 14)
+    assert(Similarity.adaptivePlanesPerBand(512) == 14)
+    assert(Similarity.adaptivePlanesPerBand(513) == 15)
     assert(Similarity.adaptivePlanesPerBand(Long.MaxValue) == Similarity.PlaneStride)
   }
 
