@@ -15,6 +15,14 @@ object Pipeline {
 
   private val DIM = 64 // embeddings.embedding length
 
+  /** q114's canned query set (terms from the synthetic docs vocabulary;
+    * q1 repeats "fast" to exercise query-term weighting).
+    */
+  private val RetrievalQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark join merge",
+    1L -> "vector scan fast fast",
+    2L -> "customer order window")
+
   /** Materialized LSH signature index over the standing corpus (doc_id %
     * 7 != 0 — the complement of q86/q87's ingest batch), built once per
     * testdata dir and shared across verify/bench passes: the standing
@@ -740,6 +748,31 @@ object Pipeline {
           .orderBy(col("doc_id")),
       Some(TextOps.dupWindowScrubSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
+
+    // Sparse lexical retrieval: integer-exact TF-IDF top-k — the
+    // curation-side search tool (targeted decontamination, "which
+    // training docs look like this prompt"). One corpus pass (array-HOF
+    // tf against the broadcast term list, never a (doc, token) explode
+    // exchange), a driver-bounded idf model, bounded-heap rerank.
+    "q114_tfidf_topk" -> QueryDef(
+      (s, dir) =>
+        graft.functions.Retrieval.tfidfTopK(
+          tbl(s, dir, "documents"), "doc_id", "text", RetrievalQueries, k = 5),
+      Some(graft.functions.Retrieval.tfidfTopKSql(
+        "documents", "doc_id", "text", RetrievalQueries, k = 5))),
+
+    // Exact quantiles WITHOUT a global sort: 4-pass radix selection
+    // (16-bit digits, driver-bounded histograms) — the 100 TB form of
+    // q69's window pass; the oracle is the definitional rank-select.
+    "q115_radix_quantiles" -> QueryDef(
+      (s, dir) =>
+        graft.functions.Quantiles.radixQuantiles(
+          tbl(s, dir, "events")
+            .select(round(col("value").cast("double") * 100).cast("long").as("vc")),
+          "vc", pNums = Seq(25, 50, 90, 99), pDen = 100),
+      Some(graft.functions.Quantiles.radixQuantilesSql(
+        "events", "CAST(round(CAST(value AS DOUBLE)*100) AS BIGINT)",
+        Seq(25, 50, 90, 99), 100))),
 
     // Tokenizer-encode: every doc to its token-ID sequence under the
     // corpus's own ranked vocab (rank = count desc / token asc, OOV =

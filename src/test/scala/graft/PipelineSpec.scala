@@ -84,6 +84,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.adaptivePlanesPerBand(Long.MaxValue) == Similarity.PlaneStride)
   }
 
+  test("tfidfTopK: weighting, idf ordering, tie-break, absent terms") {
+    import graft.functions.Retrieval
+    // d1 has 'rare' (df=1), d2/d3 share 'common' (df=3 incl. d1)
+    val corpus = docs(
+      1L -> "rare common alpha",
+      2L -> "common common beta",
+      3L -> "common gamma gamma",
+      4L -> "delta delta delta")
+    // idf: df=1 → 63, df=3 → 62
+    val r = Retrieval.tfidfTopK(corpus, "doc_id", "text",
+      Seq(0L -> "rare common", 1L -> "gamma gamma", 2L -> "nosuchterm"), k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val q0 = r.filter(_._1 == 0L).map(x => (x._2, x._3)).toSeq
+    // d1: 1·63 (rare) + 1·62 (common) = 125; d2: 2·62 = 124; d3: 1·62 = 62
+    assert(q0 == Seq((1L, 125L), (2L, 124L), (3L, 62L)), s"q0 scoring: $q0")
+    // qtf=2 doubles gamma's weight: d3 tf(gamma)=2, df(gamma)=1 → 2·2·63
+    val q1 = r.filter(_._1 == 1L).map(x => (x._2, x._3)).toSeq
+    assert(q1 == Seq((3L, 252L)), s"q1 qtf weighting: $q1")
+    // a query with no term in the corpus yields no rows, not score-0 rows
+    assert(!r.exists(_._1 == 2L))
+    // determinism: tie on score resolves by ascending doc_id in rank order
+    val tied = Retrieval.tfidfTopK(
+      docs(7L -> "x", 5L -> "x", 6L -> "x"), "doc_id", "text",
+      Seq(0L -> "x"), k = 2).collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(tied.toSeq == Seq((5L, 1L), (6L, 2L)))
+  }
+
+  test("radixQuantiles: exact rank-select incl. negatives, ties, extremes") {
+    import graft.functions.Quantiles
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // negatives exercise the sign-bit flip; ties and huge magnitudes the
+    // digit walk; n chosen not divisible by any pDen used
+    val data: Seq[Long] = Seq.fill(997)(rnd.nextLong() % 1000000L) ++
+      Seq(Long.MinValue, Long.MaxValue, 0L, 0L, 0L, -17L, -17L)
+    val sorted = data.sorted
+    val n = data.size
+    val pNums = Seq(1, 13, 50, 77, 100)
+    val got = Quantiles.radixQuantiles(
+      data.toDF("v"), "v", pNums, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (p <- pNums) {
+      val want = sorted((p.toLong * n + 99).toInt / 100 - 1) // ceil, 1-based
+      assert(got(p.toLong) == want, s"p=$p/100: got ${got(p.toLong)} want $want")
+    }
+    // empty input: no rows, not a crash
+    assert(Quantiles.radixQuantiles(
+      Seq.empty[Long].toDF("v"), "v", Seq(50), 100).count() == 0L)
+    // single row: every quantile is that row
+    val one = Quantiles.radixQuantiles(
+      Seq(-42L).toDF("v"), "v", Seq(1, 100), 100).collect()
+    assert(one.forall(_.getLong(1) == -42L) && one.length == 2)
+  }
+
   test("MediaDecoder plug point: a bound fake video codec decodes end to end") {
     import spark.implicits._
     import graft.functions.MediaDecoder
