@@ -220,6 +220,21 @@ object PipelineStress {
         "doc_id", "source", cap = 100))
     }
 
+    // lexical retrieval (q114): 8 queries over the salted corpus — the
+    // term list must hit salted tokens, so derive queries from group-0
+    // vocabulary ('tk0' forms survive the copy transform for copy < 4)
+    timed("tfidf_topk_8q") {
+      force(graft.functions.Retrieval.tfidfTopK(docs, "doc_id", "text",
+        (0L until 8L).map(q => q -> s"spark0 join0 merge0 value0 table$q"), k = 10))
+    }
+    // radix quantiles (q115): 4 exact quantiles of a 64-bit derived
+    // value over the full corpus — 4 digit passes, no sort
+    timed("radix_quantiles") {
+      force(graft.functions.Quantiles.radixQuantiles(
+        docs.select(xxhash64(col("text")).as("v")), "v",
+        Seq(25, 50, 90, 99), 100))
+    }
+
     // embeddings: embMult x 500 vectors; flip pattern varies with BOTH a
     // coarse (mod 97) and fine (mod 5) copy residue so distinct copies
     // are distinct vectors (no artificial identical-vector cliques)

@@ -59,14 +59,18 @@ object Retrieval {
     }
     val terms: Seq[String] = qTok.map(_._2).distinct.sorted
 
-    // one corpus pass: per-doc tf of each term via array HOFs (shuffle-free)
+    // one corpus pass: per-doc tf of each term via array HOFs
+    // (shuffle-free), materialized once via localCheckpoint — it feeds
+    // BOTH the idf-model job and the returned scoring plan, and the
+    // blocks GC-release with the returned frame (a persist would either
+    // recompute the corpus pass or pin cache into the caller's session)
     val tf = docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), explode(typedLit(terms)).as("tok"), col("tk"))
       .withColumn("tf", size(filter(col("tk"), t => t === col("tok"))).cast("long"))
       .where(col("tf") > 0)
       .select(col("doc_id"), col("tok"), col("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // the idf model: O(|terms|) rows, collected — driver-bounded by design
     val dfByTok: Map[String, Long] = tf.groupBy(col("tok")).count()
@@ -83,10 +87,8 @@ object Retrieval {
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("w") * col("tf")).as("score"))
 
-    val ranked = TopK.perKey(scores, Seq("q_id"),
-      Seq("score" -> true, "doc_id" -> false), k)
-    tf.unpersist()
-    ranked.select(col("q_id"), col("doc_id"), col("score"), col("rk"))
+    TopK.perKey(scores, Seq("q_id"), Seq("score" -> true, "doc_id" -> false), k)
+      .select(col("q_id"), col("doc_id"), col("score"), col("rk"))
       .orderBy(col("q_id"), col("rk"))
   }
 
