@@ -24,6 +24,50 @@ class PlanContractSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.toString
 
+  test("lexical retrieval: no token-keyed corpus exchange, broadcast weights, heap rerank") {
+    val p = plan("q114_tfidf_topk")
+    // no corpus-wide window sort and no token-keyed shuffle: the only
+    // exchanges are the (q_id, doc_id) score aggregate, the small top-k
+    // repartition and the final presentation sort
+    assert(!p.contains("WindowExec"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "query weights must broadcast")
+    assert(p.contains("GroupedTopK"), "rerank must be the bounded heap")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+    val exchanges = "Exchange hashpartitioning\\(([^,]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(!exchanges.exists(_.startsWith("tok")),
+      s"corpus shuffled on a token key: $exchanges")
+  }
+
+  test("radix quantiles: every executed pass is sort-free and window-free") {
+    import scala.collection.mutable
+    val seen = mutable.Buffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        seen.synchronized { seen += qe.executedPlan.toString; () }
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      val out = graft.functions.Quantiles.radixQuantiles(
+        (1L to 5000L).map(i => i * 2654435761L % 100003L - 50000L).toDF("v"),
+        "v", Seq(25, 50, 90, 99), 100)
+      out.collect()
+      // QueryExecutionListener delivery is async (listener bus) — poll
+      // for the 4 digit-pass plans rather than reaching into private API
+      val deadline = System.nanoTime() + 5000000000L
+      while (seen.synchronized(seen.count(_.contains("HashAggregate"))) < 4
+          && System.nanoTime() < deadline) Thread.sleep(50)
+      val passes = seen.synchronized(seen.filter(_.contains("HashAggregate")).toList)
+      assert(passes.nonEmpty, "histogram passes not observed")
+      passes.foreach { p =>
+        assert(!p.contains("SortExec") && !p.contains("WindowExec"),
+          "a radix pass sorted or windowed:\n" + p.take(600))
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("store cutout pushes morton/t predicates into the parquet scan") {
     val p = plan("q50_store_roundtrip")
     assert(p.contains("PushedFilters"))
