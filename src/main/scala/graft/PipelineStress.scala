@@ -220,6 +220,11 @@ object PipelineStress {
         "doc_id", "source", cap = 100))
     }
 
+    // text normalization scrub (q116): NFC + control strip + squash —
+    // a pure per-row codegen chain, the cheapest possible shape
+    timed("clean_text") {
+      force(TextOps.cleanText(docs, "doc_id", "text"))
+    }
     // lexical retrieval (q114): 8 queries over the salted corpus — the
     // term list must hit salted tokens, so derive queries from group-0
     // vocabulary ('tk0' forms survive the copy transform for copy < 4)

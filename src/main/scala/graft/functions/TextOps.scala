@@ -432,6 +432,33 @@ object TextOps {
     s"SELECT $idCol, $counts, $redacted AS redacted FROM $tbl"
   }
 
+  /** Text normalization scrub — the standard ingest-side cleaning pass:
+    * Unicode NFC composition ([[NfcNormalize]], a codegen Expression —
+    * Spark has no built-in), C0/DEL control characters stripped (newline
+    * and tab survive as whitespace for the squash), whitespace runs
+    * collapsed to single spaces, ends trimmed. Pure per-row codegen
+    * chain, a map at any corpus scale. Returns (id, text_clean,
+    * changed). The control-strip runs BEFORE the `\s` squash so the
+    * Java/RE2 `\s`-class difference (U+000B) can never matter.
+    */
+  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(NfcNormalize(col(textCol)),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+    df.select(col(idCol), cleaned.as("text_clean"),
+      (cleaned =!= col(textCol)).as("changed"))
+  }
+
+  /** DuckDB twin of [[cleanText]] (utf8proc `nfc_normalize`; RE2 needs
+    * the explicit 'g' flag).
+    */
+  def cleanTextSql(tbl: String, idCol: String, textExpr: String): String = {
+    val cleaned = "trim(regexp_replace(regexp_replace(nfc_normalize(" + textExpr +
+      "), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), '\\s+', ' ', 'g'))"
+    s"SELECT $idCol, $cleaned AS text_clean, $cleaned <> $textExpr AS changed FROM $tbl"
+  }
+
   /** Deterministic train/val/test assignment: bucket = [[portableHash]]
     * of the id (salted) mod 100, mapped through cumulative percent
     * ranges — stable under any partitioning, reshuffling, or re-run, and

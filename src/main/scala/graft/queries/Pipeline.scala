@@ -23,6 +23,12 @@ object Pipeline {
     1L -> "vector scan fast fast",
     2L -> "customer order window")
 
+  /** q116's injected mess: decomposed e+COMBINING ACUTE (NFC composes
+    * it), a BEL control char (stripped), tab + double-space runs
+    * (squashed), trailing space (trimmed).
+    */
+  private val MessySuffix = "  Cafe\u0301 \u0007 ok\tend "
+
   /** Materialized LSH signature index over the standing corpus (doc_id %
     * 7 != 0 — the complement of q86/q87's ingest batch), built once per
     * testdata dir and shared across verify/bench passes: the standing
@@ -748,6 +754,22 @@ object Pipeline {
           .orderBy(col("doc_id")),
       Some(TextOps.dupWindowScrubSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
+
+    // Text normalization scrub: NFC composition (codegen Expression —
+    // Spark has no built-in) + control-char strip + whitespace squash.
+    // The corpus is ASCII-clean, so a messy suffix (decomposed accent,
+    // BEL, tab runs) is injected on BOTH sides to make the oracle
+    // exercise every branch, not just the identity path.
+    "q116_clean_text" -> QueryDef(
+      (s, dir) =>
+        TextOps.cleanText(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), concat(col("text"), lit(MessySuffix)).as("text")),
+          "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextOps.cleanTextSql(
+        s"(SELECT doc_id, text || '$MessySuffix' AS text FROM documents)",
+        "doc_id", "text") + " ORDER BY doc_id")),
 
     // Sparse lexical retrieval: integer-exact TF-IDF top-k — the
     // curation-side search tool (targeted decontamination, "which

@@ -111,6 +111,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(tied.toSeq == Seq((5L, 1L), (6L, 2L)))
   }
 
+  test("cleanText: NFC composition, control strip, squash, idempotence") {
+    import graft.functions.TextOps
+    val messy = docs(
+      1L -> "Cafe\u0301 du\u0000pont",     // decomposed accent + NUL
+      2L -> " a\u0007b\t\tc  d ",          // BEL, tab run, pad
+      3L -> "already clean",
+      4L -> "\u212b vs A\u030a")           // ANGSTROM / A+ring both -> U+00C5
+    val r = TextOps.cleanText(messy, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getBoolean(2))).toMap
+    assert(r(1L) == ("Caf\u00e9 dupont", true))
+    assert(r(2L) == ("ab c d", true))
+    assert(r(3L) == ("already clean", false))
+    // NFC maps U+212B and A+U+030A to the same composed char
+    assert(r(4L)._1 == "\u00c5 vs \u00c5")
+    // idempotent: cleaning the cleaned text changes nothing
+    val again = TextOps.cleanText(
+      TextOps.cleanText(messy, "doc_id", "text")
+        .select(col("doc_id"), col("text_clean").as("text")),
+      "doc_id", "text").collect()
+    assert(again.forall(!_.getBoolean(2)))
+  }
+
   test("radixQuantiles: exact rank-select incl. negatives, ties, extremes") {
     import graft.functions.Quantiles
     import spark.implicits._
