@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.core.{MortonDecode, MortonEncode}
-import graft.functions.{DotProductQ, SortedDistinctCount, SortedIntersectCount, SqDistQ}
+import graft.functions.{DotProductQ, NfcNormalize, SortedDistinctCount, SortedIntersectCount, SqDistQ}
 
 /** SQL surface for the custom Catalyst expressions: registers
   * `morton_encode(x,y,z)` and `morton_x/y/z(m)` so `spark.sql(...)`
@@ -55,6 +55,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sqdist_q(a, b)")
         SqDistQ(args(0), args(1))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(s)")
+        NfcNormalize(args.head)
       }),
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),

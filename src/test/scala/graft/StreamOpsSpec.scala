@@ -188,6 +188,9 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().head
     assert(s2.getLong(0) == 32L && s2.getLong(1) == 25L)
     assert(s2.getLong(2) == 2L && s2.getLong(3) == 3L)
+    // text normalization rides the same registry (decomposed → composed)
+    val s3 = spark.sql("SELECT nfc_normalize('Café') AS t").collect().head
+    assert(s3.getString(0) == "Café")
     // extension class injects the same builders
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders validated above
