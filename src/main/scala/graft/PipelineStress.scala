@@ -257,6 +257,10 @@ object PipelineStress {
       force(Similarity.lshTopK(emb, "vec_id", "embedding",
         col("vec_id") < 100, 5, 64, 4))
     }
+    timed("ann_lsh_multiprobe_100q") {
+      force(Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+        col("vec_id") < 100, 5, 64, 4))
+    }
     timed("embedding_near_dups") {
       force(Similarity.embeddingNearDups(emb, "vec_id", "embedding", 64,
         tauNum = 3, tauDen = 10))

@@ -675,6 +675,58 @@ object Similarity {
     TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
   }
 
+  /** Multi-probe LSH ANN (the Lv et al. 2007 idea in its deterministic
+    * form): each query probes its HOME bucket plus every single-plane-
+    * flip neighbor — `numPlanes + 1` buckets — because a true neighbor
+    * that lands one hyperplane to the other side is the dominant LSH
+    * failure mode. Recall rises toward brute force while the corpus side
+    * is untouched: the fan-out is on the (small, broadcast) QUERY side
+    * only, so the scale shape of [[lshTopK]] is preserved exactly. Each
+    * corpus vector lives in one bucket and probe buckets are distinct,
+    * so no (query, candidate) pair is scored twice — no dedup pass.
+    * Returns (query_id, id, dot, rk ≤ k).
+    */
+  def lshTopKMultiProbe(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 4): DataFrame = {
+    val bucketed = Par.fanOut(df.select(col(idCol), col(embCol)))
+      .select(col(idCol), quantize(col(embCol)).as("qe"))
+      .withColumn("bucket", lshBucket(col("qe"), dim, numPlanes))
+    val probeSet = array(
+      col("bucket") +: (0 until numPlanes).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val queries = bucketed.where(queryPred)
+      .select(col(idCol).as("query_id"), col("qe").as("qv"),
+        explode(probeSet).as("bucket"))
+    val scored = broadcast(queries).join(bucketed, "bucket")
+      .select(col("query_id"), col(idCol), dotQ(col("qv"), col("qe")).as("dot"))
+    TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
+  }
+
+  /** DuckDB twin of [[lshTopKMultiProbe]] (probe buckets via xor on the
+    * same literal-plane bucket expression).
+    */
+  def lshTopKMultiProbeSql(
+      tbl: String, idCol: String, embCol: String,
+      queryPredSql: String, k: Int, dim: Int, numPlanes: Int = 4): String = {
+    val probes = ("bucket" +: (0 until numPlanes).map(j => s"xor(bucket, ${1L << j})"))
+      .map(p => s"SELECT query_id, q, $p AS pb FROM qq").mkString(" UNION ALL ")
+    s"""qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
+       |b AS (SELECT $idCol, qe, ${lshBucketSql("qe", dim, numPlanes)} AS bucket FROM qv),
+       |qq AS (SELECT $idCol AS query_id, qe AS q, bucket FROM b WHERE $queryPredSql),
+       |pr AS ($probes),
+       |d AS (SELECT pr.query_id, b.$idCol, ${dotQSql("pr.q", "b.qe", dim)} AS dot
+       |      FROM pr JOIN b ON pr.pb = b.bucket)
+       |SELECT query_id, $idCol, dot, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, $idCol) AS rk FROM d) r
+       |WHERE rk <= $k""".stripMargin.replace("\n", " ")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     * the corpus with the deterministic integer Lloyd quantizer, compare
     * only CELL-MATES with the exact int64 squared-cosine gate, close the

@@ -274,6 +274,17 @@ object Pipeline {
               |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rk FROM d) r
               |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " "))),
 
+    // Multi-probe LSH ANN: the home bucket plus every single-plane-flip
+    // neighbor — recall toward brute force at (numPlanes+1)× QUERY-side
+    // fan-out only; the corpus side is identical to q40.
+    "q117_ann_lsh_multiprobe" -> QueryDef(
+      (s, dir) =>
+        Similarity.lshTopKMultiProbe(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, 5, DIM, 4)
+          .orderBy(col("query_id"), col("rk")),
+      Some("WITH " + Similarity.lshTopKMultiProbeSql("embeddings", "vec_id", "embedding",
+        "vec_id < 10", 5, DIM, 4) + " ORDER BY query_id, rk")),
+
     // Embedding-cosine near-dup: LSH buckets + exact integer squared-cosine
     // threshold (cos >= 0.3), completing the dedup family.
     "q49_embedding_near_dup" -> QueryDef(

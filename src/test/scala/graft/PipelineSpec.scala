@@ -111,6 +111,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(tied.toSeq == Seq((5L, 1L), (6L, 2L)))
   }
 
+  test("multi-probe LSH: dominates single-bucket and recovers one-plane-away neighbors") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 400L).map(i => (i, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val pred = col("vec_id") < 20
+    def res(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Long)]] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(r.fieldIndex("dot"))))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq.sortBy(-_._2)).toMap
+    val single = res(Similarity.lshTopK(corpus, "vec_id", "embedding", pred, 5, dim, 4))
+    val multi = res(Similarity.lshTopKMultiProbe(corpus, "vec_id", "embedding", pred, 5, dim, 4))
+    // domination: the k-th best dot can only improve when probing more buckets
+    for ((q, m) <- multi; s <- single.get(q)) {
+      assert(m.map(_._2).min >= s.map(_._2).min,
+        s"query $q: multiprobe k-th dot ${m.map(_._2).min} < single ${s.map(_._2).min}")
+    }
+    // planted case: a query and its near-twin whose buckets differ on
+    // exactly ONE plane — the canonical LSH miss multi-probe exists for
+    val buckets = corpus
+      .select(col("vec_id"), Similarity.lshBucket(
+        Similarity.quantize(col("embedding")), dim, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pair = (for {
+      q <- 0L until 20L; c <- 20L until 400L
+      if java.lang.Long.bitCount(buckets(q) ^ buckets(c)) == 1
+    } yield (q, c)).head
+    val (pq, pc) = pair
+    // the one-plane-away candidate is SCORED by multiprobe (it reaches the
+    // heap's candidate stream); single-bucket can never score it
+    val multiCands = Similarity.lshTopKMultiProbe(
+      corpus, "vec_id", "embedding", col("vec_id") === pq, 400, dim, 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(multiCands.contains(pc), s"one-plane neighbor $pc not probed for query $pq")
+    val singleCands = Similarity.lshTopK(
+      corpus, "vec_id", "embedding", col("vec_id") === pq, 400, dim, 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(!singleCands.contains(pc), "test premise broken: buckets matched")
+  }
+
   test("cleanText: NFC composition, control strip, squash, idempotence") {
     import graft.functions.TextOps
     val messy = docs(
@@ -151,6 +192,17 @@ class PipelineSpec extends AnyFunSuite {
       val want = sorted((p.toLong * n + 99).toInt / 100 - 1) // ceil, 1-based
       assert(got(p.toLong) == want, s"p=$p/100: got ${got(p.toLong)} want $want")
     }
+    // all-equal corpus: one histogram bucket at every pass
+    val flat = Quantiles.radixQuantiles(
+      Seq.fill(100)(7L).toDF("v"), "v", pNums, 100).collect()
+    assert(flat.forall(_.getLong(1) == 7L))
+    // values straddling a 16-bit digit boundary: the prefix walk must
+    // cross bucket 0xFFFF → 0x10000 correctly
+    val edge = Seq(65535L, 65536L, 65537L)
+    // ranks ceil(p·3/100): p=1 → 1, p=34 → 2, p=100 → 3
+    val e = Quantiles.radixQuantiles(edge.toDF("v"), "v", Seq(1, 34, 100), 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e == Map(1L -> 65535L, 34L -> 65536L, 100L -> 65537L), e.toString)
     // empty input: no rows, not a crash
     assert(Quantiles.radixQuantiles(
       Seq.empty[Long].toDF("v"), "v", Seq(50), 100).count() == 0L)
