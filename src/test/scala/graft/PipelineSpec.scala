@@ -111,6 +111,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(tied.toSeq == Seq((5L, 1L), (6L, 2L)))
   }
 
+  test("tfidfTopK: randomized parity with a local brute-force scorer") {
+    import graft.functions.Retrieval
+    val rnd = new scala.util.Random(61)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen", "ibex", "jay")
+    for (trial <- 0 until 3) {
+      val corpus: Seq[(Long, String)] = (0L until 60L).map(i =>
+        i -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val queries: Seq[(Long, String)] = (0L until 4L).map(q =>
+        q -> Seq.fill(1 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      // local reference: same idf convention, same tie-break
+      val tfm: Map[Long, Map[String, Long]] = corpus.map { case (id, t) =>
+        id -> t.split(" ").groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      }.toMap
+      val dfm: Map[String, Long] = tfm.values.flatMap(_.keys).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      def idf(df: Long): Long = java.lang.Long.numberOfLeadingZeros(df).toLong
+      val want: Seq[(Long, Long, Long, Long)] = queries.flatMap { case (qid, qt) =>
+        val qtf = qt.split(" ").groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+        corpus.map { case (id, _) =>
+          val score = qtf.map { case (tok, w) =>
+            w * tfm(id).getOrElse(tok, 0L) * dfm.get(tok).map(idf).getOrElse(0L)
+          }.sum
+          (qid, id, score)
+        }.filter(_._3 > 0).sortBy(x => (-x._3, x._2)).take(5)
+          .zipWithIndex.map { case ((q, d, s), i) => (q, d, s, i + 1L) }
+      }
+      val got = Retrieval.tfidfTopK(
+        docs(corpus: _*), "doc_id", "text", queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got.sorted == want.sorted, s"trial $trial: got $got\nwant $want")
+    }
+  }
+
   test("multi-probe LSH: dominates single-bucket and recovers one-plane-away neighbors") {
     import spark.implicits._
     val dim = 16
