@@ -69,8 +69,23 @@ object Bench {
     val nErr = results.count(_._2.isLeft)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"passes":$passes,"sf":"$sfDir"}"""
+    // Full-precision, full-name map → bench.json for humans and PLANS.md
+    // round-over-round diffs.
     Files.writeString(Paths.get("bench.json"), json + "\n")
-    println(json)
+    // Stdout gets a COMPACT line: the driver tail-captures only the last
+    // ~3 KB of stdout, and round 10's 5 KB line was truncated mid-line
+    // ("parsed": null in BENCH_r10.json). Short keys (the qNN prefix,
+    // unique across SparkEntry.queries) + 3-decimal seconds keep the full
+    // 117-query map under ~1.8 KB so the driver's parse always sees a
+    // complete final line.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qsCompact = results.map {
+      case (k, Right(v)) => s""""${k.takeWhile(_ != '_')}":${f3(v)}"""
+      case (k, Left(_))  => s""""${k.takeWhile(_ != '_')}":"err""""
+    }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"errors":$nErr,"passes":$passes,"sf":"$sfDir"}"""
+    println(compact)
     Console.out.flush()
     spark.stop()
   }

@@ -269,14 +269,14 @@ object PipelineStress {
       force(Similarity.ivfTopKDet(emb, "vec_id", "embedding",
         col("vec_id") < 100, 5))
     }
-    // SemDeDup at scale: nlist ∝ N keeps cells ~500 vectors, so the
-    // cell-mate pair join stays near-linear; the KMeans coarse quantizer
-    // fits on the capped sample, assignment is model.transform (no
-    // N×nlist fan-out)
+    // SemDeDup at scale: auto nlist (adaptiveNlist: cells track N at
+    // ~500 vectors each) keeps the cell-mate pair join near-linear with
+    // NO caller tuning; the KMeans coarse quantizer fits on the capped
+    // hash-stride sample, assignment is model.transform (no N×nlist
+    // fan-out)
     timed("semantic_dedup_scaled") {
-      val nlist = math.max(16, (emb.count() / 500).toInt)
       force(Similarity.semanticDedupScaled(emb, "vec_id", "embedding", 64,
-        tauNum = 3, tauDen = 10, nlist = nlist))
+        tauNum = 3, tauDen = 10))
     }
     // ...and the same queries against a MATERIALIZED IVF index (q89):
     // the build is the once-amortized standing cost; the probe is what a

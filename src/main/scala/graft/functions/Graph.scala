@@ -128,6 +128,49 @@ object Graph {
       case _ => ()
     }
 
+  /** Exact connected components for an edge list whose edges NEVER span
+    * `keyCol` groups — the semantic-dedup shape, where pairs only ever
+    * connect cell-mates of a bounded-size quantizer cell. Instead of the
+    * O(log diameter)-pass driver fixpoint of [[connectedComponents]]
+    * (each pass a checkpoint + several exchanges — pure scheduling
+    * overhead when groups are small), ONE aggregation collects each
+    * group's edges and a per-group union-find labels every vertex with
+    * its component's MINIMUM id (identical labels to the fixpoint /
+    * recursive-SQL closure). Per-task state is the group's edge set —
+    * bounded by construction when the group key is an adaptive-nlist
+    * cell (≤ ~targetCellSize² gate-passing pairs ≈ a few MB worst case,
+    * and real gates pass far fewer); do NOT use this for unbounded
+    * groups — that's what [[connectedComponents]] is for.
+    * Returns (id, component), vertices of `pairs` only.
+    */
+  def groupedComponents(
+      pairs: DataFrame, keyCol: String, aCol: String, bCol: String): DataFrame = {
+    val uf = udf { (es: Seq[org.apache.spark.sql.Row]) =>
+      // union-find, min-id root: parent maps only NON-root vertices, so
+      // find() of an unseen vertex is itself; union points the larger
+      // root at the smaller, keeping "root = min of set" invariant
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      es.foreach { e =>
+        val ra = find(e.getLong(0)); val rb = find(e.getLong(1))
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      es.flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
+        .map(v => (v, find(v)))
+    }
+    pairs.groupBy(col(keyCol))
+      .agg(collect_list(struct(col(aCol).cast("long"), col(bCol).cast("long"))).as("es"))
+      .select(explode(uf(col("es"))).as("e"))
+      .select(col("e._1").as("id"), col("e._2").as("component"))
+  }
+
   /** DuckDB twin of [[connectedComponents]] over a CTE named `pairs`
     * with columns (aCol, bCol): recursive transitive closure, then
     * component = min reachable vertex. Exact for any graph the closure

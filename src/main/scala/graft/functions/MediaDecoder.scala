@@ -82,7 +82,11 @@ object MediaDecoder {
         try {
           val ff = javax.sound.sampled.AudioSystem
             .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
-          Some((fmt, ff.getFormat.getSampleRate.toInt, ff.getFrameLength))
+          val rate = ff.getFormat.getSampleRate.toInt
+          val nFrames = ff.getFrameLength
+          // AU/streamed headers can report NOT_SPECIFIED (-1) — decline
+          // rather than leak the sentinel into the (format, w, h) surface
+          if (rate <= 0 || nFrames < 0) None else Some((fmt, rate, nFrames))
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => None
           case _: java.io.IOException                               => None

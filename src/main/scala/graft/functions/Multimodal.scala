@@ -137,9 +137,22 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           MediaDecoder.JdkAudio.meta(bytes).flatMap { case (fmt, rate, nFrames) =>
             try {
-              val in = javax.sound.sampled.AudioSystem
+              val raw = javax.sound.sampled.AudioSystem
                 .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-              val pcm = try in.readAllBytes() finally in.close()
+              // the JDK decodes AIFF/AU big-endian and WAV can be 8-bit:
+              // normalize EVERY stream to signed 16-bit little-endian PCM
+              // before summing (AudioSystem conversion), declining streams
+              // the JDK can't convert — amp_sum is then format-independent
+              // instead of silently byte-swapped for non-16LE inputs
+              val f = raw.getFormat
+              val target = new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+                f.getSampleRate, false)
+              val in =
+                if (f.matches(target)) raw
+                else javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+              val pcm = try in.readAllBytes() finally { in.close(); raw.close() }
               var sum = 0L
               var i = 0
               while (i + 1 < pcm.length) { // signed LE 16-bit samples
@@ -149,6 +162,7 @@ object Multimodal {
               Some((id, fmt, rate.toLong, nFrames.toLong, sum))
             } catch {
               case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: IllegalArgumentException                          => None
               case _: java.io.IOException                               => None
             }
           }

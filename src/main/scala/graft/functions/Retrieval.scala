@@ -31,10 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** 64 − bit-length(df): ≥1 for any df ≥ 1, decreasing in df. */
+  /** 64 − bit-length(df) = numberOfLeadingZeros(df): ≥1 for any df ≥ 1,
+    * decreasing in df (the SQL twin spells it as 64 − bitlen).
+    */
   private def idfInt(df: Long): Long = {
     require(df > 0, s"df must be positive, got $df")
-    64L - (64 - java.lang.Long.numberOfLeadingZeros(df))
+    java.lang.Long.numberOfLeadingZeros(df).toLong
   }
 
   /** Top-`k` docs per query by Σ qtf·tf·idf over shared terms; ties break

@@ -121,6 +121,69 @@ object Similarity {
     math.max(8, math.min(PlaneStride, bits + 5))
   }
 
+  /** Corpus-derived coarse-quantizer width for the semantic-dedup /
+    * IVF family: `clamp(16, cap, n / targetCellSize)`. Cells stay
+    * ~`targetCellSize` vectors, so the Σ n_k² cell-mate pair volume
+    * tracks N at every scale with no caller tuning — the
+    * [[adaptivePlanesPerBand]] rule transplanted from banding to
+    * clustering (a fixed nlist is quadratic N²/nlist at some scale).
+    * `cap` bounds trainer cost, NOT pair volume: 64 for the det-Lloyd
+    * path (centroids ship as codegen literals and generated-code volume
+    * stops scaling past ~64 — past the cap a deployment uses the KMeans
+    * path) and 4096 for KMeans (training is O(cap·trainCap·dim)).
+    * Pure integer math so the SQL twin ([[adaptiveNlistSql]], a scalar
+    * subquery inside the init CTE's LIMIT) derives the identical value.
+    */
+  def adaptiveNlist(n: Long, targetCellSize: Int, cap: Int): Int =
+    math.max(16L, math.min(cap.toLong, n / targetCellSize)).toInt
+
+  /** Caps for [[adaptiveNlist]]'s two trainers (see its scaladoc). */
+  final val DetNlistCap = 64
+  final val KMeansNlistCap = 4096
+
+  /** DuckDB twin of [[adaptiveNlist]]; `countSql` is a scalar subquery
+    * body yielding the corpus count (DuckDB floor-division `//` matches
+    * JVM long division on the non-negative operands here).
+    */
+  def adaptiveNlistSql(countSql: String, targetCellSize: Int, cap: Int): String =
+    s"greatest(16, least($cap, ($countSql) // $targetCellSize))"
+
+  /** Fit the coarse KMeans quantizer on a DETERMINISTIC, driver-bounded
+    * sample of a (idCol, fv) frame with `n` total rows. The sample is a
+    * hash-stride filter — keep rows with `pmod(xxhash64(id), stride) = 0`,
+    * `stride = max(1, n / trainCap)` — so the kept set is input-determined
+    * (repeat runs over the same corpus train on identical rows, making
+    * centroids and hence recall reproducible) and the selection NEVER
+    * leaves the executors: the previous `orderBy(xxhash64).limit(cap)`
+    * planned as TakeOrderedAndProject, landing `cap` full vectors on the
+    * driver (cap·dim·8 B ≈ 3 GiB at cap=100k, dim=4096 — a silent OOM at
+    * large dim) before the fit repartition. Here driver state is O(k·dim)
+    * (the model itself) at any corpus size or dim; expected sample size is
+    * in [trainCap, 2·trainCap) rows, already spread across partitions.
+    * A coarse quantizer needs rough cells, not convergence: k-means||
+    * init (its extra passes run over the BOUNDED sample, not the corpus,
+    * so the cost is capped — and init placement is what decides whether
+    * a semantic-dedup cell captures a whole neighborhood) and 5 Lloyd
+    * iterations; IVF correctness is centroid-independent (nprobe = nlist
+    * equals brute force — the q55 oracle property). Persisted around the
+    * fit (KMeans re-executes its input per iteration; cache bounded by
+    * the stride construction), released before return.
+    */
+  private def fitCoarseQuantizer(
+      withVec: DataFrame, idCol: String, n: Long, k: Int,
+      seed: Long, trainCap: Int): org.apache.spark.ml.clustering.KMeansModel = {
+    val stride = math.max(1L, n / trainCap)
+    val fitInput = withVec
+      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select("fv")
+      .repartition(withVec.sparkSession.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("fv")
+      .fit(fitInput)
+    finally { fitInput.unpersist(); () }
+  }
+
   /** Banded candidate pairs (id_a < id_b, distinct): pairs agreeing on
     * ALL `planesPerBand` sign bits of at least ONE of `numBands` bands —
     * a union of equi-joins on `(band, signature)` keys. The banded frame
@@ -266,38 +329,10 @@ object Similarity {
     val withVec = Par.fanOut(df.select(col(idCol), col(embCol)))
       .select(col(idCol), col(embCol),
         array_to_vector(col(embCol).cast("array<float>")).as("fv"))
-    // a coarse quantizer needs rough cells, not convergence: random init
-    // (k-means|| costs ~2 extra full passes for placement quality the
-    // nprobe rerank doesn't need) and 5 Lloyd iterations place centroids
-    // well enough (recall is governed by nprobe, asserted in PipelineSpec).
-    // The trainer input is CAPPED at `trainCap` rows: at 100 TB you fit
-    // the coarse quantizer on a bounded sample and assign corpus-wide —
-    // every Lloyd pass over the full corpus would be a full-corpus scan
-    // for placement quality the rerank doesn't need. (Correctness is
-    // centroid-independent: with nprobe = nlist the result equals brute
-    // force regardless of placement — the q55 oracle property.)
-    // The sample is DETERMINISTIC: take the trainCap smallest rows by
-    // (xxhash64(id), id) — a pseudo-random but input-determined order, so
-    // repeated runs over the same corpus train on the same rows and
-    // centroids (hence recall at nprobe < nlist) are reproducible; a bare
-    // `limit(trainCap)` picks whatever partitions answer first. The
-    // ordered limit plans as TakeOrderedAndProject (per-partition bounded
-    // heap + one merge), NOT a full sort — one pass at any corpus size.
-    // repartition after the limit (a bare global limit funnels the fit
-    // input to ONE partition, serializing every Lloyd pass) and persist
-    // it around the fit: KMeans re-executes its input plan per
-    // iteration, and the capped input is ≤ trainCap rows by construction
-    // so the cache is bounded at any corpus size — released before return
-    val fitInput = withVec
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
-      .select("fv")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model =
-      try new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-        .setInitMode("random").setFeaturesCol("fv")
-        .fit(fitInput)
-      finally { fitInput.unpersist(); () }
+    // trainer input capped at `trainCap` rows (at 100 TB you fit the
+    // coarse quantizer on a bounded sample and assign corpus-wide);
+    // sampling + fit rationale in [[fitCoarseQuantizer]]
+    val model = fitCoarseQuantizer(withVec, idCol, withVec.count(), nlist, seed, trainCap)
     val assigned = model.transform(withVec)
       .select(col(idCol), quantize(col(embCol)).as("qe"), col("prediction").as("cell"))
     // nprobe nearest centroids per query vector, by exact centroid distance
@@ -364,14 +399,23 @@ object Similarity {
     import qv.sparkSession.implicits._
     var cents: IndexedSeq[Seq[Long]] = qv.orderBy(col(idCol)).limit(nlist)
       .select(col("qe")).as[Seq[Long]].collect().toIndexedSeq
+    val dim = cents.headOption.map(_.size).getOrElse(0)
     for (_ <- 1 to iters) {
+      // per-cell count + dim component sums in ONE hash aggregate (dim
+      // flat sum columns, map-side partial combine) — the earlier
+      // posexplode form blew rows up dim× and paid a second shuffle to
+      // reassemble arrays. floor(sum/count) stays the DOUBLE division the
+      // SQL twin computes (not floorDiv: bit-identical oracle hashes).
       val means = assignCells(qv, cents)
-        .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
         .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)").as("qe"))
-        .as[(Int, Seq[Long])].collect().toMap
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i => sum(col("qe").getItem(i)).as(s"s$i")): _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) ->
+            (0 until dim).map(i => math.floor(r.getLong(2 + i) / n).toLong)
+        }.toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
     cents
@@ -435,7 +479,7 @@ object Similarity {
       idCol: String,
       embCol: String,
       dim: Int,
-      nlist: Int,
+      nlistSql: String,
       iters: Int,
       trainWhereSql: String): String = {
     val dist = distSql(dim) _
@@ -454,7 +498,7 @@ object Similarity {
     s"""qv AS (SELECT $idCol, ${quantizeSql(embCol)} AS qe FROM $tbl),
        |tv AS (SELECT $idCol, qe FROM qv WHERE $trainWhereSql),
        |cs0 AS (SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cell, qe
-       |        FROM tv ORDER BY $idCol LIMIT $nlist),
+       |        FROM tv ORDER BY $idCol LIMIT $nlistSql),
        |$steps,
        |asgn AS (SELECT $idCol, qe, cell FROM (
        |  SELECT v.$idCol, v.qe, c.cell,
@@ -474,7 +518,7 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 2,
       trainWhereSql: String = "TRUE"): String =
-    s"""WITH ${detAssignCtes(tbl, idCol, embCol, dim, nlist, iters, trainWhereSql)},
+    s"""WITH ${detAssignCtes(tbl, idCol, embCol, dim, nlist.toString, iters, trainWhereSql)},
        |occ AS (SELECT cell, count(*) AS n FROM asgn GROUP BY cell)
        |SELECT max(n) AS max_cell, CAST(sum(n) AS BIGINT) AS total_rows,
        |       (SELECT count(*) FROM cs0) AS nlist FROM occ""".stripMargin.replace("\n", " ")
@@ -491,7 +535,7 @@ object Similarity {
       iters: Int = 2,
       trainWhereSql: String = "TRUE"): String = {
     val dist = distSql(dim) _
-    s"""WITH ${detAssignCtes(tbl, idCol, embCol, dim, nlist, iters, trainWhereSql)},
+    s"""WITH ${detAssignCtes(tbl, idCol, embCol, dim, nlist.toString, iters, trainWhereSql)},
        |q AS (SELECT $idCol AS query_id, qe AS qv FROM qv WHERE $queryPredSql),
        |qc AS (SELECT query_id, qv, cell FROM (
        |  SELECT q.query_id, q.qv, c.cell,
@@ -747,8 +791,9 @@ object Similarity {
     * and reuse the cell-partitioned [[writeIvfIndex]] layout so the
     * pair join reads co-partitioned cells. Edges only ever connect
     * cell-mates, so components never span cells and the per-component
-    * pick window is cell-bounded, never corpus-scale. CC passes shuffle
-    * compact (id, label) rows only ([[Graph.connectedComponents]]).
+    * pick window is cell-bounded, never corpus-scale — which also makes
+    * the closure a single per-cell union-find aggregation
+    * ([[Graph.groupedComponents]]), not an iterative fixpoint.
     */
   def semanticDedup(
       df: DataFrame,
@@ -757,12 +802,17 @@ object Similarity {
       dim: Int,
       tauNum: Long,
       tauDen: Long,
-      nlist: Int = 16,
-      iters: Int = 2): DataFrame = {
+      nlist: Int = 0,
+      iters: Int = 2,
+      targetCellSize: Int = 500): DataFrame = {
     val src = Par.fanOut(df.select(col(idCol), col(embCol)))
     val qv = src.select(col(idCol), quantize(col(embCol)).as("qe"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = try lloydCentroids(qv, idCol, nlist, iters) finally { qv.unpersist(); () }
+    // nlist ≤ 0 = auto: derive from the corpus count ([[adaptiveNlist]],
+    // det-path literal-codegen cap 64) — the count also warms the persist
+    // the training collects reuse
+    val nl = if (nlist > 0) nlist else adaptiveNlist(qv.count(), targetCellSize, DetNlistCap)
+    val cents = try lloydCentroids(qv, idCol, nl, iters) finally { qv.unpersist(); () }
     // assignment + own-centroid distance in one pass: the min of the
     // per-centroid distance array IS the assigned cell's distance
     val dists = array(cents.map(l2): _*)
@@ -800,24 +850,20 @@ object Similarity {
       dim: Int,
       tauNum: Long,
       tauDen: Long,
-      nlist: Int,
+      nlist: Int = 0,
       seed: Long = 42L,
-      trainCap: Int = 100000): DataFrame = {
+      trainCap: Int = 100000,
+      targetCellSize: Int = 500): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val withVec = Par.fanOut(df.select(col(idCol), col(embCol)))
       .select(col(idCol), col(embCol),
         array_to_vector(col(embCol).cast("array<float>")).as("fv"))
-    val fitInput = withVec
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainCap)
-      .select("fv")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model =
-      try new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-        .setInitMode("random").setFeaturesCol("fv")
-        .fit(fitInput)
-      finally { fitInput.unpersist(); () }
+    // nlist ≤ 0 = auto ([[adaptiveNlist]], KMeans cap): cells track N so
+    // the cell-mate pair volume stays ~O(N) at every SF without tuning
+    val n = withVec.count()
+    val nl = if (nlist > 0) nlist else adaptiveNlist(n, targetCellSize, KMeansNlistCap)
+    val model = fitCoarseQuantizer(withVec, idCol, n, nl, seed, trainCap)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(v => math.round(v * 1000))) }
     val centDf = broadcast(cents.toSeq.toDF("cell", "cq"))
@@ -853,8 +899,11 @@ object Similarity {
       .where(col("dot") > 0 &&
         lit(tauDen * tauDen) * col("dot") * col("dot") >=
           lit(tauNum * tauNum) * col("na2") * col("nb2"))
-      .select(col("id_a"), col("id_b"))
-    val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("cell"))
+    // edges never span cells and cells are adaptive-nlist-bounded, so the
+    // closure is ONE per-cell union-find aggregation, not the driver
+    // fixpoint ([[Graph.groupedComponents]] — same min-id labels)
+    val cc = Graph.groupedComponents(pairs, "cell", "id_a", "id_b")
     val withComp = a.select(col(idCol), col("cell"), col("cdist"))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cell").cast("long").as("cell"), col("cdist"),
@@ -878,11 +927,17 @@ object Similarity {
       dim: Int,
       tauNum: Long,
       tauDen: Long,
-      nlist: Int = 16,
-      iters: Int = 2): String = {
+      nlist: Int = 0,
+      iters: Int = 2,
+      targetCellSize: Int = 500): String = {
     val dist = distSql(dim) _
     val dot = dotQSql("a.qe", "b.qe", dim)
-    s"""${detAssignCtes(tbl, idCol, embCol, dim, nlist, iters, "TRUE")},
+    // nlist ≤ 0 = auto: the LIMIT derives the same clamp(16, cap, n/cell)
+    // the Spark side computes from its count ([[adaptiveNlistSql]])
+    val nlistSql =
+      if (nlist > 0) nlist.toString
+      else adaptiveNlistSql("SELECT count(*) FROM tv", targetCellSize, DetNlistCap)
+    s"""${detAssignCtes(tbl, idCol, embCol, dim, nlistSql, iters, "TRUE")},
        |sdd AS (SELECT g.$idCol AS id, g.cell, g.qe,
        |  ${dist("g.qe", "c.qe")} AS cdist,
        |  ${dotQSql("g.qe", "g.qe", dim)} AS n2

@@ -623,11 +623,19 @@ object TextOps {
     * under the corpus's own ranked vocabulary (id = rank by count desc /
     * token asc; OOV → `oovId`) — the deterministic stand-in for a
     * trained tokenizer's encode pass, and the step that turns a text
-    * corpus into model-ready integer sequences. The vocabulary is
-    * driver-bounded (`limit vocabSize` = the model) and broadcast; the
-    * encode is one exploded broadcast join + an ordered per-doc rebuild.
-    * Returns (id, n_tokens, ids_str) with the ID sequence space-joined —
-    * a portable, hash-comparable encoding of the array.
+    * corpus into model-ready integer sequences. The vocabulary is the
+    * MODEL — ≤ `vocabSize` rows by construction — so it is collected,
+    * ranked on the driver, and broadcast as a hash map; the encode is
+    * then ONE narrow map over the token array (O(1) lookups, no shuffle).
+    * The previous shape — posexplode → broadcast-join → per-doc
+    * array_sort rebuild — paid a corpus-wide (doc, token) exchange plus
+    * a per-doc sort for what is a pure per-row function; at 1M docs that
+    * exchange was 70 s of the stress sweep. Only the vocab COUNT
+    * aggregate (compact (token, n) rows, map-side partial) remains as a
+    * shuffle. Returns (id, n_tokens, ids_str) with the ID sequence
+    * space-joined — a portable, hash-comparable encoding of the array;
+    * docs with zero non-empty tokens yield no row (join-shape parity
+    * with the SQL twin).
     */
   def tokenIds(
       df: DataFrame,
@@ -635,21 +643,33 @@ object TextOps {
       textCol: String,
       vocabSize: Int = 1000,
       oovId: Long = -1L): DataFrame = {
-    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
-      // rank over ≤ vocabSize driver-bounded rows — the single-partition
-      // window IS the model build, never data-sized
-      .withColumn("tid",
-        row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long") - 1)
-      .select(col("tok"), col("tid"))
-    toks.join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        array_join(expr(
-          s"transform(array_sort(collect_list(struct(pos AS pos, coalesce(tid, ${oovId}L) AS tid))), s -> s.tid)"),
-          " ").as("ids_str"))
+    val vocabMap: Map[String, Long] = toks
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize) // TakeOrdered: ≤ vocabSize rows reach the driver
+      .collect()
+      .sortBy(r => (-r.getLong(1), r.getString(0)))
+      .iterator.zipWithIndex.map { case (r, i) => r.getString(0) -> i.toLong }
+      .toMap
+    val bc = spark.sparkContext.broadcast(vocabMap)
+    val enc = udf { (tks: Seq[String]) =>
+      val m = bc.value
+      var n = 0L
+      val sb = new java.lang.StringBuilder
+      tks.foreach { t =>
+        if (t.nonEmpty) {
+          if (n > 0) sb.append(' ')
+          sb.append(m.getOrElse(t, oovId))
+          n += 1
+        }
+      }
+      (n, sb.toString)
+    }
+    df.select(col(idCol), enc(tokens(col(textCol))).as("e"))
+      .where(col("e._1") > 0)
+      .select(col(idCol), col("e._1").as("n_tokens"), col("e._2").as("ids_str"))
   }
 
   /** DuckDB twin of [[tokenIds]]. */

@@ -40,6 +40,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Opt-out knob: GroupedTopKExec's per-task heap (distinct keys × k
+    * rows) lives on the JVM heap and cannot spill, so in the
+    * key-cardinality≈row-count shape an operator may prefer WindowExec's
+    * spillable sort — `SET spark.graft.windowTopKRewrite.enabled=false`
+    * restores it without unbinding the extension.
+    */
+  final val EnabledKey = "spark.graft.windowTopKRewrite.enabled"
+
   /** `Some(k)` when `e` is an upper bound `rk <= k` in any spelling. */
   private def rankBound(e: Expression, rk: Attribute): Option[Int] = e match {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(v)) if a.semanticEquals(rk) => Some(v)
@@ -51,7 +59,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
             WindowSpecDefinition(specPart, specOrder,
@@ -68,9 +80,18 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if (bounds.isEmpty || bounds.values.min < 1) f
       else {
         val k = bounds.values.min
-        // the heap subsumes Spark's own sort-side pre-prune
+        // the heap subsumes Spark's own sort-side pre-prune — but only
+        // strip it when it provably belongs to THIS window (same
+        // partition/order specs, row_number rank, limit ≥ k); a
+        // mismatched node (hand-built plan, future rule interplay) is
+        // left in place rather than wrongly removed
         val base = child match {
-          case WindowGroupLimit(_, _, _, _, grandChild) => grandChild
+          case WindowGroupLimit(wPart, wOrder, RowNumber(), limit, grandChild)
+              if limit >= k &&
+                wPart.length == partSpec.length && wOrder.length == orderSpec.length &&
+                wPart.zip(partSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+                wOrder.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
+            grandChild
           case c => c
         }
         val topk = GroupedTopK(partSpec, orderSpec, k, rk, base)

@@ -84,6 +84,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.adaptivePlanesPerBand(Long.MaxValue) == Similarity.PlaneStride)
   }
 
+  test("adaptive nlist: semantic-dedup cell-pair volume tracks N, not N²") {
+    import spark.implicits._
+    // Auto-nlist derives cells ∝ N (targetCellSize members each), so the
+    // Σ n_k·(n_k−1)/2 cell-mate pair volume should grow ~k× for a k×
+    // corpus; a fixed nlist grows it k²×. Measured from the `cell`
+    // column of the scaled path's own output — uniform random vectors so
+    // KMeans cells stay roughly balanced; bound at 8× (halfway between
+    // linear 4× and quadratic 16×) for robustness.
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(43)
+      (0 until n).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+        .toDF("vec_id", "embedding")
+    }
+    def pairVolume(n: Int): Long =
+      Similarity.semanticDedupScaled(corpus(n), "vec_id", "embedding", dim = 8,
+        tauNum = 3, tauDen = 10, targetCellSize = 125)
+        .groupBy(col("cell")).count()
+        .agg(sum(col("count") * (col("count") - 1))).collect()(0).getLong(0) / 2
+    val v1 = pairVolume(2000) // auto nlist = max(16, 2000/125) = 16
+    val v2 = pairVolume(8000) // auto nlist = 64
+    assert(v1 > 0)
+    val growth = v2.toDouble / v1.toDouble
+    assert(growth < 8.0, s"cell-pair volume grew ${growth}× for a 4× corpus — nlist not tracking N")
+    // the derivation itself: clamp(16, cap, n/cell) integer math
+    assert(Similarity.adaptiveNlist(0, 500, 4096) == 16)
+    assert(Similarity.adaptiveNlist(8000, 500, 4096) == 16)
+    assert(Similarity.adaptiveNlist(8500, 500, 4096) == 17)
+    assert(Similarity.adaptiveNlist(400000, 500, 4096) == 800)
+    assert(Similarity.adaptiveNlist(Long.MaxValue, 500, 4096) == 4096)
+    assert(Similarity.adaptiveNlist(Long.MaxValue, 500, 64) == 64)
+  }
+
+  test("groupedComponents: per-group union-find labels equal the fixpoint CC labels") {
+    import spark.implicits._
+    // random edges confined to groups (the semantic-dedup contract) —
+    // labels must match Graph.connectedComponents' min-reachable-id
+    // exactly, including chain shapes that exercise path compression
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 40).flatMap { g =>
+      val ids = (0 until 12).map(i => g * 100L + i)
+      // a chain + random extra edges inside the group
+      val chain = ids.sliding(2).map(p => (g, p(0), p(1))).toSeq
+      val extra = (0 until 6).map(_ => (g, ids(rnd.nextInt(12)), ids(rnd.nextInt(12))))
+      (chain ++ extra).filter(e => e._2 != e._3)
+    }
+    val df = edges.toDF("cell", "id_a", "id_b")
+    val got = graft.functions.Graph.groupedComponents(df, "cell", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val want = graft.functions.Graph.connectedComponents(df, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("tfidfTopK: weighting, idf ordering, tie-break, absent terms") {
     import graft.functions.Retrieval
     // d1 has 'rare' (df=1), d2/d3 share 'common' (df=3 incl. d1)
