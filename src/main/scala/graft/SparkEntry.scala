@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Mutation, Pipeline, QueryDef, Relational, Spatial}
+import graft.queries.{Mutation, Pipeline, QueryDef, Relational, Spatial, Streaming}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each entry in [[queries]] is one operator from SURVEY §2 (or a
@@ -12,7 +12,7 @@ import graft.queries.{Mutation, Pipeline, QueryDef, Relational, Spatial}
 object SparkEntry {
 
   private def all: Map[String, QueryDef] =
-    Relational.defs ++ Spatial.defs ++ Pipeline.defs ++ Mutation.defs
+    Relational.defs ++ Spatial.defs ++ Pipeline.defs ++ Mutation.defs ++ Streaming.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -356,7 +356,9 @@ object Dedup {
   }
 
   /** DuckDB equivalent of [[nearDupAgainst]]: `tbl` split by `newPred`
-    * (new batch) vs its complement (corpus).
+    * (new batch) vs its complement (corpus) — or, when `oldPred` is
+    * given, vs that explicit corpus predicate (the streaming-drain
+    * oracle's shape: batch b against standing + batches < b).
     */
   def nearDupAgainstSql(
       tbl: String,
@@ -364,13 +366,14 @@ object Dedup {
       textCol: String,
       newPred: String,
       k: Int = 3,
-      numHashes: Int = 8): String = {
+      numHashes: Int = 8,
+      oldPred: Option[String] = None): String = {
     val mins = TextOps.minhashAggsSql(numHashes)
     def bandSelects(sig: String) = (0 until numHashes / 2).map(bn =>
       s"SELECT $idCol, $bn AS band, h${2 * bn} AS k1, h${2 * bn + 1} AS k2 FROM $sig")
       .mkString(" UNION ALL ")
     val newSide = s"(SELECT * FROM $tbl WHERE $newPred) tnew"
-    val oldSide = s"(SELECT * FROM $tbl WHERE NOT ($newPred)) told"
+    val oldSide = s"(SELECT * FROM $tbl WHERE ${oldPred.getOrElse(s"NOT ($newPred)")}) told"
     s"""WITH shrN AS (${TextOps.shinglesSql(newSide, idCol, textCol, k)}),
        |shN AS (SELECT DISTINCT $idCol, sh FROM shrN),
        |sigN AS (SELECT $idCol, $mins FROM shN GROUP BY $idCol),

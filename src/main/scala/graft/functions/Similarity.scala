@@ -481,7 +481,8 @@ object Similarity {
       dim: Int,
       nlistSql: String,
       iters: Int,
-      trainWhereSql: String): String = {
+      trainWhereSql: String,
+      corpusWhereSql: String = "TRUE"): String = {
     val dist = distSql(dim) _
     // one Lloyd step: assign to cs{j-1}, mean per (cell, dim), carry empty cells
     def step(j: Int): String =
@@ -503,7 +504,7 @@ object Similarity {
        |asgn AS (SELECT $idCol, qe, cell FROM (
        |  SELECT v.$idCol, v.qe, c.cell,
        |    row_number() OVER (PARTITION BY v.$idCol ORDER BY ${dist("v.qe", "c.qe")}, c.cell) AS rn
-       |  FROM qv v CROSS JOIN cs$iters c) t WHERE rn = 1)"""
+       |  FROM (SELECT * FROM qv WHERE $corpusWhereSql) v CROSS JOIN cs$iters c) t WHERE rn = 1)"""
   }
 
   /** DuckDB twin of [[ivfIndexSkewRaw]] over the det-trained index state:
@@ -523,6 +524,11 @@ object Similarity {
        |SELECT max(n) AS max_cell, CAST(sum(n) AS BIGINT) AS total_rows,
        |       (SELECT count(*) FROM cs0) AS nlist FROM occ""".stripMargin.replace("\n", " ")
 
+  /** `corpusWhereSql` restricts the ASSIGNED/probed corpus (queries still
+    * come from the whole table): the streaming-ingest oracle's shape —
+    * batch b probes an index holding standing rows + batches < b, never
+    * its own rows.
+    */
   def ivfTopKDetSql(
       tbl: String,
       idCol: String,
@@ -533,9 +539,10 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       iters: Int = 2,
-      trainWhereSql: String = "TRUE"): String = {
+      trainWhereSql: String = "TRUE",
+      corpusWhereSql: String = "TRUE"): String = {
     val dist = distSql(dim) _
-    s"""WITH ${detAssignCtes(tbl, idCol, embCol, dim, nlist.toString, iters, trainWhereSql)},
+    s"""WITH ${detAssignCtes(tbl, idCol, embCol, dim, nlist.toString, iters, trainWhereSql, corpusWhereSql)},
        |q AS (SELECT $idCol AS query_id, qe AS qv FROM qv WHERE $queryPredSql),
        |qc AS (SELECT query_id, qv, cell FROM (
        |  SELECT q.query_id, q.qv, c.cell,

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity}
+import graft.streaming.{StreamingDedup, StreamingVectors}
+
+/** Oracle-checked rows for the STREAMING jobs: a deterministic
+  * `availableNow` drain's verdict log is plain parquet, so a batch SQL
+  * twin (the q86/q87 and q89/q90 shapes the jobs reuse per micro-batch)
+  * hash-matches it row for row — the write-path batteries the reference
+  * covers with its int_test suites
+  * (/root/reference/spdb/spatialdb/test/int_test_spatialdb.py:39-315),
+  * expressed as CORRECTNESS rows instead of spec-only trust.
+  *
+  * Determinism contract: each micro-batch is ONE drain of ONE new file
+  * (write file → drain → write next file → drain), so batch ids and the
+  * index state each batch probes are structural, not timestamp-races.
+  * The drained state is built once per testdata dir and cached — verify
+  * and bench passes re-read the standing verdict log, matching the
+  * sigIndex/ivfIndex standing-state rationale in [[Pipeline]].
+  */
+object Streaming {
+  import QueryDef.tbl
+
+  private val DIM = 64 // embeddings.embedding length
+
+  /** Streamed-dedup verdict log: standing corpus = doc_id%5==0 (seeds the
+    * signature index), then three micro-batches doc_id%5==1,2,3 drained
+    * in order — batch b probes standing + batches < b, plus itself.
+    */
+  private val dedupCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupVerdicts(s: SparkSession, dir: String): String =
+    dedupCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+      val docs = tbl(s, dir, "documents")
+      Dedup.writeSignatureIndex(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text", s"$base/idx")
+      (1 to 3).foreach { m =>
+        docs.where(col("doc_id") % 5 === m)
+          .coalesce(1).write.mode("append").parquet(s"$base/docs")
+        StreamingDedup.runAvailableNow(
+          s, s"$base/docs", s"$base/idx", s"$base/verdicts", s"$base/ckpt")
+      }
+      s"$base/verdicts"
+    })
+
+  /** Streamed-ANN verdict log: standing corpus = vec_id%13!=0 (builds the
+    * IVF index), two micro-batches vec_id%26==0 then %26==13, each probed
+    * before its append grows the index.
+    */
+  private val vecCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def vecVerdicts(s: SparkSession, dir: String): String =
+    vecCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-svc").toString
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.writeIvfIndex(
+        emb.where(col("vec_id") % 13 =!= 0), "vec_id", "embedding", s"$base/idx")
+      Seq(col("vec_id") % 26 === 0, col("vec_id") % 26 === 13).foreach { pred =>
+        emb.where(pred).coalesce(1).write.mode("append").parquet(s"$base/vecs")
+        StreamingVectors.runAvailableNow(
+          s, s"$base/vecs", s"$base/idx", s"$base/verdicts", s"$base/ckpt", dim = DIM)
+      }
+      s"$base/verdicts"
+    })
+
+  /** One dedup-oracle branch pair: batch m's cross-probe (vs standing +
+    * earlier batches, the q86 SQL with an explicit old-side predicate)
+    * UNION its intra-batch pairs (the q32 SQL restricted to the batch).
+    */
+  private def dedupBatchSql(m: Int): String = {
+    val b = m - 1 // micro-batch id: residue m drained as batch m-1
+    val cross = Dedup.nearDupAgainstSql(
+      "documents", "doc_id", "text",
+      newPred = s"doc_id % 5 = $m", oldPred = Some(s"doc_id % 5 <= $b"))
+    val intra = Dedup.nearDupPairsSql(
+      s"(SELECT * FROM documents WHERE doc_id % 5 = $m) tb$m", "doc_id", "text")
+    s"""SELECT CAST($b AS BIGINT) AS batch_id, doc_new, doc_old, FALSE AS intra, is_dup FROM ($cross) c$b
+       |UNION ALL SELECT CAST($b AS BIGINT), doc_a, doc_b, TRUE, is_dup FROM ($intra) p$b""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // The streaming document-dedup job's verdict log, hash-matched by its
+    // batch twin: per drained micro-batch, index-probe verdicts against
+    // everything already in the signature index plus intra-batch pairs.
+    "q118_stream_dedup" -> QueryDef(
+      (s, dir) =>
+        s.read.parquet(dedupVerdicts(s, dir))
+          .select(col("batch_id").cast("long").as("batch_id"), col("doc_new"),
+            col("doc_old"), col("intra"), col("is_dup"))
+          .orderBy(col("batch_id"), col("doc_new"), col("doc_old"), col("intra")),
+      Some {
+        val branches = (1 to 3).map(dedupBatchSql).mkString(" UNION ALL ")
+        s"""SELECT batch_id, doc_new, doc_old, intra, is_dup FROM ($branches) u
+           |ORDER BY batch_id, doc_new, doc_old, intra""".stripMargin.replace("\n", " ")
+      }),
+
+    // The streaming embedding-ingest job's verdict log: per micro-batch,
+    // IVF top-k of each batch vector against the index it probed
+    // (standing corpus + earlier batches, never its own rows) — the
+    // det-Lloyd oracle with the corpus restricted per batch.
+    "q119_stream_vectors" -> QueryDef(
+      (s, dir) =>
+        s.read.parquet(vecVerdicts(s, dir))
+          .select(col("batch_id").cast("long").as("batch_id"), col("query_id"),
+            col("vec_id"), col("cell"), col("dot"), col("rk"))
+          .orderBy(col("batch_id"), col("query_id"), col("rk")),
+      Some {
+        val train = "vec_id % 13 <> 0"
+        val b0 = Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
+          queryPredSql = "vec_id % 26 = 0", k = 5, dim = DIM,
+          trainWhereSql = train, corpusWhereSql = train)
+        val b1 = Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
+          queryPredSql = "vec_id % 26 = 13", k = 5, dim = DIM,
+          trainWhereSql = train, corpusWhereSql = s"($train) OR vec_id % 26 = 0")
+        s"""SELECT * FROM (
+           |SELECT CAST(0 AS BIGINT) AS batch_id, query_id, vec_id, cell, dot, rk FROM ($b0) v0
+           |UNION ALL SELECT CAST(1 AS BIGINT), query_id, vec_id, cell, dot, rk FROM ($b1) v1) u
+           |ORDER BY batch_id, query_id, rk""".stripMargin.replace("\n", " ")
+      })
+  )
+}
