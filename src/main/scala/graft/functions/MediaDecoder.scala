@@ -121,6 +121,173 @@ object MediaDecoder {
       }
   }
 
+  /** Pure-JVM VIDEO decode: AVI (RIFF) container parse + per-frame
+    * decode, no external codec — the video analog of [[JdkAudio]]'s
+    * hand-rolled RIFF audio path. Two codecs:
+    *
+    *  - uncompressed DIB frames (`00db`, BI_RGB 24-bit): bottom-up padded
+    *    BGR rows un-padded and flipped to top-down `w*h*3` byte frames —
+    *    bit-exact, so a synthesize→encode→decode round trip is
+    *    oracle-checkable (q120, the video analog of q84/q109);
+    *  - MJPEG frames (`00dc`, 'MJPG' handler): each frame is a JPEG
+    *    decoded through JDK ImageIO — the most common capture container
+    *    whose frames the JDK CAN decode (AVI is just RIFF chunk framing
+    *    around them; the reference has no video analog at all).
+    *
+    * Anything else (unknown compression, malformed structure, truncated
+    * body) declines with `None` so the next decoder — ultimately the
+    * documented [[Stub]] — gets a look; one bad blob never fails a
+    * partition. The container layout follows the public AVI/RIFF spec
+    * (`avih`/`strh`/`strf` headers, `movi` chunk list).
+    */
+  object AviVideo extends MediaDecoder {
+
+    /** Parsed container: frame dimensions, stream compression, and the
+      * (offset, size) of every movi frame chunk in document order.
+      */
+    private final case class AviInfo(
+        width: Int, height: Int, bitCount: Int, compression: Int,
+        frames: Vector[(Int, Int)])
+
+    private val FccDib = 0 // BI_RGB
+    private def fcc(s: String): Int =
+      (s(0) & 0xff) | ((s(1) & 0xff) << 8) | ((s(2) & 0xff) << 16) | ((s(3) & 0xff) << 24)
+    private val FccMjpg = fcc("MJPG")
+
+    private def sniff(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+    /** Full-structure parse; None on ANY malformed/truncated structure. */
+    private def parse(b: Array[Byte]): Option[AviInfo] = {
+      if (!sniff(b)) return None
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      try {
+        val riffEnd = math.min(8L + bb.getInt(4), b.length.toLong).toInt
+        var width, height, bitCount, compression = -1
+        var sawVids = false
+        val frames = Vector.newBuilder[(Int, Int)]
+
+        // walk one chunk run [pos, end); `inMovi` collects frame chunks,
+        // `inStrl` reads the video stream's strh/strf pair
+        def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
+          var pos = start
+          while (pos + 8 <= end) {
+            val id = bb.getInt(pos)
+            val size = bb.getInt(pos + 4)
+            if (size < 0 || pos + 8 + size > end) throw new IllegalArgumentException("bounds")
+            if (id == fcc("LIST")) {
+              if (size < 4) throw new IllegalArgumentException("list")
+              val listType = bb.getInt(pos + 8)
+              walk(pos + 12, pos + 8 + size,
+                inMovi = listType == fcc("movi") || (inMovi && listType == fcc("rec ")),
+                inStrl = listType == fcc("strl"))
+            } else if (inStrl && id == fcc("strh")) {
+              if (size < 8) throw new IllegalArgumentException("strh")
+              sawVids = bb.getInt(pos + 8) == fcc("vids")
+            } else if (inStrl && sawVids && id == fcc("strf") && width < 0) {
+              if (size < 40) throw new IllegalArgumentException("strf")
+              width = bb.getInt(pos + 12)
+              height = bb.getInt(pos + 16)
+              bitCount = bb.getShort(pos + 22).toInt
+              compression = bb.getInt(pos + 24)
+            } else if (inMovi && (id == fcc("00db") || id == fcc("00dc"))) {
+              frames += ((pos + 8, size))
+            }
+            pos += 8 + size + (size & 1)
+          }
+        }
+        walk(12, riffEnd, inMovi = false, inStrl = false)
+        val fs = frames.result()
+        if (width <= 0 || height <= 0 || fs.isEmpty) None
+        else Some(AviInfo(width, height, bitCount, compression, fs))
+      } catch {
+        case _: IllegalArgumentException  => None
+        case _: IndexOutOfBoundsException => None
+      }
+    }
+
+    /** Decode one frame chunk to a top-down pixel byte array: BGR
+      * `w*h*3` for raw DIB, interleaved band samples for MJPEG. None for
+      * codecs this decoder does not handle or frames that fail decode.
+      */
+    private def decodeFrame(b: Array[Byte], info: AviInfo, off: Int, size: Int): Option[Array[Byte]] =
+      if (info.compression == FccDib && info.bitCount == 24) {
+        val rowBytes = (info.width * 3 + 3) & ~3
+        if (size < rowBytes * info.height) None
+        else {
+          val out = new Array[Byte](info.width * info.height * 3)
+          var y = 0
+          while (y < info.height) {
+            // DIB rows are bottom-up; emit top-down
+            System.arraycopy(b, off + (info.height - 1 - y) * rowBytes,
+              out, y * info.width * 3, info.width * 3)
+            y += 1
+          }
+          Some(out)
+        }
+      } else if (info.compression == FccMjpg) {
+        Multimodal.decodeImage(java.util.Arrays.copyOfRange(b, off, off + size)).map {
+          case (_, img) =>
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val out = new Array[Byte](img.getWidth * img.getHeight * bands)
+            var i = 0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                var c = 0
+                while (c < bands) { out(i) = raster.getSample(x, y, c).toByte; i += 1; c += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            out
+        }
+      } else None
+
+    override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    /** ("avi", width, height) — only when the container parses AND the
+      * stream is a codec this decoder can actually decode (first frame
+      * proves it; a recognized-but-undecodable stream falls through).
+      */
+    override def meta(bytes: Array[Byte]): Option[(String, Int, Int)] =
+      parse(bytes).flatMap { info =>
+        val (off, size) = info.frames.head
+        decodeFrame(bytes, info, off, size).map(_ => ("avi", info.width, info.height))
+      }
+
+    /** Every `stride`-th DECODED frame (frame_idx = movi position;
+      * `frameBytes` is ignored — a video frame's natural size is
+      * `w*h*bands`). Declines the whole blob unless every sampled frame
+      * decodes, keeping the all-or-nothing contract of [[meta]].
+      */
+    override def frames(
+        bytes: Array[Byte], frameBytes: Int, stride: Int): Option[Iterator[(Int, Array[Byte])]] =
+      parse(bytes).flatMap { info =>
+        val sampled = (0 until info.frames.length by stride).map { i =>
+          val (off, size) = info.frames(i)
+          decodeFrame(bytes, info, off, size).map((i, _))
+        }
+        if (sampled.forall(_.isDefined)) Some(sampled.iterator.map(_.get)) else None
+      }
+
+    /** (width, height, n_frames, decoded frames in order) for
+      * [[Multimodal.videoStats]] — the full-decode surface; None under
+      * the same strict contract as [[meta]].
+      */
+    private[functions] def decodeAll(bytes: Array[Byte]): Option[(Int, Int, Int, Iterator[Array[Byte]])] =
+      parse(bytes).flatMap { info =>
+        val all = info.frames.map { case (off, size) => decodeFrame(bytes, info, off, size) }
+        if (all.forall(_.isDefined))
+          Some((info.width, info.height, info.frames.length, all.iterator.map(_.get)))
+        else None
+      }
+  }
+
   /** Deterministic STUB for media with no bound codec — fake dimensions
     * from a byte mix, stable for tests ([[Multimodal.stubDecode]]). Keep
     * it LAST in the chain: it accepts everything.
@@ -130,8 +297,9 @@ object MediaDecoder {
       Some(Multimodal.stubDecode(bytes))
   }
 
-  /** Default chain: real image decode, real JDK audio decode, stub for
-    * everything else (video stays stubbed: the JDK ships no video codec).
+  /** Default chain: real image decode, real JDK audio decode, real AVI
+    * video decode (raw-DIB + MJPEG), stub for everything else (non-AVI
+    * video containers need an external codec — bind one by prepending).
     */
-  val default: Seq[MediaDecoder] = Seq(ImageIO, JdkAudio, Stub)
+  val default: Seq[MediaDecoder] = Seq(ImageIO, JdkAudio, AviVideo, Stub)
 }

@@ -121,6 +121,110 @@ object Multimodal {
     bb.array()
   }
 
+  /** Canonical uncompressed-DIB AVI encoder (hand-rolled RIFF writer —
+    * deliberately independent of [[MediaDecoder.AviVideo]]'s parser, so
+    * an encode→decode round trip exercises two implementations of the
+    * container; the video twin of [[encodeWavPcm16]]/[[encodeGrayPng]]).
+    * Each frame is `width*height` top-down row-major GRAY bytes; the
+    * encoder expands to the container's bottom-up 4-byte-padded 24-bit
+    * BGR rows (B = G = R = gray).
+    */
+  def encodeAviDib(width: Int, height: Int, frames: Seq[Array[Byte]], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height), "bad frame shape")
+    val rowBytes = (width * 3 + 3) & ~3
+    val chunks = frames.map { f =>
+      val dib = new Array[Byte](rowBytes * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = f(y * width + x)
+          val o = (height - 1 - y) * rowBytes + x * 3 // DIB rows bottom-up
+          dib(o) = v; dib(o + 1) = v; dib(o + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      dib
+    }
+    writeAvi(width, height, "DIB ", 0, 24, "00db", chunks, fps)
+  }
+
+  /** MJPEG-in-AVI encoder: each frame an already-encoded JPEG blob (the
+    * common capture container whose frames the JDK can decode). Shares
+    * the RIFF writer with [[encodeAviDib]].
+    */
+  def encodeAviMjpg(width: Int, height: Int, jpegFrames: Seq[Array[Byte]], fps: Int = 10): Array[Byte] = {
+    require(jpegFrames.nonEmpty, "no frames")
+    val mjpg = 'M' | ('J' << 8) | ('P' << 16) | ('G' << 24)
+    writeAvi(width, height, "MJPG", mjpg, 24, "00dc", jpegFrames, fps)
+  }
+
+  /** RIFF/AVI container writer: `hdrl` (avih + one vids strl) + `movi`
+    * with one `chunkId` chunk per frame payload.
+    */
+  private def writeAvi(
+      width: Int, height: Int, handler: String, compression: Int, bitCount: Int,
+      chunkId: String, frameChunks: Seq[Array[Byte]], fps: Int): Array[Byte] = {
+    val bufSize = frameChunks.map(_.length).max
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)) // 'hdrl' + avih + LIST strl(strh+strf)
+    val moviSize = 4 + frameChunks.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    tag("RIFF"); bb.putInt(riffSize); tag("AVI ")
+    tag("LIST"); bb.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps).putInt(bufSize * fps).putInt(0).putInt(0)
+    bb.putInt(frameChunks.length).putInt(0).putInt(1).putInt(bufSize)
+    bb.putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); tag("strl")
+    tag("strh"); bb.putInt(56)
+    tag("vids"); tag(handler); bb.putInt(0).putInt(0).putInt(0)
+    bb.putInt(1).putInt(fps).putInt(0).putInt(frameChunks.length)
+    bb.putInt(bufSize).putInt(-1).putInt(0)
+    bb.putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    tag("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(bitCount.toShort)
+    bb.putInt(compression).putInt(bufSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); bb.putInt(moviSize); tag("movi")
+    frameChunks.foreach { f =>
+      tag(chunkId); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  /** Decoded-pixel statistics for VIDEO blobs: (id, format, width,
+    * height, n_frames, px_sum) with px_sum = Σ over every decoded frame
+    * of Σ (byte & 0xff) over its pixel payload — integer-exact for raw-
+    * DIB AVI, so a synthesize→encode→decode round trip is
+    * oracle-checkable (q120; the video analog of [[imageStats]]/q84 and
+    * [[audioStats]]/q109). Non-video blobs (and AVI streams whose codec
+    * [[MediaDecoder.AviVideo]] cannot decode) are dropped — strict
+    * decode surface. Partition-batched like every extractor here.
+    */
+  def videoStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          MediaDecoder.AviVideo.decodeAll(bytes).map { case (w, h, nf, frames) =>
+            var sum = 0L
+            frames.foreach { f =>
+              var i = 0
+              while (i < f.length) { sum += (f(i) & 0xff); i += 1 }
+            }
+            (id, "avi", w.toLong, h.toLong, nf.toLong, sum)
+          }
+        }
+      }.toDF(idCol, "format", "width", "height", "n_frames", "px_sum")
+  }
+
   /** Decoded-sample statistics for AUDIO blobs: (id, format, sample_rate,
     * n_frames, amp_sum) with amp_sum = Σ of the decoded signed 16-bit
     * samples — integer-exact, so a WAV encode→decode round trip is

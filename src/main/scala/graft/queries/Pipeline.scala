@@ -997,6 +997,45 @@ object Pipeline {
              |       CAST(sum(v) AS BIGINT) AS amp_sum
              |FROM sm GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // VIDEO decode round trip: per doc, a deterministic multi-frame
+    // uncompressed-DIB AVI (hand-rolled RIFF encoder) decoded back
+    // through the pure-JVM AVI parser — true dimensions, frame count,
+    // and the decoded-pixel sum, all integer-exact (each gray value
+    // lands as 3 identical BGR bytes, hence the 3× in the oracle). The
+    // video analog of q84 (image) / q109 (audio): two independent
+    // implementations of the container must agree through the full
+    // encode→decode→statistics pipeline.
+    "q120_video_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = graft.functions.Par.fanOut(tbl(s, dir, "documents").select(col("doc_id")))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = (4 + id % 5).toInt
+              val h = (3 + id % 4).toInt
+              val nf = (2 + id % 3).toInt
+              val frames = (0 until nf).map { f =>
+                Array.tabulate(w * h)(i =>
+                  ((id * 31 + f * 97 + (i / w) * 13 + (i % w) * 7) % 256).toByte)
+              }
+              (id, Multimodal.encodeAviDib(w, h, frames))
+            }
+          }.toDF("doc_id", "blob")
+        Multimodal.videoStats(blobs, "doc_id", "blob").orderBy(col("doc_id"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+             |            2 + doc_id % 3 AS nf FROM documents),
+             |px AS (SELECT i.doc_id, i.w, i.h, i.nf,
+             |       (i.doc_id*31 + f.r*97 + y.r*13 + x.r*7) % 256 AS v
+             |       FROM ids i
+             |       JOIN range(0, 4) f(r) ON f.r < i.nf
+             |       JOIN range(0, 6) y(r) ON y.r < i.h
+             |       JOIN range(0, 8) x(r) ON x.r < i.w)
+             |SELECT doc_id, 'avi' AS format, w AS width, h AS height, nf AS n_frames,
+             |       CAST(3 * sum(v) AS BIGINT) AS px_sum
+             |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // IVF ANN through the KMeans coarse quantizer, probed at
     // nprobe = nlist: every cell is searched, so the top-k is exactly the
     // brute-force result REGARDLESS of the (library-internal) centroid

@@ -1134,6 +1134,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("video decode: DIB-AVI round trip, MJPEG frames, corrupt-container decline") {
+    import spark.implicits._
+    val (w, h) = (5, 3)
+    val grays = (0 until 3).map(f =>
+      Array.tabulate(w * h)(i => (f * 50 + i * 7).toByte))
+    val blob = Multimodal.encodeAviDib(w, h, grays)
+    // container parse: true dimensions through the chain surface
+    assert(MediaDecoder.AviVideo.meta(blob).contains(("avi", w, h)))
+    // decoded frames are top-down BGR with B = G = R = gray, no padding
+    val frames = Multimodal.sampleFrames(
+      Seq((1L, blob)).toDF("doc_id", "blob"), "doc_id", "blob", stride = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    frames.foreach { f =>
+      val expect = grays(f.frame_idx).flatMap(v => Array(v, v, v))
+      assert(f.frame_bytes.toSeq == expect.toSeq)
+    }
+    // videoStats: exact dims / frame count / triple gray sum
+    val stats = Multimodal.videoStats(
+      Seq((1L, blob)).toDF("doc_id", "blob"), "doc_id", "blob").collect().head
+    val graySum = grays.map(_.map(_ & 0xff).sum.toLong).sum
+    assert(stats.getLong(2) == w && stats.getLong(3) == h && stats.getLong(4) == 3)
+    assert(stats.getLong(5) == 3 * graySum)
+    // MJPEG frames: JDK-encoded JPEGs in the same container decode with
+    // true dimensions and full frame coverage
+    val jpegs = (0 until 2).map { f =>
+      val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 6).foreach(y => (0 until 8).foreach(x =>
+        img.getRaster.setSample(x, y, 0, (f * 40 + y * 8 + x) & 0xff)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out))
+      out.toByteArray
+    }
+    val mblob = Multimodal.encodeAviMjpg(8, 6, jpegs)
+    assert(MediaDecoder.AviVideo.meta(mblob).contains(("avi", 8, 6)))
+    val mframes = MediaDecoder.AviVideo.frames(mblob, 0, 1).get.toSeq
+    assert(mframes.map(_._1) == Seq(0, 1))
+    assert(mframes.forall(_._2.length == 8 * 6)) // one gray band decoded
+    // corrupt containers decline (never throw): truncated body, an
+    // unknown codec fourcc, and a frame chunk shorter than one DIB frame
+    assert(MediaDecoder.AviVideo.meta(blob.take(40)).isEmpty)
+    val badCodec = blob.clone()
+    badCodec(blob.indexOfSlice("strf".getBytes) + 24) = 'X' // biCompression
+    assert(MediaDecoder.AviVideo.meta(badCodec).isEmpty)
+    val shortFrame = Multimodal.encodeAviMjpg(4, 4, Seq(Array[Byte](1, 2, 3)))
+    assert(MediaDecoder.AviVideo.meta(shortFrame).isEmpty)
+    // non-AVI media still routes past the video decoder (chain order)
+    val wav = Multimodal.encodeWavPcm16(8000, Array.tabulate(16)(_.toShort))
+    assert(Multimodal.decodeMeta(
+      Seq((1L, wav)).toDF("doc_id", "blob"), "doc_id", "blob").collect().head.format == "wav")
+  }
+
   test("multimodal decodeMeta and sampleFrames run partition-batched over binary") {
     import spark.implicits._
     val blobs = Seq(
