@@ -290,6 +290,36 @@ object PipelineStress {
       force(Similarity.ivfTopKIndexed(
         emb.where(col("vec_id") < 100), "vec_id", "embedding", ivfDir, 5))
     }
+    // The measured cost/recall TABLE for every approximate ANN path:
+    // recall@10 vs exact brute force over the same 100 queries, at the
+    // shipped knob settings plus the nprobe ladder. `recall_*` entries
+    // are PERCENTAGES, not seconds (they ride the stages map so subset
+    // reruns merge them like any timing); the paired timings above say
+    // what each setting costs, these say what it buys.
+    timed("ann_recall_suite") {
+      val brute = Similarity.dotTopK(emb, "vec_id", "embedding", col("vec_id") < 100, 10)
+        .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val denom = brute.count().toDouble
+      def recallAt10(ann: org.apache.spark.sql.DataFrame): Double = {
+        val hits = ann.select(col("query_id"), col("vec_id"))
+          .join(brute, Seq("query_id", "vec_id")).count()
+        math.rint(10000.0 * hits / denom) / 100
+      }
+      // subset reruns may skip ivf_index_build — make the standing index
+      // a precondition, not a timing dependency
+      if (!Files.exists(Paths.get(s"$ivfDir/centroids")))
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", ivfDir)
+      stages("recall_lsh_p4") = recallAt10(Similarity.lshTopK(
+        emb, "vec_id", "embedding", col("vec_id") < 100, 10, 64, 4))
+      stages("recall_lsh_multiprobe_p4") = recallAt10(Similarity.lshTopKMultiProbe(
+        emb, "vec_id", "embedding", col("vec_id") < 100, 10, 64, 4))
+      Seq(2, 4, 8).foreach { np =>
+        stages(s"recall_ivf_nprobe$np") = recallAt10(Similarity.ivfTopKIndexed(
+          emb.where(col("vec_id") < 100), "vec_id", "embedding", ivfDir, 10, nprobe = np))
+      }
+      brute.unpersist()
+    }
     // subset runs merge into the standing stress.json (prior order kept,
     // rerun stages overwritten, new stages appended)
     val prior: Seq[(String, Double)] =
