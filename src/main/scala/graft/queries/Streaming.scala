@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.functions.{Dedup, Similarity}
-import graft.streaming.{StreamingDedup, StreamingVectors}
+import graft.streaming.{StreamOps, StreamingDedup, StreamingVectors}
 
 /** Oracle-checked rows for the STREAMING jobs: a deterministic
   * `availableNow` drain's verdict log is plain parquet, so a batch SQL
@@ -80,6 +81,21 @@ object Streaming {
        |UNION ALL SELECT CAST($b AS BIGINT), doc_a, doc_b, TRUE, is_dup FROM ($intra) p$b""".stripMargin
   }
 
+  /** The events table as an availableNow FILE-STREAM source with `ts` as
+    * a true timestamp (watermarks need event-time columns; the ns-long
+    * form converts exactly — ts is µs-precision at every SF).
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = QueryDef.tbl(s, dir, "events").schema
+    QueryDef.normalizeTs(
+      s.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(dir))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(18,2)") * lit(100)).cast("long")
+
   val defs: Map[String, QueryDef] = Map(
 
     // The streaming document-dedup job's verdict log, hash-matched by its
@@ -119,6 +135,63 @@ object Streaming {
            |SELECT CAST(0 AS BIGINT) AS batch_id, query_id, vec_id, cell, dot, rk FROM ($b0) v0
            |UNION ALL SELECT CAST(1 AS BIGINT), query_id, vec_id, cell, dot, rk FROM ($b1) v1) u
            |ORDER BY batch_id, query_id, rk""".stripMargin.replace("\n", " ")
-      })
+      }),
+
+    // Stream-STREAM interval join (the W-family ack correlation,
+    // StreamOps.ackJoin) as a CORRECTNESS row: clicks joined to same-user
+    // purchases within 1 hour, both sides watermarked file streams. An
+    // inner interval join's emitted set is exactly the batch join's —
+    // state eviction only ever drops rows whose match window has passed —
+    // so the batch SQL twin hash-matches the drained output.
+    "q121_stream_interval_join" -> QueryDef(
+      (s, dir) => {
+        val src = eventStream(s, dir)
+        val writes = src.where(col("event_type") === "click")
+          .select(col("user_id").as("w_key"), col("ts").as("w_ts"))
+        val acks = src.where(col("event_type") === "purchase")
+          .select(col("user_id").as("a_key"), col("ts").as("a_ts"))
+        val name = s"q121_mem_${System.nanoTime()}"
+        val q = StreamOps.ackJoin(writes, acks, within = "1 hour", watermark = "10 minutes")
+          .select(col("w_key"), expr("unix_micros(w_ts) * 1000").as("w_ts_ns"),
+            expr("unix_micros(a_ts) * 1000").as("a_ts_ns"))
+          .writeStream.trigger(Trigger.AvailableNow())
+          .outputMode("append").format("memory").queryName(name)
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("w_key"), col("w_ts_ns"), col("a_ts_ns"))
+      },
+      Some("""WITH w AS (SELECT user_id AS w_key, epoch_ns(ts) AS w_ts_ns FROM events WHERE event_type = 'click'),
+             |a AS (SELECT user_id AS a_key, epoch_ns(ts) AS a_ts_ns FROM events WHERE event_type = 'purchase')
+             |SELECT w_key, w_ts_ns, a_ts_ns FROM w JOIN a
+             |ON a_key = w_key AND a_ts_ns >= w_ts_ns AND a_ts_ns <= w_ts_ns + 3600000000000
+             |ORDER BY w_key, w_ts_ns, a_ts_ns""".stripMargin.replace("\n", " "))),
+
+    // APPEND-mode watermarked windowed aggregation (q64 checks the
+    // complete-mode engine; this row checks the WATERMARK semantics): a
+    // drained availableNow stream emits exactly the windows the final
+    // watermark (ms-floored max event time − 10 min) has closed — open
+    // tail windows stay in state and never reach the sink. The oracle
+    // recomputes the same closed-window set relationally.
+    "q122_stream_closed_windows" -> QueryDef(
+      (s, dir) => {
+        val name = s"q122_mem_${System.nanoTime()}"
+        val q = StreamOps.windowedEventCounts(
+            eventStream(s, dir).select(col("ts"), col("event_type"),
+              cents(col("value")).as("value")))
+          .select(expr("unix_micros(window_start) * 1000").as("window_start_ns"),
+            col("event_type"), col("n"), col("total").as("total_c"))
+          .writeStream.trigger(Trigger.AvailableNow())
+          .outputMode("append").format("memory").queryName(name)
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("window_start_ns"), col("event_type"))
+      },
+      Some("""WITH wm AS (SELECT (epoch_ns(max(ts)) // 1000000 - 600000) * 1000000 AS wm_ns FROM events),
+             |b AS (SELECT (epoch_ns(ts) // 300000000000) * 300000000000 AS window_start_ns, event_type,
+             |      CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS v FROM events)
+             |SELECT window_start_ns, event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS total_c
+             |FROM b, wm WHERE window_start_ns + 300000000000 <= wm.wm_ns
+             |GROUP BY window_start_ns, event_type
+             |ORDER BY window_start_ns, event_type""".stripMargin.replace("\n", " ")))
   )
 }
