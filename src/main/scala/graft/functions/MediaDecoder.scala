@@ -170,8 +170,11 @@ object MediaDecoder {
         val frames = Vector.newBuilder[(Int, Int)]
 
         // walk one chunk run [pos, end); `inMovi` collects frame chunks,
-        // `inStrl` reads the video stream's strh/strf pair
-        def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
+        // `inStrl` reads the video stream's strh/strf pair. Depth-capped:
+        // real AVI nests ≤3 lists; a crafted deep-nest blob must decline,
+        // not overflow the stack
+        def walk(start: Int, end: Int, inMovi: Boolean, inStrl: Boolean, depth: Int): Unit = {
+          if (depth > 16) throw new IllegalArgumentException("nesting")
           var pos = start
           while (pos + 8 <= end) {
             val id = bb.getInt(pos)
@@ -182,7 +185,7 @@ object MediaDecoder {
               val listType = bb.getInt(pos + 8)
               walk(pos + 12, pos + 8 + size,
                 inMovi = listType == fcc("movi") || (inMovi && listType == fcc("rec ")),
-                inStrl = listType == fcc("strl"))
+                inStrl = listType == fcc("strl"), depth = depth + 1)
             } else if (inStrl && id == fcc("strh")) {
               if (size < 8) throw new IllegalArgumentException("strh")
               sawVids = bb.getInt(pos + 8) == fcc("vids")
@@ -198,7 +201,7 @@ object MediaDecoder {
             pos += 8 + size + (size & 1)
           }
         }
-        walk(12, riffEnd, inMovi = false, inStrl = false)
+        walk(12, riffEnd, inMovi = false, inStrl = false, depth = 0)
         val fs = frames.result()
         if (width <= 0 || height <= 0 || fs.isEmpty) None
         else Some(AviInfo(width, height, bitCount, compression, fs))
@@ -214,9 +217,15 @@ object MediaDecoder {
       */
     private def decodeFrame(b: Array[Byte], info: AviInfo, off: Int, size: Int): Option[Array[Byte]] =
       if (info.compression == FccDib && info.bitCount == 24) {
-        val rowBytes = (info.width * 3 + 3) & ~3
-        if (size < rowBytes * info.height) None
+        // LONG arithmetic: adversarial header dims must not overflow into
+        // a negative allocation size — `size` is bounded by the actual
+        // blob length (parse checks chunk bounds), so the `need > size`
+        // guard also bounds every allocation by real input bytes
+        val rowBytesL = (info.width.toLong * 3 + 3) & ~3L
+        val need = rowBytesL * info.height
+        if (need > size || need > Int.MaxValue) None
         else {
+          val rowBytes = rowBytesL.toInt
           val out = new Array[Byte](info.width * info.height * 3)
           var y = 0
           while (y < info.height) {

@@ -1186,6 +1186,36 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, wav)).toDF("doc_id", "blob"), "doc_id", "blob").collect().head.format == "wav")
   }
 
+  test("AVI parser fuzz: garbage, sniffed garbage, and single-byte mutations never throw") {
+    val rnd = new scala.util.Random(7)
+    // pure garbage of every small length
+    (0 until 300).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(300))(rnd.nextInt().toByte)
+      MediaDecoder.AviVideo.meta(b)
+      MediaDecoder.AviVideo.frames(b, 16, 1)
+    }
+    // valid RIFF/AVI prefix + garbage body (the sniff passes, the
+    // structure walk must decline on bounds)
+    (0 until 300).foreach { _ =>
+      val tail = Array.fill(rnd.nextInt(300))(rnd.nextInt().toByte)
+      val bb = java.nio.ByteBuffer.allocate(12 + tail.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(4 + tail.length).put("AVI ".getBytes).put(tail)
+      MediaDecoder.AviVideo.meta(bb.array())
+      MediaDecoder.AviVideo.frames(bb.array(), 16, 1)
+    }
+    // EVERY single-byte mutation of a valid container: decode or decline,
+    // never throw — covers overflowing header dims, bogus chunk sizes,
+    // codec fourcc flips, truncation-by-size
+    val blob = Multimodal.encodeAviDib(4, 3, Seq(Array.tabulate(12)(_.toByte)))
+    blob.indices.foreach { i =>
+      val m = blob.clone(); m(i) = (m(i) ^ 0x55).toByte
+      MediaDecoder.AviVideo.meta(m).foreach { case (f, w, h) =>
+        assert(f == "avi" && w > 0 && h > 0)
+      }
+    }
+  }
+
   test("multimodal decodeMeta and sampleFrames run partition-batched over binary") {
     import spark.implicits._
     val blobs = Seq(
