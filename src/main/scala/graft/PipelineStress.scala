@@ -350,7 +350,10 @@ object PipelineStress {
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq
       else Seq.empty
     val merged = scala.collection.mutable.LinkedHashMap(prior: _*) ++ stages
-    val total = math.rint(merged.values.sum * 100) / 100
+    // recall_* entries are PERCENTAGES riding the stages map — not time
+    val total = math.rint(merged.collect {
+      case (k, v) if !k.startsWith("recall_") => v
+    }.sum * 100) / 100
     val json =
       s"""{"metric":"pipeline_stress","docs":$n,"vectors":$nEmb,"unit":"sec","total":$total,""" +
         merged.map { case (k, v) => s""""$k":$v""" }.mkString("\"stages\":{", ",", "}}")
