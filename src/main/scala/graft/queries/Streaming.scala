@@ -144,7 +144,13 @@ object Streaming {
     // state eviction only ever drops rows whose match window has passed —
     // so the batch SQL twin hash-matches the drained output.
     "q121_stream_interval_join" -> QueryDef(
-      (s, dir) => {
+      (s0, dir) => {
+        // state-heavy streaming job: size state partitions for the state,
+        // not the batch shuffle width — a stream-stream join instantiates
+        // 4 state stores per partition per micro-batch, so 32 batch
+        // partitions mean 128 store inits per drain for 100k rows
+        val s = s0.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         val src = eventStream(s, dir)
         val writes = src.where(col("event_type") === "click")
           .select(col("user_id").as("w_key"), col("ts").as("w_ts"))
@@ -173,7 +179,10 @@ object Streaming {
     // tail windows stay in state and never reach the sink. The oracle
     // recomputes the same closed-window set relationally.
     "q122_stream_closed_windows" -> QueryDef(
-      (s, dir) => {
+      (s0, dir) => {
+        // same state-partition sizing rationale as q121
+        val s = s0.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         val name = s"q122_mem_${System.nanoTime()}"
         val q = StreamOps.windowedEventCounts(
             eventStream(s, dir).select(col("ts"), col("event_type"),
