@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Graph, Multimodal, Similarity, TextOps, TopK}
+import graft.functions.{Bpe, Dedup, Graph, Multimodal, Similarity, TextOps, TopK}
 
 /** Oracle-checked queries for the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal columns) over the
@@ -996,6 +996,21 @@ object Pipeline {
              |SELECT doc_id, 'wav' AS format, rate AS sample_rate, n AS n_frames,
              |       CAST(sum(v) AS BIGINT) AS amp_sum
              |FROM sm GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // BPE subword tokenizer, trained AND applied on both engines
+    // independently: merges learned from the corpus's capped
+    // word-frequency model (driver-bounded, the q106/q112 vocab pattern),
+    // then every document re-written to BPE pieces by exhaustive
+    // left-to-right application in training order. The oracle derives
+    // the merge table from its own corpus scan (per-step pair-count
+    // aggregates + per-word recursive-CTE application), so merge
+    // selection, tie-breaks, application order and the final piece
+    // streams are all hash-checked.
+    "q123_bpe_tokenize" -> QueryDef(
+      (s, dir) =>
+        Bpe.trainEncode(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(Bpe.trainEncodeSql("documents", "doc_id", "text") + " ORDER BY doc_id")),
 
     // VIDEO decode round trip: per doc, a deterministic multi-frame
     // uncompressed-DIB AVI (hand-rolled RIFF encoder) decoded back

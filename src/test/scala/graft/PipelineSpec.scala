@@ -1186,6 +1186,28 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, wav)).toDF("doc_id", "blob"), "doc_id", "blob").collect().head.format == "wav")
   }
 
+  test("BPE: hand-computed merges, exhaustive left-to-right application, encode") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // single-merge application: leftmost, non-overlapping, exhaustive
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("b", "a", "a", "b", "a", "a"), "a", "a").toSeq ==
+      Seq("b", "aa", "b", "aa"))
+    // train: word freqs abab×2, ab×2, cd×1 → pair (a,b) f=6 wins step 1
+    // (overlaps counted), then (ab,ab) f=2 wins step 2
+    val docs = Seq((1L, "abab abab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", numMerges = 8)
+    assert(merges.take(2) == Seq(("a", "b"), ("ab", "ab")))
+    // encode applies merges in training order
+    val enc = Bpe.encode(docs, "doc_id", "text", merges.take(2))
+      .orderBy(col("doc_id")).collect()
+    assert(enc(0).getLong(1) == 3 && enc(0).getString(2) == "abab abab ab")
+    assert(enc(1).getLong(1) == 3 && enc(1).getString(2) == "ab c d")
+    // merge exhaustion: single-char words yield no pairs → no merges
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(tiny, "doc_id", "text", numMerges = 8).isEmpty)
+  }
+
   test("AVI parser fuzz: garbage, sniffed garbage, and single-byte mutations never throw") {
     val rnd = new scala.util.Random(7)
     // pure garbage of every small length
