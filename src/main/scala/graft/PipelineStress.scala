@@ -225,6 +225,12 @@ object PipelineStress {
     timed("clean_text") {
       force(TextOps.cleanText(docs, "doc_id", "text"))
     }
+    // BPE tokenizer (q123): train on the capped word-frequency model
+    // (the salted corpus has ~250k distinct words — the cap IS the
+    // scale guard), then the per-row merge-application encode map
+    timed("bpe_encode") {
+      force(graft.functions.Bpe.trainEncode(docs, "doc_id", "text"))
+    }
     // lexical retrieval (q114): 8 queries over the salted corpus — the
     // term list must hit salted tokens, so derive queries from group-0
     // vocabulary ('tk0' forms survive the copy transform for copy < 4)
