@@ -1208,6 +1208,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(Bpe.trainMerges(tiny, "doc_id", "text", numMerges = 8).isEmpty)
   }
 
+  test("BPE randomized parity: train+encode vs an independent naive implementation") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // independent reference: same published semantics, separately coded
+    // (regex-split merge application on joined strings instead of array
+    // scanning; pair counting via sliding+groupBy instead of a loop)
+    def naiveApply(seq: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var rest = seq
+      while (rest.nonEmpty) {
+        if (rest.length >= 2 && rest(0) == l && rest(1) == r) { out += l + r; rest = rest.drop(2) }
+        else { out += rest.head; rest = rest.tail }
+      }
+      out.result()
+    }
+    def naiveTrain(words: Seq[(String, Long)], k: Int): Seq[(String, String)] = {
+      var seqs = words.map { case (w, n) => (w.split("").toVector.filter(_.nonEmpty), n) }
+      (0 until k).flatMap { _ =>
+        val counts = seqs.flatMap { case (s, n) => s.sliding(2).filter(_.size == 2).map(p => ((p(0), p(1)), n)) }
+          .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        if (counts.isEmpty) None
+        else {
+          val best = counts.toSeq.sortBy { case ((a, b), f) => (-f, a, b) }.head._1
+          seqs = seqs.map { case (s, n) => (naiveApply(s, best._1, best._2), n) }
+          Some(best)
+        }
+      }
+    }
+    val rnd = new scala.util.Random(13)
+    (0 until 5).foreach { trial =>
+      val alphabet = "abcd"
+      val docs = (0 until 20).map { i =>
+        val words = (0 to rnd.nextInt(6)).map(_ =>
+          (0 to rnd.nextInt(5)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+        (i.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val wordFreq = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+        .toSeq.sortBy { case (w, n) => (-n, w) }
+      val expect = naiveTrain(wordFreq, 6)
+      val got = Bpe.trainMerges(df, "doc_id", "text", numMerges = 6)
+      assert(got == expect, s"trial $trial merges: $got vs $expect")
+      // encode parity on every doc
+      val enc = Bpe.encode(df, "doc_id", "text", got).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        if (toks.nonEmpty) {
+          val pieces = toks.flatMap { t =>
+            var s = t.split("").toVector.filter(_.nonEmpty)
+            expect.foreach { case (l, r) => s = naiveApply(s, l, r) }
+            s
+          }
+          assert(enc(id) == ((pieces.length.toLong, pieces.mkString(" "))), s"doc $id")
+        } else assert(!enc.contains(id))
+      }
+    }
+  }
+
   test("AVI parser fuzz: garbage, sniffed garbage, and single-byte mutations never throw") {
     val rnd = new scala.util.Random(7)
     // pure garbage of every small length
