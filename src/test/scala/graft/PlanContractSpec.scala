@@ -39,6 +39,22 @@ class PlanContractSpec extends AnyFunSuite {
       s"corpus shuffled on a token key: $exchanges")
   }
 
+  test("BPE encode and video stats are pure per-row maps: no exchange anywhere") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // encode under a fixed merge list (training is a separate eager
+    // aggregate whose TakeOrdered caps the driver; the ENCODE plan is
+    // the 100 TB-shape claim)
+    val enc = graft.functions.Bpe.encode(docs, "doc_id", "text", Seq(("t", "h"), ("th", "e")))
+    val pe = enc.queryExecution.sparkPlan.toString
+    assert(!pe.contains("Exchange"), "BPE encode must not shuffle:\n" + pe.take(600))
+    assert(pe.contains("MapPartitions"), pe.take(300))
+    val vs = graft.functions.Multimodal.videoStats(
+      docs.select(col("doc_id"), col("text").cast("binary").as("blob")), "doc_id", "blob")
+    val pv = vs.queryExecution.sparkPlan.toString
+    assert(!pv.contains("Exchange"), "videoStats must not shuffle:\n" + pv.take(600))
+  }
+
   test("radix quantiles: every executed pass is sort-free and window-free") {
     import scala.collection.mutable
     val seen = mutable.Buffer.empty[String]
