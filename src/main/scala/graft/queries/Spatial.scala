@@ -775,7 +775,13 @@ object Spatial {
     // merge, so the end state is batch-order independent and equals the
     // plain relational dedup the oracle computes.
     "q57_stream_ingest" -> QueryDef(
-      (s, dir) => {
+      (s0, dir) => {
+        // micro-batch job sizing tracks the BATCH, not the cluster width
+        // (the q121 rationale): each 1-file batch here is a few thousand
+        // voxels, and its chain-read/merge/commit jobs at full batch
+        // shuffle width are pure scheduler overhead
+        val s = s0.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         import s.implicits._
         import graft.storage.{CuboidCodec, VersionedStore, VoxelRow}
         import graft.core.VoxelType
