@@ -231,6 +231,32 @@ object PipelineStress {
     timed("bpe_encode") {
       force(graft.functions.Bpe.trainEncode(docs, "doc_id", "text"))
     }
+    // BPE at production merge counts (round-12): rank-priority encode is
+    // O(len log len) per token INDEPENDENT of merge-table size, so the
+    // 4096-merge encode must clock ~the 8-merge encode (the pre-r12
+    // sequential-application encode was O(numMerges) passes per token —
+    // ~500× at 4096). Training sustains 4096 merges on a wordCap=8192
+    // model; incremental pair counts keep the driver loop per-step cost
+    // at O(words containing the merged pair), not O(wordCap).
+    def willRun(name: String) = only.isEmpty || only(name)
+    val merges8 =
+      if (willRun("bpe_encode_8merges"))
+        graft.functions.Bpe.trainMerges(docs, "doc_id", "text")
+      else Seq.empty
+    val merges4k = timed("bpe_train_4096") {
+      graft.functions.Bpe.trainMerges(docs, "doc_id", "text",
+        numMerges = 4096, wordCap = 8192)
+    }.getOrElse(
+      if (willRun("bpe_encode_4096merges"))
+        graft.functions.Bpe.trainMerges(docs, "doc_id", "text",
+          numMerges = 4096, wordCap = 8192)
+      else Seq.empty)
+    timed("bpe_encode_8merges") {
+      force(graft.functions.Bpe.encode(docs, "doc_id", "text", merges8))
+    }
+    timed("bpe_encode_4096merges") {
+      force(graft.functions.Bpe.encode(docs, "doc_id", "text", merges4k))
+    }
     // lexical retrieval (q114): 8 queries over the salted corpus — the
     // term list must hit salted tokens, so derive queries from group-0
     // vocabulary ('tk0' forms survive the copy transform for copy < 4)

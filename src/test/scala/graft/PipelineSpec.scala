@@ -1268,6 +1268,87 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE parity at production merge counts (>=1024) and beyond-BMP codepoints") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // independent reference, scaled up: codepoint splitting via the JDK
+    // stream API and UTF-8 BYTE tie-breaks (DuckDB's collation), so the
+    // naive side shares no code with Bpe's cpCompare/symbols
+    val utf8Ord: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def cpSplit(s: String): Vector[String] =
+      s.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    def naiveApply(seq: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var rest = seq
+      while (rest.nonEmpty) {
+        if (rest.length >= 2 && rest(0) == l && rest(1) == r) { out += l + r; rest = rest.drop(2) }
+        else { out += rest.head; rest = rest.tail }
+      }
+      out.result()
+    }
+    def naiveTrain(words: Seq[(String, Long)], k: Int): Seq[(String, String)] = {
+      var seqs = words.map { case (w, n) => (cpSplit(w), n) }
+      (0 until k).iterator.map { _ =>
+        val counts = seqs.flatMap { case (s, n) =>
+          s.sliding(2).filter(_.size == 2).map(p => ((p(0), p(1)), n)) }
+          .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        if (counts.isEmpty) None
+        else {
+          val best = counts.toSeq
+            .sortBy { case ((a, b), f) => (-f, a, b) }(
+              Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord)).head._1
+          seqs = seqs.map { case (s, n) => (naiveApply(s, best._1, best._2), n) }
+          Some(best)
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq
+    }
+    // trial 0: ASCII, 250 distinct words rich enough to sustain >= 1024
+    // merges; trial 1: alphabet mixing BMP >= U+E000 with supplementary-
+    // plane codepoints — UTF-16 unit order and UTF-8 byte order DISAGREE
+    // here, so tie-break or splitting bugs cannot pass
+    val alphabets = Seq(
+      "abcdefghij".map(_.toString),
+      Seq("a", "￮", new String(Character.toChars(0x1F701)), "z",
+        new String(Character.toChars(0x1D552)), ""))
+    alphabets.zipWithIndex.foreach { case (alphabet, trial) =>
+      val rnd = new scala.util.Random(41 + trial)
+      val nWords = if (trial == 0) 500 else 120
+      val vocab = (0 until nWords).map(_ =>
+        (0 until (8 + rnd.nextInt(11))).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+        .distinct
+      val docs = (0 until (if (trial == 0) 150 else 40)).map { i =>
+        (i.toLong, (0 until (4 + rnd.nextInt(8)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val wordFreq = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+        .toSeq.sortBy { case (w, n) => (-n, w) }(Ordering.Tuple2(Ordering.Long, utf8Ord))
+        .take(1024) // == wordCap below; cap tie-break exercised in UTF-8 order
+      val numMerges = if (trial == 0) 1200 else 600
+      val expect = naiveTrain(wordFreq, numMerges)
+      if (trial == 0)
+        assert(expect.length >= 1024, s"corpus too poor: only ${expect.length} merges")
+      val got = Bpe.trainMerges(df, "doc_id", "text", numMerges, wordCap = 1024)
+      assert(got == expect, s"trial $trial merges diverge at " +
+        s"${got.zip(expect).indexWhere { case (a, b) => a != b }} of ${expect.length}")
+      // encode parity doc-by-doc against sequential application
+      val enc = Bpe.encode(df, "doc_id", "text", got).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      docs.foreach { case (id, text) =>
+        val pieces = text.split(" ").filter(_.nonEmpty).flatMap { t =>
+          var s = cpSplit(t)
+          expect.foreach { case (l, r) => s = naiveApply(s, l, r) }
+          s
+        }
+        assert(enc(id) == ((pieces.length.toLong, pieces.mkString(" "))), s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("AVI parser fuzz: garbage, sniffed garbage, and single-byte mutations never throw") {
     val rnd = new scala.util.Random(7)
     // pure garbage of every small length
