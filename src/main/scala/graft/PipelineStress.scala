@@ -46,6 +46,13 @@ object PipelineStress {
     def timed[T](name: String)(f: => T): Option[T] =
       if (only.nonEmpty && !only(name)) None
       else {
+        // GC barrier outside the clock: lets ContextCleaner reclaim the
+        // previous stage's broadcasts/shuffles so its cleanup storm can't
+        // land inside this stage's window (r11: ivf_index_build 46 s
+        // in-sweep vs 23.5-26.0 s isolated). Standing fixtures (docs/emb
+        // persists) are strongly referenced and survive.
+        System.gc()
+        Thread.sleep(200)
         val t0 = System.nanoTime(); val r = f
         val sec = (System.nanoTime() - t0) / 1e9
         stages(name) = math.rint(sec * 100) / 100
@@ -318,9 +325,29 @@ object PipelineStress {
     timed("ivf_index_build") {
       Similarity.writeIvfIndex(emb, "vec_id", "embedding", ivfDir)
     }
+    // standing-index preconditions (subset reruns may skip the build
+    // stages — the index is then a precondition, not a timing dependency)
+    if (willRun("ann_ivf_indexed_100q") &&
+        !Files.exists(Paths.get(s"$ivfDir/centroids")))
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", ivfDir)
     timed("ann_ivf_indexed_100q") {
       force(Similarity.ivfTopKIndexed(
         emb.where(col("vec_id") < 100), "vec_id", "embedding", ivfDir, 5))
+    }
+    // IVF-PQ (q124): the same standing-index economics with the corpus
+    // compressed to m=16 6-bit codes/vector (12 logical bytes, ~43× vs
+    // the 64×8B quantized rows) — the probe's candidate pass reads codes
+    // only; the ADC shortlist is exact-reranked from full-precision cells
+    val ivfPqDir = Files.createTempDirectory("graft-stress-ivfpq").toString
+    timed("ivfpq_index_build") {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ivfPqDir)
+    }
+    if (willRun("ann_ivfpq_indexed_100q") &&
+        !Files.exists(Paths.get(s"$ivfPqDir/pq/books")))
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ivfPqDir)
+    timed("ann_ivfpq_indexed_100q") {
+      force(Similarity.ivfPqTopKIndexed(
+        emb.where(col("vec_id") < 100), "vec_id", "embedding", ivfPqDir, 5))
     }
     // The measured cost/recall TABLE for every approximate ANN path:
     // recall@10 vs exact brute force over the same 100 queries, at the
@@ -369,6 +396,20 @@ object PipelineStress {
         stages(s"recall_ivf_nprobe$np") = recallAt10(Similarity.ivfTopKIndexed(
           emb.where(qPred), "vec_id", "embedding", ivfDir, deep, nprobe = np))
       }
+      // IVF-PQ rows: recall@10 vs ADC shortlist depth, plus the
+      // bytes/vector columns of the table (info_* rows ride the stages
+      // map but are BYTES, not seconds — excluded from the total like
+      // recall_*). shortlist = deep reranks exactly the ADC top-`deep`
+      // (pure ADC ranking quality); 4×deep buys back near-exactness.
+      if (!Files.exists(Paths.get(s"$ivfPqDir/pq/books")))
+        Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", ivfPqDir)
+      Seq(deep, 8 * deep, 32 * deep).foreach { sl =>
+        stages(s"recall_ivfpq_short${sl / deep}xdeep") = recallAt10(Similarity.ivfPqTopKIndexed(
+          emb.where(qPred), "vec_id", "embedding", ivfPqDir, deep,
+          nprobe = 4, shortlist = sl))
+      }
+      stages("info_bytes_per_vec_ivfpq_codes") = 12.0 // m=16 × 6-bit codes
+      stages("info_bytes_per_vec_ivf_raw") = 512.0 // dim=64 × int64
       brute.unpersist()
     }
     // subset runs merge into the standing stress.json (prior order kept,
@@ -382,9 +423,10 @@ object PipelineStress {
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq
       else Seq.empty
     val merged = scala.collection.mutable.LinkedHashMap(prior: _*) ++ stages
-    // recall_* entries are PERCENTAGES riding the stages map — not time
+    // recall_* (percent) and info_* (bytes) entries ride the stages map
+    // but are not time — excluded from the total
     val total = math.rint(merged.collect {
-      case (k, v) if !k.startsWith("recall_") => v
+      case (k, v) if !k.startsWith("recall_") && !k.startsWith("info_") => v
     }.sum * 100) / 100
     val json =
       s"""{"metric":"pipeline_stress","docs":$n,"vectors":$nEmb,"unit":"sec","total":$total,""" +

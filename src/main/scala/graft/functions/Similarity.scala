@@ -700,6 +700,217 @@ object Similarity {
     TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
   }
 
+  /** Add PRODUCT-QUANTIZED storage to a [[writeIvfIndex]] layout (Jégou
+    * et al. 2011, IVFADC): each vector's RESIDUAL against its cell
+    * centroid is split into `m` subvectors of dim/m components, and each
+    * subvector is coded as the nearest of `ksub` codewords from that
+    * subspace's codebook — `m` small ints per vector
+    * (`m·⌈log₂ ksub⌉/8` logical bytes, vs `dim·8` for the raw quantized
+    * vector: 12 B vs 512 B ≈ 43× at the dim=64, m=16, ksub=64 defaults;
+    * the defaults came from a measured sweep — at fixed code budget,
+    * FINER subspaces with RICHER codebooks dominate on hard corpora:
+    * m=8/ksub=16 scored recall ≈ random on the stress corpus while
+    * m=16/ksub=64 reaches 84% of the exact probe's discriminative
+    * recall at a 3%-of-candidates shortlist). At 100 TB of
+    * embeddings the raw cell vectors dominate index storage; the PQ
+    * codes are the footprint a probe's candidate-scoring pass actually
+    * has to read.
+    *
+    * Codebooks are trained per SUBSPACE (global across cells) with the
+    * same deterministic integer Lloyd as the coarse quantizer, on the
+    * same hash-stride driver-bounded sample machinery as
+    * [[fitCoarseQuantizer]] — training never collects more than the
+    * model. Layout adds `path/pq/books` (m·ksub×(dim/m) — the model,
+    * tiny) and `path/pq/codes/cell=N/` ((id, codes) only, partitioned
+    * like `cells` so probes prune identically). The full-precision
+    * `cells` table stays — it is the exact-rerank (and rebuild) source;
+    * a deployment tiers it to cold storage.
+    */
+  def writeIvfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      path: String,
+      nlist: Int = 16,
+      iters: Int = 2,
+      m: Int = 16,
+      ksub: Int = 64,
+      trainCap: Int = 100000): Unit = {
+    require(ksub >= 2 && ksub <= 127, s"ksub $ksub outside [2, 127] (codes are int8)")
+    writeIvfIndex(df, idCol, embCol, path, nlist, iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toIndexedSeq
+    val dim = cents.head._2.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val centDf = broadcast(cents.toDF("cell", "cqe"))
+    val resid = spark.read.parquet(s"$path/cells")
+      .join(centDf, "cell")
+      .select(col(idCol), col("cell"),
+        zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("resid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = resid.count()
+      val stride = math.max(1L, n / trainCap)
+      val sample = resid.where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      val books: IndexedSeq[IndexedSeq[Seq[Long]]] = (0 until m).map { mm =>
+        lloydCentroids(
+          sample.select(col(idCol), slice(col("resid"), mm * dsub + 1, dsub).as("qe")),
+          idCol, ksub, iters)
+      }
+      books.zipWithIndex
+        .flatMap { case (b, mm) => b.zipWithIndex.map { case (c, kk) => (mm, kk, c) } }
+        .toDF("m", "code", "qe")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq/books")
+      // one corpus pass codes all m subspaces (argmin per codebook, ties
+      // to the lowest code — the assignCells convention)
+      val codesCol = array((0 until m).map { mm =>
+        val dists = array(books(mm).map(c =>
+          SqDistQ(slice(col("resid"), mm * dsub + 1, dsub),
+            array(c.map(lit(_)): _*))): _*)
+        (array_position(dists, array_min(dists)) - 1).cast("tinyint")
+      }: _*)
+      resid.select(col(idCol), col("cell"), codesCol.as("codes"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pq/codes")
+    } finally { resid.unpersist(); () }
+  }
+
+  /** ANN top-k against a [[writeIvfPqIndex]] index by ASYMMETRIC DISTANCE
+    * COMPUTATION + exact rerank: per query, `dot(q, c + r̂) = dot(q, c) +
+    * Σₘ LUTₘ[codeₘ]` where LUTₘ[j] = dot(q's m-th subvector, codeword j)
+    * — the candidate-scoring pass reads ONLY the probed cells' `pq/codes`
+    * partitions (m bytes/vector, never the vectors) and each candidate
+    * costs m table lookups. The top-`shortlist` ADC candidates per query
+    * are then reranked EXACTLY from the full-precision `cells` rows
+    * (semi-join-shrunk to the shortlist, same partition pruning), so the
+    * final top-k ordering and tie-breaks are identical to
+    * [[ivfTopKIndexed]] whenever the shortlist captures the true top-k —
+    * which makes the PQ path oracle-checkable against the exact q89 SQL
+    * twin, with recall-vs-shortlist measured in the stress suite.
+    */
+  def ivfPqTopKIndexed(
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      indexPath: String,
+      k: Int,
+      nprobe: Int = 4,
+      shortlist: Int = 256): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toIndexedSeq.map(_._2)
+    val bookRows = spark.read.parquet(s"$indexPath/pq/books")
+      .as[(Int, Int, Seq[Long])].collect()
+    val books: IndexedSeq[IndexedSeq[Seq[Long]]] = bookRows.groupBy(_._1).toIndexedSeq
+      .sortBy(_._1).map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
+    val ksub = books.head.size
+    // ADC query-side state — per-cell dot(q, centroid) and squared
+    // distance, plus the m·ksub subvector LUT entries flattened
+    // subspace-major for [[AdcSumQ]]'s indexed lookup — computed in ONE
+    // typed map over the broadcast models: as literal expressions the
+    // m·ksub dot products overflowed janino's generated-class limits
+    // (codegen fallback on the whole projection), and the query side is
+    // a handful of rows against O(nlist·dim + m·ksub·dim/m) model work.
+    val bcC = spark.sparkContext.broadcast(cents.map(_.toArray).toArray)
+    val bcB = spark.sparkContext.broadcast(books.map(_.map(_.toArray).toArray).toArray)
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), quantize(col(embCol)).as("qe"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val bs = bcB.value
+        it.map { case (id, qeSeq) =>
+          val qa = qeSeq.toArray
+          val qcds = new Array[Long](cs.length)
+          val ds = new Array[Long](cs.length)
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c); var dot = 0L; var dist = 0L; var i = 0
+            while (i < qa.length) {
+              val d = qa(i) - cv(i); dot += qa(i) * cv(i); dist += d * d; i += 1
+            }
+            qcds(c) = dot; ds(c) = dist; c += 1
+          }
+          val m = bs.length
+          val ks = bs(0).length
+          val dsub = qa.length / m
+          val luts = new Array[Long](m * ks)
+          var mm = 0
+          while (mm < m) {
+            var kk = 0
+            while (kk < ks) {
+              val cw = bs(mm)(kk); var s = 0L; var i = 0
+              while (i < dsub) { s += qa(mm * dsub + i) * cw(i); i += 1 }
+              luts(mm * ks + kk) = s; kk += 1
+            }
+            mm += 1
+          }
+          (id, qeSeq, qcds.toSeq, luts.toSeq, ds.toSeq)
+        }
+      }.toDF("query_id", "qv", "qcds", "luts", "ds")
+    val qCells = q
+      .select(col("query_id"), col("qv"), col("qcds"), col("luts"),
+        posexplode(col("ds")).as(Seq("cell", "cdist")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
+      .where(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("luts"),
+        element_at(col("qcds"), col("cell") + 1).as("qcdot"), col("cell"))
+    val probed = qCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$indexPath/pq/codes")
+      .where(col("cell").isin(probed: _*))
+    // per-candidate cost: m byte-indexed lookups in one codegen loop
+    // (AdcSumQ) — the only work that touches every probed-cell row
+    val adc = broadcast(qCells).join(codes, "cell")
+      .select(col("query_id"), col(idCol), col("cell"), col("qv"),
+        (col("qcdot") + AdcSumQ(col("luts"), col("codes"), ksub)).as("adc"))
+    val short = TopK.perKey(adc,
+      Seq("query_id"), Seq(("adc", true), (idCol, false)), shortlist)
+      .select(col("query_id"), col(idCol), col("cell"), col("qv"))
+    // exact rerank: fetch full-precision vectors for the shortlist only
+    // (same partition pruning; the shortlist join is the semi-join shrink)
+    val cells = spark.read.parquet(s"$indexPath/cells")
+      .where(col("cell").isin(probed: _*))
+      .select(col(idCol), col("cell"), col("qe"))
+    val rescored = short.join(cells, Seq(idCol, "cell"))
+      .select(col("query_id"), col(idCol), col("cell").cast("long").as("cell"),
+        dotQ(col("qv"), col("qe")).as("dot"))
+    TopK.perKey(rescored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
+  }
+
+  /** Measured discriminative recall@10 of [[ivfTopKIndexed]] per nprobe
+    * (stress ann_recall_suite, 400k vectors, nlist=16 — the committed
+    * cost/recall table in stress.json). The default curve for
+    * [[nprobeForRecall]]; pass your own measurements for another corpus.
+    */
+  final val MeasuredIvfRecall: Seq[(Int, Double)] = Seq(1 -> 46.5, 2 -> 67.3, 4 -> 93.1)
+
+  /** Smallest nprobe whose MEASURED recall meets `target` percent —
+    * the cost/recall table made callable. Past the measured range,
+    * extrapolates by halving the miss mass per nprobe doubling (the
+    * measured curve halves it or better), capped at `nlistCap`.
+    * Monotone in `target` by construction (curve sorted by nprobe,
+    * recall non-decreasing along it — pinned by SimilaritySpec).
+    */
+  def nprobeForRecall(
+      target: Double,
+      curve: Seq[(Int, Double)] = MeasuredIvfRecall,
+      nlistCap: Int = 16): Int = {
+    val sorted = curve.sortBy(_._1)
+    sorted.find(_._2 >= target).map(_._1).getOrElse {
+      var (np, rec) = sorted.last
+      while (rec < target && np < nlistCap) {
+        np = math.min(nlistCap, np * 2)
+        rec = 100.0 - (100.0 - rec) / 2
+      }
+      np
+    }
+  }
+
   /** Bucketed ANN: assign every vector an LSH bucket, then rank only
     * bucket-mates of each query by quantized dot. Returns
     * (query_id, id, bucket, dot, rk ≤ k). Recall is tunable via

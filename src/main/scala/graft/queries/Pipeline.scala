@@ -57,6 +57,18 @@ object Pipeline {
       p
     })
 
+  /** Materialized IVF-PQ index (the [[ivfIndex]] layout plus subspace
+    * codebooks + per-vector codes): q124 times the ADC-shortlist +
+    * exact-rerank probe against standing compressed state.
+    */
+  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfPqIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivfpqindex").toString
+      Similarity.writeIvfPqIndex(tbl(s, dir, "embeddings"), "vec_id", "embedding", p)
+      p
+    })
+
   /** IVF index built on the STANDING corpus (vec_id % 13 != 0) and then
     * grown by [[Similarity.appendIvfIndex]] with the remaining batch —
     * the maintenance half of a standing ANN service, so q90 probes an
@@ -613,6 +625,24 @@ object Pipeline {
         Similarity.ivfTopKIndexed(
           tbl(s, dir, "embeddings").where(col("vec_id") < 10),
           "vec_id", "embedding", ivfIndex(s, dir), 5)
+          .orderBy(col("query_id"), col("rk")),
+      Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
+        "vec_id < 10", 5, DIM) + " ORDER BY query_id, rk")),
+
+    // PRODUCT-QUANTIZED index probe (IVFADC): candidates scored from the
+    // probed cells' m-byte PQ codes via per-query lookup tables, then the
+    // ADC shortlist reranked EXACTLY from the full-precision cell rows —
+    // so the final top-k is bit-identical to q89's exact probe whenever
+    // the shortlist captures the true top-k, which the q89 oracle twin
+    // verifies end to end (codebook training, coding, ADC decomposition,
+    // and rerank all sit between the same input and the same exact
+    // answer). Compression is ~43× (16 6-bit codes = 12 logical bytes vs
+    // 64×8B quantized); recall-vs-shortlist at scale rides stress.json.
+    "q124_ann_ivfpq" -> QueryDef(
+      (s, dir) =>
+        Similarity.ivfPqTopKIndexed(
+          tbl(s, dir, "embeddings").where(col("vec_id") < 10),
+          "vec_id", "embedding", ivfPqIndex(s, dir), 5)
           .orderBy(col("query_id"), col("rk")),
       Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
         "vec_id < 10", 5, DIM) + " ORDER BY query_id, rk")),

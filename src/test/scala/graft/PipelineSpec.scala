@@ -845,6 +845,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.length == 3 && out.forall { case (q, v) => q == 999L && v % 2 == 0 })
   }
 
+  test("IVF-PQ: ADC shortlist + exact rerank matches the exact indexed probe; codes compress") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 80L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.fill(8)(base + rnd.nextFloat() * 0.3f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    Similarity.writeIvfPqIndex(df, "vec_id", "embedding", dir,
+      nlist = 4, iters = 2, m = 4, ksub = 8)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // generous shortlist ⇒ rerank set ⊇ true top-k ⇒ EXACT parity with
+    // the uncompressed indexed probe, tie-breaks included
+    val pq = Similarity.ivfPqTopKIndexed(
+      df.where($"vec_id" < 4), "vec_id", "embedding", dir, 3, nprobe = 2,
+      shortlist = 64).collect().map(key).toSet
+    val exact = Similarity.ivfTopKIndexed(
+      df.where($"vec_id" < 4), "vec_id", "embedding", dir, 3, nprobe = 2)
+      .collect().map(key).toSet
+    assert(pq == exact)
+    // a TIGHT shortlist still returns k rows per query from probed cells
+    val tight = Similarity.ivfPqTopKIndexed(
+      df.where($"vec_id" < 4), "vec_id", "embedding", dir, 3, nprobe = 2,
+      shortlist = 3).collect()
+    assert(tight.length == 4 * 3)
+    // the code table really is m small ints per vector (int8 schema),
+    // every code within [0, ksub)
+    val codes = spark.read.parquet(s"$dir/pq/codes")
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false) ||
+      codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+    val flat = codes.select(explode($"codes").as("c")).as[Byte].collect()
+    assert(flat.nonEmpty && flat.forall(c => c >= 0 && c < 8))
+    assert(codes.select(size($"codes")).as[Int].collect().forall(_ == 4))
+    // determinism: a rebuild into a fresh dir yields identical codes
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpqidx2").toString
+    Similarity.writeIvfPqIndex(df, "vec_id", "embedding", dir2,
+      nlist = 4, iters = 2, m = 4, ksub = 8)
+    val a = spark.read.parquet(s"$dir/pq/codes")
+      .select($"vec_id", $"codes", $"cell").as[(Long, Seq[Byte], Int)].collect().sortBy(_._1).toSeq
+    val b = spark.read.parquet(s"$dir2/pq/codes")
+      .select($"vec_id", $"codes", $"cell").as[(Long, Seq[Byte], Int)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("nprobeForRecall: monotone in target, hits the measured knees, extrapolates capped") {
+    val f = (t: Double) => Similarity.nprobeForRecall(t)
+    assert(f(40.0) == 1 && f(46.5) == 1)
+    assert(f(50.0) == 2 && f(67.3) == 2)
+    assert(f(80.0) == 4 && f(93.1) == 4)
+    assert(f(99.0) > 4 && f(99.0) <= 16)
+    assert(f(100.0) == 16) // cap: can't promise past nprobe = nlist
+    val targets = (0 to 200).map(_ / 2.0)
+    val nps = targets.map(f)
+    assert(nps.zip(nps.tail).forall { case (x, y) => x <= y }, "must be monotone")
+  }
+
   test("appendIvfIndex grows the index under the frozen model; full probe ≡ brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
