@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Bpe, Dedup, Graph, Multimodal, Similarity, TextOps, TopK}
+import graft.sources.RawCorpus
 
 /** Oracle-checked queries for the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal columns) over the
@@ -66,6 +67,63 @@ object Pipeline {
     ivfPqIndexCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-ivfpqindex").toString
       Similarity.writeIvfPqIndex(tbl(s, dir, "embeddings"), "vec_id", "embedding", p)
+      p
+    })
+
+  /** JSONL dump of the documents table (one to_json line per row) —
+    * the raw-corpus fixture q125's ingest reader parses back; built once
+    * per testdata dir.
+    */
+  private val jsonlFixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlFixture(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    jsonlFixtureCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      tbl(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(p)
+      p
+    })
+
+  /** WARC dump of the documents table — 4 archives, one gzip MEMBER per
+    * record (the CommonCrawl layout), response records carrying the doc
+    * metadata as X-Graft-* headers. Fixture BUILD collects the sf-scale
+    * docs table on the driver (bounded by the fixture, not an ingest
+    * path — production reads archives that already exist); built once
+    * per testdata dir.
+    */
+  private val warcFixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcFixture(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    warcFixtureCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-warc").toString
+      val rows = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .collect()
+      rows.groupBy(_.getLong(0) % 4).foreach { case (g, rs) =>
+        val fos = new java.io.FileOutputStream(s"$p/part-$g.warc.gz")
+        try rs.sortBy(_.getLong(0)).foreach { r =>
+          val body = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rec = new java.io.ByteArrayOutputStream()
+          rec.write((s"WARC/1.0\r\n" +
+            s"WARC-Type: response\r\n" +
+            s"WARC-Record-ID: <urn:graft:${r.getLong(0)}>\r\n" +
+            s"WARC-Target-URI: http://graft.test/doc/${r.getLong(0)}\r\n" +
+            s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            s"X-Graft-Lang: ${r.getString(2)}\r\n" +
+            s"X-Graft-Source: ${r.getString(3)}\r\n" +
+            s"X-Graft-NChars: ${r.getLong(4)}\r\n" +
+            s"Content-Type: text/plain\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          rec.write(body)
+          rec.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // one gzip member per record: finish() flushes the member but
+          // keeps the underlying archive stream open for the next one
+          val gz = new java.util.zip.GZIPOutputStream(fos)
+          gz.write(rec.toByteArray)
+          gz.finish()
+        } finally fos.close()
+      }
       p
     })
 
@@ -646,6 +704,29 @@ object Pipeline {
           .orderBy(col("query_id"), col("rk")),
       Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
         "vec_id < 10", 5, DIM) + " ORDER BY query_id, rk")),
+
+    // RAW-CORPUS INGEST, JSONL: the documents table serialized to JSON
+    // lines and parsed back through the schema-explicit quarantining
+    // reader — the first step of a real curation run, oracle-checked by
+    // comparing the ingested rows against the source table in DuckDB.
+    "q125_jsonl_ingest" -> QueryDef(
+      (s, dir) => {
+        val (valid, _) = RawCorpus.partitionValid(
+          RawCorpus.readJsonlDocs(s, jsonlFixture(s, dir)))
+        valid.orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id")),
+
+    // RAW-CORPUS INGEST, WARC: the documents table laid out as gzip-
+    // member-per-record web archives (the CommonCrawl shape), walked by
+    // the per-file member parser and projected back onto the documents
+    // schema — version line, header block, Content-Length body and
+    // member framing all round-trip, or the DuckDB compare fails.
+    "q126_warc_ingest" -> QueryDef(
+      (s, dir) =>
+        RawCorpus.warcDocs(RawCorpus.readWarc(s, warcFixture(s, dir)))
+          .orderBy(col("doc_id")),
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id")),
 
     // Index MAINTENANCE: the same probe against an index built on the
     // standing corpus (vec_id % 13 != 0) and GROWN by appendIvfIndex

@@ -68,4 +68,89 @@ class SourcesSpec extends AnyFunSuite {
     assert(q.count(_.contains("\"event_id\":3")) === 1)
     assert(q.count(_.startsWith("{{{")) === 1)
   }
+
+  private def warcBytes(recs: Seq[(Long, String)], memberGzip: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (id, text) =>
+      val body = text.getBytes("UTF-8")
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:t:$id>\r\nWARC-Target-URI: http://t/doc/$id\r\n" +
+        s"X-Graft-Lang: en\r\nX-Graft-Source: s$id\r\nX-Graft-NChars: ${text.length}\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+        body ++ "\r\n\r\n".getBytes("UTF-8")
+      if (memberGzip) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(rec); gz.finish()
+      } else out.write(rec)
+    }
+    out.toByteArray
+  }
+
+  test("WARC parser: member-gzip and plain layouts round-trip; damage declines, never throws") {
+    import graft.sources.RawCorpus
+    val recs = Seq((1L, "alpha beta"), (2L, "gamma delta epsilon"), (3L, "zeta"))
+    // gzip-member layout (CommonCrawl shape)
+    val (gzRecs, gzClean) = RawCorpus.parseWarc(warcBytes(recs, memberGzip = true), gzipped = true)
+    assert(gzClean && gzRecs.map(r => (r.targetUri, new String(r.body, "UTF-8"))) ==
+      recs.map { case (id, t) => (s"http://t/doc/$id", t) })
+    // plain concatenated layout
+    val (plRecs, plClean) = RawCorpus.parseWarc(warcBytes(recs, memberGzip = false), gzipped = false)
+    assert(plClean && plRecs.size == 3)
+    // headers preserved, case-insensitive lookup fields populated
+    assert(gzRecs.head.warcType == "response" && gzRecs.head.recordId == "<urn:t:1>")
+    assert(gzRecs.head.headers("X-Graft-NChars") == "10")
+    // truncated tail: records before the damage survive, clean=false
+    val whole = warcBytes(recs, memberGzip = true)
+    val cut = whole.take(whole.length - 20)
+    val (cutRecs, cutClean) = RawCorpus.parseWarc(cut, gzipped = true)
+    assert(!cutClean && cutRecs.size >= 1 && cutRecs.size < 3)
+    // pure garbage and mutation fuzz: decline or parse, never throw
+    val rnd = new scala.util.Random(19)
+    (0 until 200).foreach { _ =>
+      val g = Array.fill(rnd.nextInt(400))(rnd.nextInt().toByte)
+      RawCorpus.parseWarc(g, gzipped = true)
+      RawCorpus.parseWarc(g, gzipped = false)
+    }
+    (0 until 300).foreach { _ =>
+      val mut = whole.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt().toByte
+      RawCorpus.parseWarc(mut, gzipped = true)
+    }
+    // oversized Content-Length must decline, not allocate
+    val bomb = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999999999\r\n\r\n")
+      .getBytes("UTF-8")
+    val (bRecs, bClean) = RawCorpus.parseWarc(bomb, gzipped = false)
+    assert(bRecs.isEmpty && !bClean)
+  }
+
+  test("JSONL documents ingest: quarantine split is total; WARC read is distributed") {
+    import spark.implicits._
+    import graft.sources.RawCorpus
+    val dir = Files.createTempDirectory("rawcorpus").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id":1,"text":"a b","lang":"en","source":"s1","n_chars":3}
+        |not json at all
+        |{"text":"missing id","lang":"en","source":"s2","n_chars":10}
+        |{"doc_id":4,"text":"d e f","lang":"fr","source":"s4","n_chars":5}
+        |""".stripMargin)
+    val (valid, quarantine) = RawCorpus.partitionValid(
+      RawCorpus.readJsonlDocs(spark, s"$dir/docs.jsonl"))
+    assert(valid.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    assert(quarantine.count() == 2) // corrupt line + null-key line, nothing dropped
+    // distributed WARC read over files: per-file decline marks damage
+    val wdir = Files.createTempDirectory("rawwarc").toString
+    Files.write(java.nio.file.Paths.get(s"$wdir/a.warc.gz"),
+      warcBytes(Seq((1L, "x y"), (2L, "z")), memberGzip = true))
+    val whole = warcBytes(Seq((3L, "w")), memberGzip = true)
+    Files.write(java.nio.file.Paths.get(s"$wdir/b.warc.gz"),
+      whole.take(whole.length / 2)) // damaged mid-deflate: nothing parses
+    val parsed = RawCorpus.readWarc(spark, wdir)
+    val docs = RawCorpus.warcDocs(parsed)
+      .select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(docs.map(_._1).toSeq == Seq(1L, 2L) && docs.head._2 == "x y" && docs.head._3 == 3L)
+    // the all-damage file surfaces as a marker row for requeue — it
+    // neither fails the job nor silently vanishes
+    val damaged = parsed.where(!$"clean_eof").select($"path").as[String].collect()
+    assert(damaged.length == 1 && damaged.head.endsWith("b.warc.gz"))
+  }
 }
