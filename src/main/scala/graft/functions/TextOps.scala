@@ -312,6 +312,23 @@ object TextOps {
       idCol: String,
       textCol: String,
       maxLen: Long = 2048,
+      numShards: Int = 64): DataFrame =
+    packSequencesCounted(
+      df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol, "n_tokens", maxLen, numShards)
+
+  /** [[packSequences]] over PRECOMPUTED per-doc token counts — the
+    * counting rule is a parameter of the pipeline, not of the packing
+    * discipline. This is how packing consumes a real tokenizer: feed it
+    * `Bpe.trainEncode(...)`'s `n_pieces` (q127) and quota/boundary math
+    * runs on the token counts a model would actually see, with the
+    * identical shard/prefix-sum shape.
+    */
+  def packSequencesCounted(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      maxLen: Long = 2048,
       numShards: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxLen > 0 && numShards > 0)
@@ -319,7 +336,7 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol),
         portableHash(col(idCol).cast("string")).as("hv"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+        col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("shard", (col("hv") % numShards).cast("int"))
       .withColumn("cum_after", sum(col("n_tokens")).over(w))
       .select(col(idCol), col("shard"),

@@ -274,6 +274,32 @@ object Pipeline {
               |       CAST((cum_after - n_tokens) % 512 AS BIGINT) AS pack_offset, n_tokens
               |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Sequence packing over the TRAINED BPE tokenizer's piece counts
+    // (q95's discipline, q123's tokenizer): pack boundaries and offsets
+    // computed from the token counts a model would actually see, not the
+    // whitespace proxy. The oracle composes the full q123 recursive-CTE
+    // train+encode twin with the q95 packing twin — both halves derived
+    // independently in SQL, end to end.
+    "q127_pack_bpe" -> QueryDef(
+      (s, dir) => {
+        val pieces = Bpe.trainEncode(tbl(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("n_pieces"))
+        TextOps.packSequencesCounted(pieces, "doc_id", "n_pieces",
+          maxLen = 512, numShards = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH bpe AS (${Bpe.trainEncodeSql("documents", "doc_id", "text")}),
+              |tk AS (SELECT doc_id,
+              |  ${TextOps.portableHashSql("CAST(doc_id AS VARCHAR)")} AS hv,
+              |  n_pieces AS n_tokens FROM bpe),
+              |c AS (SELECT doc_id, CAST(hv % 8 AS INT) AS shard, n_tokens,
+              |  sum(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum_after FROM tk)
+              |SELECT doc_id, shard,
+              |       CAST((cum_after - n_tokens) // 512 AS BIGINT) AS pack_id,
+              |       CAST((cum_after - n_tokens) % 512 AS BIGINT) AS pack_offset, n_tokens
+              |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Token-budget mixture sampling (training-mix step): each language
     // contributes docs in deterministic hash order until its token quota
     // is spent (boundary doc kept). Spark runs the sharded parallel
