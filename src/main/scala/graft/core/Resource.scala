@@ -37,20 +37,58 @@ final case class Experiment(
     timeStep: Long = 0,
     timeStepUnit: String = "milliseconds")
 
-/** Voxel datatypes the reference supports (`spdb/spatialdb/cube.py:442-451`).
+/** Voxel datatypes the reference supports (`spdb/spatialdb/cube.py:442-451`
+  * for the Cube.create_cube surface; uint32/float32 are the legacy ndstore
+  * dtypes of `spdb/c_lib/ndlib.py:39-51` / `isotropicBuild.c:88`).
   * Stored in Spark as the narrowest signed type and widened/masked in
-  * compute (uint8 → Byte & 0xFF, uint16 → Short & 0xFFFF, uint64 → Long).
+  * compute (uint8 → Byte & 0xFF, uint16 → Short & 0xFFFF, uint32 →
+  * Int & 0xFFFFFFFF, uint64 → Long). Float32 blobs hold IEEE-754
+  * little-endian floats while the voxel plane stays integral Longs —
+  * exact for |v| < 2^24 (every id/intensity the surface produces), so
+  * the relational contract and its oracles are unchanged; fractional
+  * intensities would need a separate double-valued plane, which no
+  * reachable reference op emits.
+  *
+  * [[read]]/[[write]] are the single widen/narrow point for every blob
+  * codec (cuboid codec, id index, precomputed/blosc ingest).
   */
-sealed abstract class VoxelType(val byteWidth: Int, val name: String)
+sealed abstract class VoxelType(val byteWidth: Int, val name: String) {
+  /** Widened value of voxel `i` in a little-endian blob. */
+  def read(buf: java.nio.ByteBuffer, i: Int): Long
+  /** Store widened value `v` as voxel `i` of a little-endian blob. */
+  def write(buf: java.nio.ByteBuffer, i: Int, v: Long): Unit
+}
 object VoxelType {
-  case object UInt8 extends VoxelType(1, "uint8")
-  case object UInt16 extends VoxelType(2, "uint16")
-  case object UInt64 extends VoxelType(8, "uint64")
+  case object UInt8 extends VoxelType(1, "uint8") {
+    def read(buf: java.nio.ByteBuffer, i: Int): Long = buf.get(i) & 0xffL
+    def write(buf: java.nio.ByteBuffer, i: Int, v: Long): Unit = { buf.put(i, (v & 0xff).toByte); () }
+  }
+  case object UInt16 extends VoxelType(2, "uint16") {
+    def read(buf: java.nio.ByteBuffer, i: Int): Long = buf.getShort(i * 2) & 0xffffL
+    def write(buf: java.nio.ByteBuffer, i: Int, v: Long): Unit = { buf.putShort(i * 2, (v & 0xffff).toShort); () }
+  }
+  case object UInt32 extends VoxelType(4, "uint32") {
+    def read(buf: java.nio.ByteBuffer, i: Int): Long = buf.getInt(i * 4) & 0xffffffffL
+    def write(buf: java.nio.ByteBuffer, i: Int, v: Long): Unit = { buf.putInt(i * 4, (v & 0xffffffffL).toInt); () }
+  }
+  case object Float32 extends VoxelType(4, "float32") {
+    def read(buf: java.nio.ByteBuffer, i: Int): Long =
+      java.lang.Float.intBitsToFloat(buf.getInt(i * 4)).toLong
+    def write(buf: java.nio.ByteBuffer, i: Int, v: Long): Unit = {
+      buf.putInt(i * 4, java.lang.Float.floatToRawIntBits(v.toFloat)); ()
+    }
+  }
+  case object UInt64 extends VoxelType(8, "uint64") {
+    def read(buf: java.nio.ByteBuffer, i: Int): Long = buf.getLong(i * 8)
+    def write(buf: java.nio.ByteBuffer, i: Int, v: Long): Unit = { buf.putLong(i * 8, v); () }
+  }
   def parse(s: String): VoxelType = s.toLowerCase match {
-    case "uint8"  => UInt8
-    case "uint16" => UInt16
-    case "uint64" => UInt64
-    case other    => throw new IllegalArgumentException(s"unsupported datatype: $other")
+    case "uint8"   => UInt8
+    case "uint16"  => UInt16
+    case "uint32"  => UInt32
+    case "float32" => Float32
+    case "uint64"  => UInt64
+    case other     => throw new IllegalArgumentException(s"unsupported datatype: $other")
   }
 }
 

@@ -63,6 +63,16 @@ object CuboidMerge {
           ob.putShort(i * 2, rule(mode, db.getShort(i * 2) & 0xffffL, sb.getShort(i * 2) & 0xffffL).toShort)
           i += 1
         }
+      // 4-byte lanes serve BOTH uint32 and float32: the rule only
+      // zero-tests and copies values, and copying raw lanes is lossless
+      // whichever interpretation applies (float32's zero test is
+      // bits == 0, i.e. +0.0f — the integral-value contract never
+      // produces -0.0f)
+      case 4 =>
+        while (i < n) {
+          ob.putInt(i * 4, rule(mode, db.getInt(i * 4) & 0xffffffffL, sb.getInt(i * 4) & 0xffffffffL).toInt)
+          i += 1
+        }
       case _ =>
         while (i < n) {
           ob.putLong(i * 8, rule(mode, db.getLong(i * 8), sb.getLong(i * 8)))

@@ -767,6 +767,73 @@ object Spatial {
               |  AND t >= 0 AND t < 2 AND value <> 0
               |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
 
+    // The uint32 path (legacy ndstore dtype, `ndlib.py:39-51`) through
+    // the same store machinery: ids scaled so every non-zero value
+    // EXCEEDS two bytes — the codec's 4-byte little-endian branch and
+    // its unsigned widening are what the hash checks (q50 8-byte,
+    // q65 1-byte, q77 2-byte).
+    "q128_store_u32" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.storage.{CuboidCodec, CuboidStore, VoxelRow}
+        import graft.core.VoxelType
+        val deduped = VoxelView.df(s, dir)
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(col("id")).as("mid"))
+          .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"),
+            when(col("mid") === 0, 0L).otherwise(col("mid") * 100000L + 70000L).as("value"))
+          .as[VoxelRow]
+        val path = java.nio.file.Files.createTempDirectory("q128store").toString
+        CuboidStore.write(CuboidCodec.fromVoxels(deduped, VoxelType.UInt32, dims), path)
+        SpatialOps.cutoutFromStore(s, path, LK, 0, Box(8, 40, 32, 160, 2, 10),
+          0 until 2, VoxelType.UInt32, dims)
+          .select(col("t").cast("long").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z,
+              |         CASE WHEN max(id) = 0 THEN 0 ELSE max(id) * 100000 + 70000 END AS value
+              |  FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT t, x, y, z, value FROM g
+              |WHERE x >= 8 AND x < 40 AND y >= 32 AND y < 160 AND z >= 2 AND z < 10
+              |  AND t >= 0 AND t < 2 AND value <> 0
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
+    // The float32 path (`ndlib.py:39-51`, `isotropicBuild.c:88`): blobs
+    // hold IEEE-754 little-endian floats while the voxel plane stays
+    // integral (exact for |v| < 2^24 — the VoxelType.Float32 contract),
+    // so the identical relational oracle pins the float byte layout:
+    // any bit slip in the float encode/decode shifts a value and breaks
+    // the hash.
+    "q129_store_f32" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.storage.{CuboidCodec, CuboidStore, VoxelRow}
+        import graft.core.VoxelType
+        val deduped = VoxelView.df(s, dir)
+          .groupBy(col("t"), col("x"), col("y"), col("z"))
+          .agg(max(col("id")).as("mid"))
+          .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+            col("t").cast("int").as("t"), col("x"), col("y"), col("z"),
+            when(col("mid") === 0, 0L).otherwise(col("mid") * 1000L + 200L).as("value"))
+          .as[VoxelRow]
+        val path = java.nio.file.Files.createTempDirectory("q129store").toString
+        CuboidStore.write(CuboidCodec.fromVoxels(deduped, VoxelType.Float32, dims), path)
+        SpatialOps.cutoutFromStore(s, path, LK, 0, Box(8, 40, 32, 160, 2, 10),
+          0 until 2, VoxelType.Float32, dims)
+          .select(col("t").cast("long").as("t"), col("x"), col("y"), col("z"), col("value"))
+          .orderBy(col("t"), col("x"), col("y"), col("z"), col("value"))
+      },
+      Some(s"""WITH $V, g AS (
+              |  SELECT t, x, y, z,
+              |         CASE WHEN max(id) = 0 THEN 0 ELSE max(id) * 1000 + 200 END AS value
+              |  FROM v GROUP BY 1, 2, 3, 4)
+              |SELECT t, x, y, z, value FROM g
+              |WHERE x >= 8 AND x < 40 AND y >= 32 AND y < 160 AND z >= 2 AND z < 10
+              |  AND t >= 0 AND t < 2 AND value <> 0
+              |ORDER BY t, x, y, z, value""".stripMargin.replace("\n", " "))),
+
     // W1-W3/S8-S11 streaming write path, oracle-checked end to end:
     // voxel write events land as files, Structured Streaming drains them
     // with AvailableNow in 1-file micro-batches (each a cuboid-plane

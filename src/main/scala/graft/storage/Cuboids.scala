@@ -52,7 +52,6 @@ object CuboidCodec {
     val spark = cuboids.sparkSession
     import spark.implicits._
     val (dx, dy, dz) = (dims.x.toInt, dims.y.toInt, dims.z.toInt)
-    val width = vt.byteWidth
     cuboids.flatMap { c =>
       val bx = Morton.decodeX(c.morton) * dx
       val by = Morton.decodeY(c.morton) * dy
@@ -60,11 +59,7 @@ object CuboidCodec {
       val buf = ByteBuffer.wrap(c.data).order(ByteOrder.LITTLE_ENDIAN)
       val n = dx * dy * dz
       Iterator.range(0, n).flatMap { i =>
-        val v = width match {
-          case 1 => (buf.get(i) & 0xffL)
-          case 2 => (buf.getShort(i * 2) & 0xffffL)
-          case _ => buf.getLong(i * 8)
-        }
+        val v = vt.read(buf, i)
         if (v == 0L && !keepZeros) Iterator.empty
         else {
           // C-order [z,y,x]: x fastest
@@ -101,11 +96,7 @@ object CuboidCodec {
         val bz = Morton.decodeZ(m) * dz
         it.foreach { v =>
           val i = ((v.z - bz) * dy * dx + (v.y - by) * dx + (v.x - bx)).toInt
-          width match {
-            case 1 => buf.put(i, (v.value & 0xff).toByte)
-            case 2 => buf.putShort(i * 2, (v.value & 0xffff).toShort)
-            case _ => buf.putLong(i * 8, v.value)
-          }
+          vt.write(buf, i, v.value)
         }
         CuboidRow(lk, res, t, m, arr)
       }
@@ -225,9 +216,11 @@ object VolumeGen {
     val nz = box.z1 - box.z0
     val nt = tRange.size.toLong
     val maxVal = vt match {
-      case VoxelType.UInt8  => 254L
-      case VoxelType.UInt16 => 65534L
-      case VoxelType.UInt64 => 255L
+      case VoxelType.UInt8   => 254L
+      case VoxelType.UInt16  => 65534L
+      case VoxelType.UInt32  => 4294967294L
+      case VoxelType.Float32 => 16777215L // 2^24 - 1: the exact integral float range
+      case VoxelType.UInt64  => 255L
     }
     val t0 = tRange.start
     val zeroMod = math.max(1L, math.round(1.0 / math.max(1e-9, zeroFraction)))

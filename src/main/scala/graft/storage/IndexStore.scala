@@ -82,11 +82,7 @@ object IndexStore {
       val seen = scala.collection.mutable.HashSet.empty[Long]
       var i = 0
       while (i < n) {
-        val v = width match {
-          case 1 => (buf.get(i) & 0xffL)
-          case 2 => (buf.getShort(i * 2) & 0xffffL)
-          case _ => buf.getLong(i * 8)
-        }
+        val v = vt.read(buf, i)
         if (v != 0L) { seen += v; () }
         i += 1
       }

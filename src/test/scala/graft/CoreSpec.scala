@@ -105,4 +105,31 @@ class CoreSpec extends AnyFunSuite {
       assert(evalEncode(x, y, z) == Morton.encode(x, y, z))
     }
   }
+
+  test("VoxelType read/write round-trips every dtype at its width edges") {
+    import graft.core.VoxelType
+    import java.nio.{ByteBuffer, ByteOrder}
+    val cases: Seq[(VoxelType, Seq[Long])] = Seq(
+      VoxelType.UInt8 -> Seq(0L, 1L, 127L, 128L, 254L, 255L),
+      VoxelType.UInt16 -> Seq(0L, 255L, 256L, 32767L, 32768L, 65535L),
+      VoxelType.UInt32 -> Seq(0L, 65535L, 65536L, 2147483647L, 2147483648L, 4294967295L),
+      // float32 carries integral values exactly up to 2^24
+      VoxelType.Float32 -> Seq(0L, 1L, 200L, 65536L, 16777215L, 16777216L),
+      VoxelType.UInt64 -> Seq(0L, 1L, 4294967296L, Long.MaxValue))
+    cases.foreach { case (vt, vals) =>
+      val buf = ByteBuffer.wrap(new Array[Byte](vals.size * vt.byteWidth))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      vals.zipWithIndex.foreach { case (v, i) => vt.write(buf, i, v) }
+      vals.zipWithIndex.foreach { case (v, i) =>
+        assert(vt.read(buf, i) == v, s"${vt.name} value $v")
+      }
+    }
+    // float32 blob bytes really are IEEE-754 little-endian
+    val fb = ByteBuffer.wrap(new Array[Byte](4)).order(ByteOrder.LITTLE_ENDIAN)
+    VoxelType.Float32.write(fb, 0, 200L)
+    assert(fb.getInt(0) == java.lang.Float.floatToRawIntBits(200.0f))
+    // parse covers the legacy ndstore names
+    assert(VoxelType.parse("uint32") == VoxelType.UInt32)
+    assert(VoxelType.parse("float32") == VoxelType.Float32)
+  }
 }
