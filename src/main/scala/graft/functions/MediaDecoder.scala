@@ -284,16 +284,27 @@ object MediaDecoder {
         if (sampled.forall(_.isDefined)) Some(sampled.iterator.map(_.get)) else None
       }
 
-    /** (width, height, n_frames, decoded frames in order) for
-      * [[Multimodal.videoStats]] — the full-decode surface; None under
-      * the same strict contract as [[meta]].
+    /** Fold over the decoded frames IN STREAMING ORDER — one decoded
+      * frame (w·h·3 bytes) live at a time, never the whole video
+      * (a minute of 640×480 held eagerly is ~1.6 GB of heap). The
+      * all-or-nothing contract of [[meta]] holds by aborting on the
+      * first undecodable frame: the partial fold is discarded and the
+      * row declines. Returns (width, height, n_frames, folded value).
       */
-    private[functions] def decodeAll(bytes: Array[Byte]): Option[(Int, Int, Int, Iterator[Array[Byte]])] =
+    private[functions] def foldFrames[A](bytes: Array[Byte], zero: A)(
+        f: (A, Array[Byte]) => A): Option[(Int, Int, Int, A)] =
       parse(bytes).flatMap { info =>
-        val all = info.frames.map { case (off, size) => decodeFrame(bytes, info, off, size) }
-        if (all.forall(_.isDefined))
-          Some((info.width, info.height, info.frames.length, all.iterator.map(_.get)))
-        else None
+        var acc = zero
+        var i = 0
+        var ok = true
+        while (ok && i < info.frames.length) {
+          val (off, size) = info.frames(i)
+          decodeFrame(bytes, info, off, size) match {
+            case Some(fr) => acc = f(acc, fr); i += 1
+            case None     => ok = false
+          }
+        }
+        if (ok) Some((info.width, info.height, info.frames.length, acc)) else None
       }
   }
 

@@ -213,12 +213,14 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) =>
-          MediaDecoder.AviVideo.decodeAll(bytes).map { case (w, h, nf, frames) =>
-            var sum = 0L
-            frames.foreach { f =>
-              var i = 0
-              while (i < f.length) { sum += (f(i) & 0xff); i += 1 }
-            }
+          // streaming fold: one decoded frame live at a time; a failed
+          // frame aborts and drops the row (all-or-nothing contract)
+          MediaDecoder.AviVideo.foldFrames(bytes, 0L) { (sum0, f) =>
+            var sum = sum0
+            var i = 0
+            while (i < f.length) { sum += (f(i) & 0xff); i += 1 }
+            sum
+          }.map { case (w, h, nf, sum) =>
             (id, "avi", w.toLong, h.toLong, nf.toLong, sum)
           }
         }
@@ -362,18 +364,25 @@ object Multimodal {
       decoders: Seq[MediaDecoder] = MediaDecoder.default): Dataset[MediaFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // clamp ONCE at the public entry: a non-positive stride/frameBytes
+    // would otherwise escape the decoder chain's never-throw contract
+    // inside every decoder's `by stride` range (and the fallback's
+    // division) — an executor-side IllegalArgumentException from a
+    // caller typo, not a data problem
+    val st = math.max(1, stride)
+    val fb = math.max(1, frameBytes)
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         decoders.foreach(_.init())
         it.flatMap { case (id, bytes) =>
-          decoders.iterator.flatMap(_.frames(bytes, frameBytes, stride)).nextOption() match {
+          decoders.iterator.flatMap(_.frames(bytes, fb, st)).nextOption() match {
             case Some(fs) => fs.map { case (i, b) => MediaFrame(id, i, b) }
             case None =>
-              val nFrames = bytes.length / frameBytes
-              (0 until nFrames by stride).iterator.map { f =>
+              val nFrames = bytes.length / fb
+              (0 until nFrames by st).iterator.map { f =>
                 MediaFrame(id, f,
-                  java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+                  java.util.Arrays.copyOfRange(bytes, f * fb, (f + 1) * fb))
               }
           }
         }
