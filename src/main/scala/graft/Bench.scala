@@ -53,8 +53,7 @@ object Bench {
       // cleanup storm from earlier queries lands inside a later query's
       // window (r10 q76/q67, r11 q87/ivf_index_build measured 1.2-2×
       // in-sweep vs isolated A/B). The pause is outside the timer.
-      System.gc()
-      Thread.sleep(100)
+      if (sys.env.get("SPARK_GRAFT_NO_BARRIER").isEmpty) { System.gc(); Thread.sleep(100) }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable => Left(e.getClass.getSimpleName) }
