@@ -74,4 +74,15 @@ object IndexMaintenance {
     compactParquetTable(spark, s"$path/cells", Some("cell"))
     ()
   }
+
+  /** Compact a [[Similarity.writeIvfPqIndex]] index grown by
+    * [[Similarity.appendIvfPqIndex]]: `cells/` plus the parallel
+    * `pq/codes/` cell partitions (each append lands one file set in
+    * both). The centroid and codebook models are untouched.
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    compactIvfIndex(spark, path)
+    compactParquetTable(spark, s"$path/pq/codes", Some("cell"))
+    ()
+  }
 }

@@ -764,17 +764,55 @@ object Similarity {
         .flatMap { case (b, mm) => b.zipWithIndex.map { case (c, kk) => (mm, kk, c) } }
         .toDF("m", "code", "qe")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/pq/books")
-      // one corpus pass codes all m subspaces (argmin per codebook, ties
-      // to the lowest code — the assignCells convention)
-      val codesCol = array((0 until m).map { mm =>
-        val dists = array(books(mm).map(c =>
-          SqDistQ(slice(col("resid"), mm * dsub + 1, dsub),
-            array(c.map(lit(_)): _*))): _*)
-        (array_position(dists, array_min(dists)) - 1).cast("tinyint")
-      }: _*)
-      resid.select(col(idCol), col("cell"), codesCol.as("codes"))
+      resid.select(col(idCol), col("cell"), pqCodesCol(books, dsub).as("codes"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pq/codes")
     } finally { resid.unpersist(); () }
+  }
+
+  /** One corpus pass codes all m subspaces of a `resid` column (argmin
+    * per codebook, ties to the lowest code — the assignCells convention).
+    */
+  private def pqCodesCol(books: IndexedSeq[IndexedSeq[Seq[Long]]], dsub: Int): Column =
+    array(books.indices.map { mm =>
+      val dists = array(books(mm).map(c =>
+        SqDistQ(slice(col("resid"), mm * dsub + 1, dsub),
+          array(c.map(lit(_)): _*))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("tinyint")
+    }: _*)
+
+  /** Grow a standing [[writeIvfPqIndex]] index by one ingested batch —
+    * the PQ face of [[appendIvfIndex]]: the batch lands in `cells/` under
+    * the FROZEN centroid model (via appendIvfIndex) and its PQ codes are
+    * computed with the FROZEN subspace codebooks and appended into the
+    * same cell partitions — no retrain of either model, O(batch) cost,
+    * standing files never rewritten. Probes stay exact-rerank-consistent
+    * with the grown `cells/` table regardless of codebook age (ADC
+    * quality degrades with drift like cell balance does; the
+    * [[ivfNeedsRebuild]] skew guard is the shared rebuild trigger).
+    */
+  def appendIvfPqIndex(
+      batch: DataFrame,
+      idCol: String,
+      embCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    appendIvfIndex(batch, idCol, embCol, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).toIndexedSeq
+    val books: IndexedSeq[IndexedSeq[Seq[Long]]] =
+      spark.read.parquet(s"$path/pq/books")
+        .as[(Int, Int, Seq[Long])].collect().groupBy(_._1).toIndexedSeq
+        .sortBy(_._1).map(_._2.sortBy(_._2).map(_._3).toIndexedSeq)
+    val dsub = cents.head._2.size / books.size
+    val centDf = broadcast(cents.toDF("cell", "cqe"))
+    val src = Par.fanOut(batch.select(col(idCol), col(embCol)))
+    assignCells(src.select(col(idCol), quantize(col(embCol)).as("qe")), cents.map(_._2))
+      .join(centDf, "cell")
+      .select(col(idCol), col("cell"),
+        zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("resid"))
+      .select(col(idCol), col("cell"), pqCodesCol(books, dsub).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/pq/codes")
   }
 
   /** ANN top-k against a [[writeIvfPqIndex]] index by ASYMMETRIC DISTANCE

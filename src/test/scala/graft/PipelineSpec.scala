@@ -893,6 +893,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("IVF-PQ append under frozen models + compaction: probe parity, one file per dir") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 90L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.fill(8)(base + rnd.nextFloat() * 0.3f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val standing = df.where($"vec_id" % 13 =!= 0)
+    val batch = df.where($"vec_id" % 13 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqgrow").toString
+    Similarity.writeIvfPqIndex(standing, "vec_id", "embedding", dir,
+      nlist = 4, iters = 2, m = 4, ksub = 8)
+    Similarity.appendIvfPqIndex(batch, "vec_id", "embedding", dir)
+    // every appended row carries codes, in the cell the frozen model picks
+    val codes = spark.read.parquet(s"$dir/pq/codes")
+    assert(codes.count() == 90)
+    val cells = spark.read.parquet(s"$dir/cells").select($"vec_id", $"cell")
+    assert(codes.select($"vec_id", $"cell").except(cells).count() == 0)
+    // grown-index ADC + exact rerank at generous shortlist == exact probe
+    // over the same grown index (batch rows retrievable through PQ)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    def pq() = Similarity.ivfPqTopKIndexed(
+      df.where($"vec_id" < 4), "vec_id", "embedding", dir, 3, nprobe = 2,
+      shortlist = 64).collect().map(key).toSet
+    val exact = Similarity.ivfTopKIndexed(
+      df.where($"vec_id" < 4), "vec_id", "embedding", dir, 3, nprobe = 2)
+      .collect().map(key).toSet
+    assert(pq() == exact)
+    // appended rows are REACHABLE through the PQ path: probing every
+    // cell with corpus-sized k must return all 90 vectors (batch incl.)
+    val full = Similarity.ivfPqTopKIndexed(
+      df.where($"vec_id" === 0), "vec_id", "embedding", dir, 90, nprobe = 4,
+      shortlist = 200).select($"vec_id").as[Long].collect().toSet
+    assert(full.size == 90 && full.exists(_ % 13 == 0))
+    // compaction: one file per cell dir in BOTH cells/ and pq/codes/,
+    // identical probe results
+    graft.functions.IndexMaintenance.compactIvfPqIndex(spark, dir)
+    Seq("cells", "pq/codes").foreach { t =>
+      val perDir = spark.read.parquet(s"$dir/$t").inputFiles
+        .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      assert(perDir.nonEmpty && perDir.forall(_._2.length == 1), s"$t not 1 file/dir")
+    }
+    assert(pq() == exact)
+  }
+
   test("nprobeForRecall: monotone in target, hits the measured knees, extrapolates capped") {
     val f = (t: Double) => Similarity.nprobeForRecall(t)
     assert(f(40.0) == 1 && f(46.5) == 1)
