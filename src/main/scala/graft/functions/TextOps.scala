@@ -370,6 +370,24 @@ object TextOps {
       stratumCol: String,
       budgets: Map[String, Long],
       defaultBudget: Long,
+      numShards: Int = 64): DataFrame =
+    tokenBudgetSampleCounted(
+      df.select(col(idCol), col(stratumCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol, stratumCol, "n_tokens", budgets, defaultBudget, numShards)
+
+  /** [[tokenBudgetSample]] over PRECOMPUTED per-doc token counts — the
+    * [[packSequencesCounted]] principle applied to the mixture step:
+    * quotas spend the tokens a model would actually see when fed
+    * `Bpe.trainEncode`'s piece counts (q130).
+    */
+  def tokenBudgetSampleCounted(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      nTokensCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
       numShards: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(numShards > 0 && defaultBudget >= 0)
@@ -380,7 +398,7 @@ object TextOps {
     // this operator pins nothing a caller can't release
     val base = df.select(col(idCol), col(stratumCol).cast("string").as("stratum"),
         portableHash(col(idCol).cast("string")).as("hv"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+        col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("shard", (col("hv") % numShards).cast("int"))
     // parallel prefix sum, stage 1: per-(stratum, shard) totals →
     // per-stratum offsets in shard order (strata × numShards rows on

@@ -323,6 +323,35 @@ object Pipeline {
               |    (CASE stratum WHEN 'en' THEN 9000 WHEN 'de' THEN 4000 ELSE 2500 END) AS kept
               |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Token-budget mixture over the TRAINED BPE tokenizer's piece counts
+    // (q96's discipline, q123's tokenizer) — quotas spend the tokens a
+    // model would see. The oracle composes the q123 train+encode twin
+    // with the q96 mixture twin (counts joined back to the stratum
+    // column; one co-keyed doc_id exchange on the Spark side).
+    "q130_budget_bpe" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pieces = Bpe.trainEncode(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_pieces"))
+        TextOps.tokenBudgetSampleCounted(
+          docs.select(col("doc_id"), col("lang")).join(pieces, "doc_id"),
+          "doc_id", "lang", "n_pieces",
+          budgets = Map("en" -> 40000L, "de" -> 18000L),
+          defaultBudget = 12000L, numShards = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH bpe AS (${Bpe.trainEncodeSql("documents", "doc_id", "text")}),
+              |tk AS (SELECT d.doc_id, d.lang AS stratum,
+              |  ${TextOps.portableHashSql("CAST(d.doc_id AS VARCHAR)")} AS hv,
+              |  b.n_pieces AS n_tokens FROM documents d JOIN bpe b USING (doc_id)),
+              |c AS (SELECT doc_id, stratum, n_tokens,
+              |  sum(n_tokens) OVER (PARTITION BY stratum ORDER BY hv % 8, hv, doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum_after FROM tk)
+              |SELECT doc_id, stratum, CAST(cum_after - n_tokens AS BIGINT) AS pos, n_tokens,
+              |  (cum_after - n_tokens) <
+              |    (CASE stratum WHEN 'en' THEN 40000 WHEN 'de' THEN 18000 ELSE 12000 END) AS kept
+              |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Winnowing document fingerprints (window w=4 over 3-gram hashes).
     "q38_fingerprint_winnow" -> QueryDef(
       (s, dir) =>
