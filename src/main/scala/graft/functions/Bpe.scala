@@ -288,6 +288,31 @@ object Bpe {
       }.toDF(idCol, "n_pieces", "pieces_str")
   }
 
+  /** Persist a trained merge list as a tiny parquet model table
+    * (rank, left, right) — the tokenizer-as-standing-model half of a
+    * real pipeline: train ONCE on a reference corpus, then [[encode]]
+    * every later corpus/batch against the stored model (the signature/
+    * IVF-index persistence pattern applied to the tokenizer).
+    */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read back a [[writeMerges]] model in training order. */
+  def readMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("rank"), col("left"), col("right"))
+      .as[(Int, String, String)].collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq
+  }
+
+  /** [[encode]] against a stored [[writeMerges]] model. */
+  def encodeWithStored(df: DataFrame, idCol: String, textCol: String, path: String): DataFrame =
+    encode(df, idCol, textCol, readMerges(df.sparkSession, path))
+
   /** Train + encode in one call (the q123 shape). */
   def trainEncode(
       df: DataFrame,

@@ -166,15 +166,18 @@ object RawCorpus {
     * target_uri, headers, body, clean_eof) — `clean_eof=false` rows mark
     * damaged archives for requeue without failing the job.
     */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
+  def readWarc(
+      spark: SparkSession, path: String, httpPayloadOnly: Boolean = true): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val (recs, clean) = parseWarc(bytes, gzipped = p.endsWith(".gz"))
-        val rows = recs.map(r =>
-          (p, r.warcType, r.recordId, r.targetUri, r.headers, r.body, clean))
+        val rows = recs.map { r =>
+          val body = if (httpPayloadOnly) httpPayload(r.body) else r.body
+          (p, r.warcType, r.recordId, r.targetUri, r.headers, body, clean)
+        }
         // a file so damaged that NOTHING parsed must still surface in the
         // output (one null marker row), or the requeue scan can't see it
         if (rows.isEmpty && !clean)
@@ -183,6 +186,27 @@ object RawCorpus {
         else rows
       }
       .toDF("path", "warc_type", "record_id", "target_uri", "headers", "body", "clean_eof")
+  }
+
+  /** Split an HTTP message body out of a WARC `response` record payload:
+    * real web archives (CommonCrawl) store the full HTTP response —
+    * status line + headers + CRLFCRLF + entity body — as the record
+    * body (`Content-Type: application/http`). Returns the entity bytes,
+    * or the input unchanged when no HTTP envelope is present (the
+    * graft-internal fixture layout). Pure function, used per-row inside
+    * the ingest map.
+    */
+  def httpPayload(body: Array[Byte]): Array[Byte] = {
+    def startsWithAscii(p: String): Boolean =
+      body.length >= p.length && p.indices.forall(i => body(i) == p.charAt(i).toByte)
+    if (!startsWithAscii("HTTP/")) return body
+    var i = 0
+    while (i + 3 < body.length) {
+      if (body(i) == '\r' && body(i + 1) == '\n' && body(i + 2) == '\r' && body(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(body, i + 4, body.length)
+      i += 1
+    }
+    body // malformed envelope: surface the raw bytes rather than dropping
   }
 
   /** Project parsed WARC response records onto the documents-table shape

@@ -1375,6 +1375,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merge model persists: write/read round-trip, stored-model encode parity") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    val docs = Seq((1L, "abab abab ab"), (2L, "ab cd abab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "doc_id", "text", numMerges = 4)
+    assert(merges.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpemodel").toString + "/merges"
+    Bpe.writeMerges(spark, merges, dir)
+    assert(Bpe.readMerges(spark, dir) == merges) // order = training rank
+    val direct = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy($"doc_id").collect().toSeq
+    val stored = Bpe.encodeWithStored(docs, "doc_id", "text", dir)
+      .orderBy($"doc_id").collect().toSeq
+    assert(stored == direct)
+  }
+
   test("BPE parity at production merge counts (>=1024) and beyond-BMP codepoints") {
     import spark.implicits._
     import graft.functions.Bpe

@@ -153,4 +153,30 @@ class SourcesSpec extends AnyFunSuite {
     val damaged = parsed.where(!$"clean_eof").select($"path").as[String].collect()
     assert(damaged.length == 1 && damaged.head.endsWith("b.warc.gz"))
   }
+
+  test("WARC http envelope: CommonCrawl-style response bodies strip to the entity") {
+    import spark.implicits._
+    import graft.sources.RawCorpus
+    // pure splitter: envelope stripped, non-HTTP and malformed unchanged
+    val env = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>".getBytes("UTF-8")
+    assert(new String(RawCorpus.httpPayload(env), "UTF-8") == "<html>hi</html>")
+    val plain = "just text".getBytes("UTF-8")
+    assert(RawCorpus.httpPayload(plain) eq plain)
+    val malformed = "HTTP/1.1 200 OK\r\nno terminator".getBytes("UTF-8")
+    assert(RawCorpus.httpPayload(malformed) eq malformed)
+    // through the reader: record body carries a full HTTP response
+    val http = "HTTP/1.1 200 OK\r\nServer: x\r\n\r\npage body"
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://t/doc/7\r\nContent-Type: application/http\r\n" +
+      s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n").getBytes("UTF-8")
+    val wdir = Files.createTempDirectory("rawhttp").toString
+    Files.write(java.nio.file.Paths.get(s"$wdir/c.warc"), rec)
+    val got = RawCorpus.readWarc(spark, wdir)
+      .select($"body".cast("string")).as[String].collect()
+    assert(got.toSeq == Seq("page body"))
+    // opt-out keeps the raw envelope
+    val raw = RawCorpus.readWarc(spark, wdir, httpPayloadOnly = false)
+      .select($"body".cast("string")).as[String].collect()
+    assert(raw.head.startsWith("HTTP/1.1 200 OK"))
+  }
 }
