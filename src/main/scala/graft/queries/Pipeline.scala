@@ -127,6 +127,24 @@ object Pipeline {
       p
     })
 
+  /** IVF-PQ index built on the STANDING corpus (vec_id % 13 != 0) and
+    * grown by [[Similarity.appendIvfPqIndex]] — the compressed-index
+    * face of [[ivfGrownIndex]], so q131 proves PQ maintenance lands
+    * batch rows (cells AND codes) exactly where the frozen models put
+    * them.
+    */
+  private val ivfPqGrownCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqGrownIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfPqGrownCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivfpqgrown").toString
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.writeIvfPqIndex(
+        emb.where(col("vec_id") % 13 =!= 0), "vec_id", "embedding", p)
+      Similarity.appendIvfPqIndex(
+        emb.where(col("vec_id") % 13 === 0), "vec_id", "embedding", p)
+      p
+    })
+
   /** IVF index built on the STANDING corpus (vec_id % 13 != 0) and then
     * grown by [[Similarity.appendIvfIndex]] with the remaining batch —
     * the maintenance half of a standing ANN service, so q90 probes an
@@ -782,6 +800,22 @@ object Pipeline {
         RawCorpus.warcDocs(RawCorpus.readWarc(s, warcFixture(s, dir)))
           .orderBy(col("doc_id")),
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id")),
+
+    // PQ index MAINTENANCE: the ADC+rerank probe against a PQ index
+    // built on the standing corpus and GROWN by appendIvfPqIndex —
+    // batch rows enter cells/ under the frozen centroid model and
+    // pq/codes/ under the frozen codebooks, and the exact-rerank
+    // contract makes the grown compressed index answer bit-identically
+    // to q90's uncompressed exact probe (same oracle).
+    "q131_ann_ivfpq_append" -> QueryDef(
+      (s, dir) =>
+        Similarity.ivfPqTopKIndexed(
+          tbl(s, dir, "embeddings").where(col("vec_id") < 10),
+          "vec_id", "embedding", ivfPqGrownIndex(s, dir), 5)
+          .orderBy(col("query_id"), col("rk")),
+      Some(Similarity.ivfTopKDetSql("embeddings", "vec_id", "embedding",
+        "vec_id < 10", 5, DIM, trainWhereSql = "vec_id % 13 <> 0") +
+        " ORDER BY query_id, rk")),
 
     // Index MAINTENANCE: the same probe against an index built on the
     // standing corpus (vec_id % 13 != 0) and GROWN by appendIvfIndex
