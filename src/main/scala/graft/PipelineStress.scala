@@ -264,6 +264,46 @@ object PipelineStress {
     timed("bpe_encode_4096merges") {
       force(graft.functions.Bpe.encode(docs, "doc_id", "text", merges4k))
     }
+    // raw-corpus ingest (q125/q126) at 1M docs: fixtures are built
+    // DISTRIBUTED (one JSONL part per task; one gzip-member-per-record
+    // WARC archive per task — the q-def fixture's driver-side builder is
+    // an sf-scale convenience, not this), then each reader is timed end
+    // to end over ~shuffle-width archives
+    val rawDir = Files.createTempDirectory("graft-stress-raw").toString
+    if (willRun("jsonl_ingest") || willRun("warc_ingest")) {
+      docs.select(expr("to_json(struct(doc_id, text))").as("value"))
+        .write.mode("overwrite").text(s"$rawDir/jsonl")
+      Files.createDirectories(Paths.get(s"$rawDir/warc"))
+      docs.select(col("doc_id"), col("text"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val fos = new java.io.FileOutputStream(s"$rawDir/warc/part-$pid.warc.gz")
+            try it.foreach { r =>
+              val body = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val rec = new java.io.ByteArrayOutputStream()
+              rec.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Record-ID: <urn:graft:${r.getLong(0)}>\r\n" +
+                s"WARC-Target-URI: http://graft.test/doc/${r.getLong(0)}\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              rec.write(body)
+              rec.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val gz = new java.util.zip.GZIPOutputStream(fos)
+              gz.write(rec.toByteArray)
+              gz.finish()
+            } finally fos.close()
+          }
+        }
+    }
+    timed("jsonl_ingest") {
+      force(graft.sources.RawCorpus.readJsonlDocs(spark, s"$rawDir/jsonl"))
+    }
+    timed("warc_ingest") {
+      force(graft.sources.RawCorpus.warcDocs(
+        graft.sources.RawCorpus.readWarc(spark, s"$rawDir/warc")))
+    }
+
     // lexical retrieval (q114): 8 queries over the salted corpus — the
     // term list must hit salted tokens, so derive queries from group-0
     // vocabulary ('tk0' forms survive the copy transform for copy < 4)
