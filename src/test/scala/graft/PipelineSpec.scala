@@ -893,6 +893,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("IVF-PQ recall on cluster-structured vectors: tight shortlist stays near-exact") {
+    import spark.implicits._
+    // The stress corpus is ADVERSARIAL for any sketch (quasi-orthogonal
+    // random sign patterns need ~all the bits) — its committed recall
+    // ladder is the worst case. Real embedding corpora are cluster-
+    // structured; this pins that on such data the ADC ranking is good
+    // enough that a ~8%-of-candidates shortlist recovers ≥90% of the
+    // exact top-10.
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(30)(Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0L until 1200L).map { i =>
+      val c = centers((i % 30).toInt)
+      (i, c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqnat").toString
+    Similarity.writeIvfPqIndex(df, "vec_id", "embedding", dir,
+      nlist = 8, iters = 2, m = 4, ksub = 16)
+    val queries = df.where($"vec_id" % 61 === 0) // 20 spread queries
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.ivfTopKIndexed(
+      queries, "vec_id", "embedding", dir, 10, nprobe = 4))
+    val pq = pairs(Similarity.ivfPqTopKIndexed(
+      queries, "vec_id", "embedding", dir, 10, nprobe = 4, shortlist = 50))
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, f"natural-data PQ recall $recall%.3f < 0.9")
+  }
+
   test("IVF-PQ append under frozen models + compaction: probe parity, one file per dir") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
