@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Graph, Similarity, TextOps}
+import graft.functions.{Dedup, Graph, HeavyHitters, Similarity, TextOps}
 
 /** Training-data-pipeline stress run: multiplies the sf0.1 corpus to
   * `mult` × 5,000 documents and `embMult` × 2,000 embeddings, then times
@@ -168,6 +168,25 @@ object PipelineStress {
     }
     timed("winnowing_fingerprints") {
       force(TextOps.winnowFromText(docs, "doc_id", "text"))
+    }
+    // heavy hitters (q132) A/B: the sketch-guided two-pass vs the direct
+    // full-key groupBy. Both scan the corpus twice (the direct plan needs
+    // the total-gram count for the share threshold too); the difference
+    // is the exchange — the direct plan shuffles every distinct salted
+    // trigram, the sketch plan shuffles <= 2k candidate rows per
+    // partition. At 100 TB the distinct-gram space is ~10^11 keys and
+    // the direct exchange is the query; here it's measurable already.
+    timed("heavy_hitters_exact_groupby") {
+      val g = docs
+        .select(TextOps.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 3)
+        .select(explode(TextOps.shingleArr(3)).as("gram"))
+      val total = g.count()
+      force(g.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .where(col("n") * 5000L >= total))
+    }
+    timed("heavy_hitters_sketch") {
+      force(HeavyHitters.frequentGrams(docs, "text"))
     }
     // The md5 ORACLE TAX, quantified: the hash-dense stages re-timed
     // under the production xxhash64 family (graft.hash.family) — same

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Bpe, Dedup, Graph, Multimodal, Similarity, TextOps, TopK}
+import graft.functions.{Bpe, Dedup, Graph, HeavyHitters, Multimodal, Similarity, TextOps, TopK}
 import graft.sources.RawCorpus
 
 /** Oracle-checked queries for the training-data pipeline operators
@@ -1250,6 +1250,47 @@ object Pipeline {
              |SELECT doc_id, 'avi' AS format, w AS width, h AS height, nf AS n_frames,
              |       CAST(3 * sum(v) AS BIGINT) AS px_sum
              |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Sketch-guided heavy hitters: every corpus trigram at frequency
+    // share >= 1/5000 with its EXACT count — but the plan never shuffles
+    // the unbounded gram key space (q74's full groupBy does, and at
+    // 100 TB that key space is ~10^11 grams). Pass 1 folds per-partition
+    // Misra-Gries summaries up a treeAggregate (mergeable, no false
+    // negatives, driver state O(k)); pass 2 broadcast-joins the <= 2k
+    // candidates back and exact-counts only those, so the one exchange
+    // moves <= 2k map-combined rows per partition at any corpus size.
+    // Candidate sets vary with partitioning; the verified output is the
+    // exact answer, so the direct-computation oracle hash-matches.
+    "q132_heavy_hitters" -> QueryDef(
+      (s, dir) => HeavyHitters.frequentGrams(tbl(s, dir, "documents"), "text"),
+      Some(HeavyHitters.frequentGramsSql("documents", "text"))),
+
+    // Per-group HLL registers: distinct users PER EVENT TYPE as mergeable
+    // sketch rows — q73's global registers made grouped. No distinct
+    // anywhere: max() over every raw event is the whole point (the
+    // sketch replaces the distinct's shuffle), so the only exchange is
+    // one two-phase aggregate keyed by (event_type, bucket) — 64 rows
+    // per group at any event volume, combinable across stores/days.
+    "q133_group_hll" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        tbl(s, dir, "events")
+          .select(col("event_type"),
+            TextOps.portableHash(col("user_id").cast("string")).as("hv"))
+          .select(col("event_type"), (col("hv") % 64).as("bucket"),
+            expr("hv div 64").as("rest"))
+          .select(col("event_type"), col("bucket"),
+            (lit(55) - length(expr("trim(LEADING '0' FROM bin(rest))"))).cast("long").as("rho"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("rho")).as("max_rho"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some(s"""WITH h AS (SELECT event_type,
+             |  ${TextOps.portableHashSql("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+             |b AS (SELECT event_type, hv % 64 AS bucket, hv // 64 AS rest FROM h)
+             |SELECT event_type, bucket,
+             |       max(55 - length(ltrim(bin(rest), '0'))) AS max_rho
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
     // IVF ANN through the KMeans coarse quantizer, probed at
     // nprobe = nlist: every cell is searched, so the top-k is exactly the

@@ -1586,6 +1586,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(hllEst - n) / n < 0.20, s"HLL estimate $hllEst vs $n")
   }
 
+  test("Misra-Gries summaries: no false negatives under any split or merge order") {
+    import graft.functions.HeavyHitters
+    // Zipfian-ish stream: token i has weight ~ 1/(i+1) over a 4k vocab,
+    // so a handful of tokens clear any small share threshold and a long
+    // tail churns the summary's compaction path hard.
+    val rnd = new scala.util.Random(1313)
+    val vocab = 4000
+    val stream = Array.fill(60000) {
+      val u = rnd.nextDouble()
+      val i = math.min(vocab - 1, (math.exp(u * math.log(vocab.toDouble)) - 1).toInt)
+      s"t$i"
+    }
+    val exact = stream.groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val n = stream.length.toLong
+    val k = 100
+    val mustSurvive = exact.collect { case (t, c) if c * (k + 1) > n => t }.toSet
+    assert(mustSurvive.nonEmpty, "fixture must plant true heavies")
+    (0 until 5).foreach { trial =>
+      val rr = new scala.util.Random(7 * trial + 1)
+      // random chunking into 3..12 summaries
+      val cuts = (0 +: Array.fill(2 + rr.nextInt(10))(rr.nextInt(stream.length)).toSeq :+ stream.length)
+        .distinct.sorted
+      val parts = cuts.sliding(2).map { case Seq(a, b) => stream.slice(a, b) }.toArray
+      val sums = parts.map { p =>
+        val s = new HeavyHitters.Summary(k)
+        p.foreach(s.add)
+        s
+      }
+      // merge in a shuffled fold order — mergeability must not care
+      val merged = rr.shuffle(sums.toSeq).reduce((a, b) => a.merge(b))
+      assert(merged.n == n)
+      val cand = merged.candidates.toSet
+      assert(mustSurvive.subsetOf(cand),
+        s"trial $trial lost heavies: ${(mustSurvive -- cand).take(5)}")
+      assert(cand.size <= 2 * k, s"summary overflow: ${cand.size}")
+    }
+  }
+
+  test("frequentGrams: exact output, invariant under partitioning and sketch width") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    // corpus with planted hot trigrams ("a b c" in every doc) and noise
+    val rnd = new scala.util.Random(99)
+    val rows = (0L until 300L).map { i =>
+      val noise = Seq.fill(6)(s"w${rnd.nextInt(500)}").mkString(" ")
+      (i, s"a b c $noise x y z")
+    }
+    val df = rows.toDF("doc_id", "text")
+    // exact reference computation, straight from the definition
+    val grams = rows.flatMap { case (_, t) => HeavyHitters.gramsOf(t, 3).toSeq }
+    val n = grams.length.toLong
+    val den = 50L
+    val expect = grams.groupBy(identity).map { case (g, a) => (g, a.length.toLong) }
+      .filter { case (_, c) => c * den >= n }
+      .toSeq.sortBy { case (g, c) => (-c, g) }
+    assert(expect.nonEmpty && expect.size < 20)
+    Seq(1, 7).foreach { np =>
+      Seq(den.toInt, 4 * den.toInt).foreach { kk =>
+        val got = HeavyHitters.frequentGrams(
+          df.repartition(np), "text", gramLen = 3, shareDen = den, k = kk)
+          .as[(String, Long)].collect().toSeq
+        assert(got == expect, s"np=$np k=$kk: $got vs $expect")
+      }
+    }
+  }
+
   test("blobMeta matches decodeMeta on byte length and format") {
     import spark.implicits._
     val blobs = Seq((1L, "hello world".getBytes("UTF-8"))).toDF("doc_id", "blob")

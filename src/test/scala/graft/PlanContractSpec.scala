@@ -55,6 +55,18 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!pv.contains("Exchange"), "videoStats must not shuffle:\n" + pv.take(600))
   }
 
+  test("heavy hitters verify pass: candidates broadcast, two-phase agg, no wide join") {
+    // q132's returned plan is the VERIFY pass (pass 1 is the eager
+    // treeAggregate with O(k) driver state): the candidate set must
+    // broadcast onto the gram stream and the exact count must partial-
+    // aggregate before its exchange, so the only shuffle moves <= 2k
+    // map-combined rows per partition no matter the corpus size.
+    val p = plan("q132_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "candidates must broadcast:\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_count"), "exact count must map-side combine:\n" + p.take(600))
+  }
+
   test("radix quantiles: every executed pass is sort-free and window-free") {
     import scala.collection.mutable
     val seen = mutable.Buffer.empty[String]
