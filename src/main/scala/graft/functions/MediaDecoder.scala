@@ -272,16 +272,29 @@ object MediaDecoder {
     /** Every `stride`-th DECODED frame (frame_idx = movi position;
       * `frameBytes` is ignored — a video frame's natural size is
       * `w*h*bands`). Declines the whole blob unless every sampled frame
-      * decodes, keeping the all-or-nothing contract of [[meta]].
+      * decodes, keeping the all-or-nothing contract of [[meta]] — but
+      * WITHOUT holding all decoded frames at once: a validation pass
+      * decodes-and-drops each sampled frame first (one frame live at a
+      * time; a minute of 640×480 held eagerly would be ~1.6 GB of
+      * heap), then the returned iterator re-decodes lazily as the
+      * consumer pulls. Sampled frames decode twice — the price of
+      * all-or-nothing at O(1 frame) memory; raw-DIB "decode" is a row
+      * copy, and MJPEG re-decode is still cheaper than spilling a
+      * whole-video buffer.
       */
     override def frames(
         bytes: Array[Byte], frameBytes: Int, stride: Int): Option[Iterator[(Int, Array[Byte])]] =
       parse(bytes).flatMap { info =>
-        val sampled = (0 until info.frames.length by stride).map { i =>
+        val idxs = 0 until info.frames.length by stride
+        val allOk = idxs.forall { i =>
           val (off, size) = info.frames(i)
-          decodeFrame(bytes, info, off, size).map((i, _))
+          decodeFrame(bytes, info, off, size).isDefined
         }
-        if (sampled.forall(_.isDefined)) Some(sampled.iterator.map(_.get)) else None
+        if (!allOk) None
+        else Some(idxs.iterator.map { i =>
+          val (off, size) = info.frames(i)
+          (i, decodeFrame(bytes, info, off, size).get)
+        })
       }
 
     /** Fold over the decoded frames IN STREAMING ORDER — one decoded
