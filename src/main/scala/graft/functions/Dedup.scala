@@ -36,6 +36,75 @@ object Dedup {
        |         count(*) OVER (PARTITION BY md5($textCol)) AS n_copies
        |  FROM $tbl) t WHERE rn = 1""".stripMargin.replace("\n", " ")
 
+  // ---- exact-dedup HASH INDEX: the persistent standing state of a ----
+  // ---- continuously-ingesting exact-dedup pipeline (the q87 index ----
+  // ---- pattern applied to whole-text hashes)                      ----
+
+  private def hashBucket(buckets: Int) =
+    pmod(xxhash64(col("text_hash")), lit(buckets)).cast("int")
+
+  /** Materialize the exact-dedup hash index over a standing corpus: one
+    * `(text_hash, idCol)` row per KEPT (lowest-id) document, partitioned
+    * by hash bucket so a batch probe prunes to its bucket directories —
+    * a batch is O(batch + matched rows) against any corpus size.
+    */
+  def writeHashIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int = 64): Unit =
+    exactDedup(corpus, idCol, textCol)
+      .select(col(idCol), col("text_hash"))
+      .withColumn("hb", hashBucket(buckets))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("hb").parquet(s"$path/hashes")
+
+  /** Append a batch's rows to a [[writeHashIndex]] index. The CALLER
+    * passes only docs whose hash is new (the kept rows of an ingest
+    * step) — the index keeps its one-row-per-hash invariant; probes
+    * stay correct under at-least-once replays regardless (they take the
+    * min representative per hash).
+    */
+  def appendHashIndex(
+      kept: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int = 64): Unit =
+    kept.select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
+      .withColumn("hb", hashBucket(buckets))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("hb").parquet(s"$path/hashes")
+
+  /** Probe a batch against a [[writeHashIndex]] index: returns one row
+    * per batch doc — (idCol, text_hash, dup_of), `dup_of` the indexed
+    * representative for the hash or null when the hash is new. The
+    * batch's bucket footprint (≤ `buckets` ints, driver-bounded by
+    * construction) reaches the index scan as a partition filter;
+    * representatives collapse through a batch-keyed min, so replayed
+    * index appends cannot fan the probe out.
+    */
+  def exactDupsAgainstIndexed(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val h = batch
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
+      .withColumn("hb", hashBucket(buckets))
+    val bks = h.select(col("hb")).distinct().collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(s"$path/hashes")
+      .where(col("hb").isin(bks: _*))
+      .select(col("text_hash"), col(idCol).as("dup_of"))
+    h.select(col(idCol), col("text_hash"))
+      .join(idx, Seq("text_hash"), "left")
+      .groupBy(col(idCol), col("text_hash"))
+      .agg(min(col("dup_of")).as("dup_of"))
+  }
+
   /** MinHash-LSH near-duplicate detection: shingle → signature → band
     * join → exact-Jaccard verification. Returns one row per candidate
     * pair `(id_a < id_b)` with the exact shingle-set intersection/union

@@ -32,9 +32,12 @@ object IndexMaintenance {
       spark: SparkSession,
       path: String,
       partitionCol: Option[String],
-      targetFiles: Int = 1): (Long, Long) = {
-    val df = spark.read.parquet(path)
-    val before = df.inputFiles.length.toLong
+      targetFiles: Int = 1,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity)
+      : (Long, Long) = {
+    val raw = spark.read.parquet(path)
+    val before = raw.inputFiles.length.toLong
+    val df = transform(raw)
     val tmp = new Path(path + ".compact-tmp")
     val fs = tmp.getFileSystem(new Configuration())
     fs.delete(tmp, true)
@@ -63,6 +66,23 @@ object IndexMaintenance {
       spark: SparkSession, path: String, arrayFiles: Int = 4): Unit = {
     compactParquetTable(spark, s"$path/arrays", None, arrayFiles)
     compactParquetTable(spark, s"$path/bands", Some("bk"))
+    ()
+  }
+
+  /** Compact a [[Dedup.writeHashIndex]] exact-dedup index grown by
+    * [[Dedup.appendHashIndex]]: merges each `hashes/hb=` bucket
+    * directory to one file AND restores the one-row-per-hash invariant —
+    * rows duplicated by at-least-once replayed appends collapse to the
+    * same min representative the probe takes, so probe results are
+    * unchanged by construction.
+    */
+  def compactHashIndex(spark: SparkSession, path: String): Unit = {
+    compactParquetTable(spark, s"$path/hashes", Some("hb"), transform = df => {
+      val idc = df.columns.filterNot(c => c == "text_hash" || c == "hb").head
+      df.groupBy(col("hb"), col("text_hash"))
+        .agg(org.apache.spark.sql.functions.min(col(idc)).as(idc))
+        .select(col(idc), col("text_hash"), col("hb"))
+    })
     ()
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.functions.{Dedup, Similarity}
-import graft.streaming.{StreamOps, StreamingDedup, StreamingVectors}
+import graft.streaming.{StreamOps, StreamingDedup, StreamingRawIngest, StreamingVectors}
 
 /** Oracle-checked rows for the STREAMING jobs: a deterministic
   * `availableNow` drain's verdict log is plain parquet, so a batch SQL
@@ -62,6 +62,50 @@ object Streaming {
         emb.where(pred).coalesce(1).write.mode("append").parquet(s"$base/vecs")
         StreamingVectors.runAvailableNow(
           s, s"$base/vecs", s"$base/idx", s"$base/verdicts", s"$base/ckpt", dim = DIM)
+      }
+      s"$base/verdicts"
+    })
+
+  /** The q134 duplicate-planting rule: every doc carries its LEADER's
+    * original text. Even 16-id blocks group by same-residue stripes
+    * (leader = block·16 + doc_id%4 → all four copies land in ONE drain
+    * slot: intra-batch keep-lowest executes, residue-0 stripes are
+    * standing-only), odd blocks group consecutive triples (leader =
+    * doc_id − doc_id%3 → triples straddle drain slots: standing dups
+    * when the triple touches residue 0, first-batch keeper + LATER-batch
+    * dups through the grown index when it doesn't). One expression both
+    * engines evaluate identically on nonnegative ids.
+    */
+  private val LeaderSql =
+    """CASE WHEN (doc_id // 16) % 2 = 0 THEN (doc_id // 16) * 16 + doc_id % 4
+      |     ELSE doc_id - doc_id % 3 END""".stripMargin.replace("\n", " ")
+
+  /** Streamed raw-ingest verdict log: standing corpus = residue 0 mod 4
+    * (seeds the hash index); residues 1..3 serialized to JSONL (with
+    * [[LeaderSql]] texts) and drained one file per micro-batch through
+    * [[StreamingRawIngest]].
+    */
+  private val rawIngestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def rawIngestVerdicts(s: SparkSession, dir: String): String =
+    rawIngestCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-sri").toString
+      val docs = tbl(s, dir, "documents")
+      val leadered = docs
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr(LeaderSql.replace("//", "div")).as("leader"))
+        .join(docs.select(col("doc_id").as("leader"), col("text")), Seq("leader"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      Dedup.writeHashIndex(
+        leadered.where(col("doc_id") % 4 === 0), "doc_id", "text", s"$base/idx")
+      (1 to 3).foreach { m =>
+        leadered.where(col("doc_id") % 4 === m)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .coalesce(1).write.mode("append").text(s"$base/raw")
+        StreamingRawIngest.runAvailableNow(
+          s, s"$base/raw", s"$base/idx", s"$base/curated",
+          s"$base/verdicts", s"$base/quar", s"$base/ckpt")
       }
       s"$base/verdicts"
     })
@@ -136,6 +180,36 @@ object Streaming {
            |UNION ALL SELECT CAST(1 AS BIGINT), query_id, vec_id, cell, dot, rk FROM ($b1) v1) u
            |ORDER BY batch_id, query_id, rk""".stripMargin.replace("\n", " ")
       }),
+
+    // The streaming RAW-CORPUS ingest front door, end to end: JSONL
+    // files drain through parse → exact-dedup gate (persistent hash
+    // index, bucket-pruned probe) → verdict log → curated append, one
+    // micro-batch per file. The fixture plants real duplicates (every
+    // doc carries its [[LeaderSql]] leader's text), mixed so ALL keep
+    // rules execute: standing-corpus dups, intra-batch keep-lowest, and
+    // cross-batch dups resolved through the index grown by earlier
+    // drains. The oracle recomputes first-arrival-wins dedup
+    // relationally: a hash's representative is the lowest doc_id in the
+    // EARLIEST residue (drain order) containing it.
+    "q134_stream_raw_ingest" -> QueryDef(
+      (s, dir) =>
+        s.read.parquet(rawIngestVerdicts(s, dir))
+          .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"),
+            col("text_hash"), col("rep"), col("kept"))
+          .orderBy(col("batch_id"), col("doc_id")),
+      Some(s"""WITH v AS (
+             |  SELECT d.doc_id, md5(l.text) AS text_hash, d.doc_id % 4 AS r
+             |  FROM documents d JOIN documents l
+             |  ON l.doc_id = (${LeaderSql.replace("doc_id", "d.doc_id")})),
+             |f AS (SELECT text_hash, min(r) AS r0 FROM v GROUP BY text_hash),
+             |rep AS (SELECT v.text_hash, min(v.doc_id) AS rep
+             |        FROM v JOIN f ON v.text_hash = f.text_hash AND v.r = f.r0
+             |        GROUP BY v.text_hash)
+             |SELECT CAST(v.r - 1 AS BIGINT) AS batch_id, v.doc_id, v.text_hash,
+             |       rep.rep AS rep, (v.doc_id = rep.rep) AS kept
+             |FROM v JOIN f USING (text_hash) JOIN rep USING (text_hash)
+             |WHERE v.r >= 1
+             |ORDER BY batch_id, doc_id""".stripMargin.replace("\n", " "))),
 
     // Stream-STREAM interval join (the W-family ack correlation,
     // StreamOps.ackJoin) as a CORRECTNESS row: clicks joined to same-user

@@ -53,8 +53,14 @@ object RawCorpus {
     * structurally-parsed row missing its key is quarantined, not
     * silently ingested.
     */
-  def partitionValid(df: DataFrame): (DataFrame, DataFrame) = {
-    val parsed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def partitionValid(df: DataFrame): (DataFrame, DataFrame) =
+    validSplit(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The [[partitionValid]] split WITHOUT the persist — for callers that
+    * manage caching themselves (the streaming ingest job persists the
+    * parsed batch and must be able to unpersist it per micro-batch).
+    */
+  def validSplit(parsed: DataFrame): (DataFrame, DataFrame) = {
     val valid = col("_corrupt").isNull && col("doc_id").isNotNull
     (parsed.where(valid).drop("_corrupt"),
       parsed.where(!valid)

@@ -1146,6 +1146,32 @@ class PipelineSpec extends AnyFunSuite {
       (10L, 11L, false), (11L, 11L, true), (20L, 20L, true)))
   }
 
+  test("hash-index compaction: 1 file/bucket, replay dups collapse, probe unchanged") {
+    import spark.implicits._
+    import graft.functions.IndexMaintenance
+    val dir = java.nio.file.Files.createTempDirectory("compact-hash").toString
+    def doc(i: Long) = (i, s"text number ${i % 25}") // planted exact dups
+    val corpus = (0L until 40L).map(doc).toDF("doc_id", "text")
+    Dedup.writeHashIndex(corpus.where($"doc_id" < 20), "doc_id", "text", dir)
+    val b2 = corpus.where($"doc_id" >= 20 && $"doc_id" < 30)
+    Dedup.appendHashIndex(b2, "doc_id", "text", dir)
+    Dedup.appendHashIndex(b2, "doc_id", "text", dir) // at-least-once replay
+    Dedup.appendHashIndex(corpus.where($"doc_id" >= 30), "doc_id", "text", dir)
+    val batch = (100L until 140L).map(doc).toDF("doc_id", "text")
+    val before = Dedup.exactDupsAgainstIndexed(batch, "doc_id", "text", dir).collect().toSet
+    val filesBefore = spark.read.parquet(s"$dir/hashes").inputFiles.length
+    IndexMaintenance.compactHashIndex(spark, dir)
+    val hashes = spark.read.parquet(s"$dir/hashes")
+    assert(hashes.inputFiles.length < filesBefore)
+    val perDir = hashes.inputFiles
+      .groupBy(f => f.substring(0, f.lastIndexOf('/'))).values.map(_.length)
+    assert(perDir.forall(_ == 1), s"expected 1 file/dir, got ${perDir.toSeq.sorted.reverse.take(3)}")
+    // one-row-per-hash invariant restored despite the replayed append
+    val dupHashes = hashes.groupBy($"text_hash").count().where($"count" > 1).count()
+    assert(dupHashes == 0, "replayed rows must collapse to one representative")
+    assert(Dedup.exactDupsAgainstIndexed(batch, "doc_id", "text", dir).collect().toSet == before)
+  }
+
   test("index compaction merges append-grown files and changes no results") {
     import spark.implicits._
     import graft.functions.IndexMaintenance

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.{Region, Resource, VoxelType}
 import graft.engine.SpatialOps
 import graft.storage.{CuboidCodec, VolumeGen, VoxelRow}
-import graft.streaming.{StreamOps, StreamingDedup, WriteEvent}
+import graft.streaming.{StreamOps, StreamingDedup, StreamingRawIngest, WriteEvent}
 
 class StreamOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -124,6 +124,51 @@ class StreamOpsSpec extends AnyFunSuite {
       "batch-2 doc must match batch-1's doc through the grown index")
     // verdict log is partitioned by batch id; both drains logged
     assert(v.map(_._1).toSet == Set(0L, 1L))
+  }
+
+  test("streaming raw ingest: quarantine, exact-dedup gate, curated store, index growth") {
+    import spark.implicits._
+    val rawDir = java.nio.file.Files.createTempDirectory("sri-raw").toString
+    val idx = java.nio.file.Files.createTempDirectory("sri-idx").toString
+    val curated = java.nio.file.Files.createTempDirectory("sri-cur").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("sri-verd").toString
+    val quar = java.nio.file.Files.createTempDirectory("sri-quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sri-ckpt").toString
+    // standing corpus: doc 1 seeds the hash index
+    graft.functions.Dedup.writeHashIndex(
+      Seq((1L, "standing corpus text")).toDF("doc_id", "text"), "doc_id", "text", idx)
+    def jline(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"t","n_chars":${text.length}}"""
+    // batch 1: standing dup, intra-batch pair (11 kept, 12 dup), a fresh
+    // doc, a corrupt line, and a valid JSON missing its key
+    java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "b1.jsonl"),
+      Seq(jline(10, "standing corpus text"),
+        jline(11, "batch one original"), jline(12, "batch one original"),
+        jline(13, "unique text"),
+        """{"oops" not json""",
+        """{"text":"no id here"}""").mkString("\n").getBytes("UTF-8"))
+    StreamingRawIngest.runAvailableNow(spark, rawDir, idx, curated, verdicts, quar, ckpt)
+    // batch 2 (checkpoint resumes): dup of BATCH-1's kept doc 11 — only
+    // detectable through the index grown by drain 1 — plus a fresh doc
+    java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "b2.jsonl"),
+      Seq(jline(20, "batch one original"), jline(21, "second fresh text"))
+        .mkString("\n").getBytes("UTF-8"))
+    StreamingRawIngest.runAvailableNow(spark, rawDir, idx, curated, verdicts, quar, ckpt)
+    val v = spark.read.parquet(verdicts)
+      .select($"doc_id", $"kept", $"rep").as[(Long, Boolean, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(v(10L) == ((false, 1L)), "standing dup resolves to the seeded rep")
+    assert(v(11L) == ((true, 11L)) && v(12L) == ((false, 11L)),
+      "intra-batch copies keep the lowest id")
+    assert(v(13L) == ((true, 13L)) && v(21L) == ((true, 21L)))
+    assert(v(20L) == ((false, 11L)),
+      "batch-2 dup must resolve through the index grown by drain 1")
+    // quarantine is total and non-fatal: both bad lines logged, neither ingested
+    assert(spark.read.parquet(quar).count() == 2)
+    assert(!v.contains(0L) && v.size == 6)
+    // curated store holds exactly the kept docs
+    val cur = spark.read.parquet(curated).select($"doc_id").as[Long].collect().sorted
+    assert(cur.toSeq == Seq(11L, 13L, 21L))
   }
 
   test("streaming vectors: probe-before-append, index growth across drains, drift column") {
