@@ -175,9 +175,17 @@ object RawCorpus {
     * damaged archives for requeue without failing the job.
     */
   def readWarc(
-      spark: SparkSession, path: String, httpPayloadOnly: Boolean = true): DataFrame = {
+      spark: SparkSession, path: String, httpPayloadOnly: Boolean = true): DataFrame =
+    parseWarcFrame(spark.read.format("binaryFile").load(path), httpPayloadOnly)
+
+  /** The [[readWarc]] member walk applied to an already-loaded
+    * `binaryFile` frame (batch or STREAMING micro-batch — the archive
+    * parse is source-agnostic; only the file listing differs).
+    */
+  def parseWarcFrame(files: DataFrame, httpPayloadOnly: Boolean = true): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>

@@ -8,8 +8,9 @@ import graft.functions.Dedup
 import graft.sources.RawCorpus
 
 /** Raw-corpus ingest as a continuously-running Structured Streaming job:
-  * JSONL files land in `rawDir` and each micro-batch flows through the
-  * full front door of a curation pipeline —
+  * raw files — JSONL lines ([[runAvailableNow]]) or WARC archives
+  * ([[runAvailableNowWarc]]) — land in `rawDir` and each micro-batch
+  * flows through the full front door of a curation pipeline —
   *
   *  1. PARSE: the schema-explicit quarantining contract of
   *     [[RawCorpus.readJsonlDocs]] applied to the batch's lines
@@ -71,29 +72,87 @@ object StreamingRawIngest {
           .select(col("r.*"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (valid, quar) = RawCorpus.validSplit(parsed)
-        try {
-          val probed = Dedup.exactDupsAgainstIndexed(valid, "doc_id", "text", indexPath)
-          val batchRep = probed.groupBy(col("text_hash"))
-            .agg(min(col("doc_id")).as("batch_rep"))
-          val verdicts = probed.join(batchRep, Seq("text_hash"))
-            .select(
-              lit(batchId).as("batch_id"),
-              col("doc_id"),
-              col("text_hash"),
-              coalesce(col("dup_of"), col("batch_rep")).as("rep"),
-              (col("dup_of").isNull && col("doc_id") === col("batch_rep")).as("kept"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            verdicts.write.mode("overwrite").parquet(s"$verdictsDir/batch_id=$batchId")
-            quar.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
-            val kept = valid.join(
-              verdicts.where(col("kept")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-            kept.write.mode("overwrite").parquet(s"$curatedDir/batch_id=$batchId")
-            Dedup.appendHashIndex(kept, "doc_id", "text", indexPath)
-          } finally { verdicts.unpersist(); () }
-        } finally { parsed.unpersist(); () }
+        try gate(valid, quar, batchId, indexPath, curatedDir, verdictsDir, quarantineDir)
+        finally { parsed.unpersist(); () }
       }
       .start()
     query.awaitTermination()
+  }
+
+  /** The WARC front door: gzip-member web archives drained one
+    * `binaryFile` micro-batch at a time through the SAME gate — the
+    * per-archive member walk and documents projection are
+    * [[RawCorpus.parseWarcFrame]]/[[RawCorpus.warcDocs]] (identical to
+    * the batch reader, q126's path); quarantine carries damaged-archive
+    * marker rows and response records that don't project to a doc id.
+    */
+  def runAvailableNowWarc(
+      spark: SparkSession,
+      rawDir: String,
+      indexPath: String,
+      curatedDir: String,
+      verdictsDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val reader = spark.readStream.format("binaryFile").schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .load(rawDir)
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parsed = RawCorpus.parseWarcFrame(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val docs = RawCorpus.warcDocs(parsed)
+        val valid = docs.where(col("doc_id").isNotNull)
+        val quar = parsed.where(col("warc_type").isNull)
+          .select(to_json(struct(col("path"), col("clean_eof"))).as("_corrupt"))
+          .unionByName(docs.where(col("doc_id").isNull)
+            .select(to_json(struct(col("text"), col("lang"), col("source"))).as("_corrupt")))
+        try gate(valid, quar, batchId, indexPath, curatedDir, verdictsDir, quarantineDir)
+        finally { parsed.unpersist(); () }
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The shared per-batch gate: probe → verdicts → quarantine → curate →
+    * index append. `valid` must carry the documents schema (doc_id,
+    * text, ...); `quar` one `_corrupt` string column.
+    */
+  private def gate(
+      valid: DataFrame,
+      quar: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      curatedDir: String,
+      verdictsDir: String,
+      quarantineDir: String): Unit = {
+    val probed = Dedup.exactDupsAgainstIndexed(valid, "doc_id", "text", indexPath)
+    val batchRep = probed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("batch_rep"))
+    val verdicts = probed.join(batchRep, Seq("text_hash"))
+      .select(
+        lit(batchId).as("batch_id"),
+        col("doc_id"),
+        col("text_hash"),
+        coalesce(col("dup_of"), col("batch_rep")).as("rep"),
+        (col("dup_of").isNull && col("doc_id") === col("batch_rep")).as("kept"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      verdicts.write.mode("overwrite").parquet(s"$verdictsDir/batch_id=$batchId")
+      quar.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
+      val kept = valid.join(
+        verdicts.where(col("kept")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      kept.write.mode("overwrite").parquet(s"$curatedDir/batch_id=$batchId")
+      Dedup.appendHashIndex(kept, "doc_id", "text", indexPath)
+    } finally { verdicts.unpersist(); () }
   }
 }

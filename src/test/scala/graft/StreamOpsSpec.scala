@@ -171,6 +171,55 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(cur.toSeq == Seq(11L, 13L, 21L))
   }
 
+  test("streaming WARC ingest: same gate, damaged archive quarantined, growth across drains") {
+    import spark.implicits._
+    def warcGz(recs: Seq[(Long, String)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Record-ID: <urn:t:$id>\r\nWARC-Target-URI: http://t/doc/$id\r\n" +
+          s"X-Graft-Lang: en\r\nX-Graft-Source: s$id\r\nX-Graft-NChars: ${text.length}\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+          body ++ "\r\n\r\n".getBytes("UTF-8")
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(rec); gz.finish()
+      }
+      out.toByteArray
+    }
+    val rawDir = java.nio.file.Files.createTempDirectory("swi-raw").toString
+    val idx = java.nio.file.Files.createTempDirectory("swi-idx").toString
+    val curated = java.nio.file.Files.createTempDirectory("swi-cur").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("swi-verd").toString
+    val quar = java.nio.file.Files.createTempDirectory("swi-quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("swi-ckpt").toString
+    graft.functions.Dedup.writeHashIndex(
+      Seq((1L, "standing corpus text")).toDF("doc_id", "text"), "doc_id", "text", idx)
+    // drain 1: one good archive (standing dup + intra pair + fresh doc)
+    // and one hopelessly damaged archive (marker row → quarantine)
+    java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "a.warc.gz"),
+      warcGz(Seq(10L -> "standing corpus text",
+        11L -> "warc batch original", 12L -> "warc batch original",
+        13L -> "warc unique text")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "bad.warc.gz"),
+      Array.fill[Byte](64)(0x2a))
+    StreamingRawIngest.runAvailableNowWarc(spark, rawDir, idx, curated, verdicts, quar, ckpt)
+    // drain 2: dup of drain-1's kept doc 11 through the grown index
+    java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "b.warc.gz"),
+      warcGz(Seq(20L -> "warc batch original")))
+    StreamingRawIngest.runAvailableNowWarc(spark, rawDir, idx, curated, verdicts, quar, ckpt)
+    val v = spark.read.parquet(verdicts)
+      .select($"doc_id", $"kept", $"rep").as[(Long, Boolean, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(v(10L) == ((false, 1L)) && v(11L) == ((true, 11L)) &&
+      v(12L) == ((false, 11L)) && v(13L) == ((true, 13L)))
+    assert(v(20L) == ((false, 11L)), "drain-2 dup resolves through the grown index")
+    val q = spark.read.parquet(quar).select($"_corrupt").as[String].collect()
+    assert(q.exists(_.contains("bad.warc.gz")), s"damaged archive must be quarantined: ${q.toSeq}")
+    assert(spark.read.parquet(curated).select($"doc_id").as[Long].collect().sorted.toSeq
+      == Seq(11L, 13L))
+  }
+
   test("streaming vectors: probe-before-append, index growth across drains, drift column") {
     import spark.implicits._
     import graft.functions.Similarity
