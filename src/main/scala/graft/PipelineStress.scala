@@ -188,6 +188,22 @@ object PipelineStress {
     timed("heavy_hitters_sketch") {
       force(HeavyHitters.frequentGrams(docs, "text"))
     }
+    // ...and at 5-grams, where the distinct-key space balloons (every
+    // 5-gram is near-unique in the salted corpus): the direct plan's
+    // exchange grows with the key space, the sketch plan's stays <= 2k
+    // rows/partition — the ratio here IS the 100 TB argument.
+    timed("heavy_hitters_exact_5gram") {
+      val g = docs
+        .select(TextOps.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 5)
+        .select(explode(TextOps.shingleArr(5)).as("gram"))
+      val total = g.count()
+      force(g.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .where(col("n") * 5000L >= total))
+    }
+    timed("heavy_hitters_sketch_5gram") {
+      force(HeavyHitters.frequentGrams(docs, "text", gramLen = 5))
+    }
     // The md5 ORACLE TAX, quantified: the hash-dense stages re-timed
     // under the production xxhash64 family (graft.hash.family) — same
     // plans, same shuffles, only the per-shingle hash changes. The delta

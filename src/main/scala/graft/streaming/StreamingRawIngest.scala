@@ -112,8 +112,14 @@ object StreamingRawIngest {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val docs = RawCorpus.warcDocs(parsed)
         val valid = docs.where(col("doc_id").isNotNull)
-        val quar = parsed.where(col("warc_type").isNull)
-          .select(to_json(struct(col("path"), col("clean_eof"))).as("_corrupt"))
+        // quarantine = one marker per DAMAGED archive (clean_eof=false
+        // covers both the all-damage marker row and partially-damaged
+        // files whose leading records still ingest — the batch reader
+        // surfaces the same condition as its clean_eof column) + every
+        // response record that doesn't project to a doc id
+        val quar = parsed.where(col("warc_type").isNull || !col("clean_eof"))
+          .select(col("path")).distinct()
+          .select(to_json(struct(col("path"))).as("_corrupt"))
           .unionByName(docs.where(col("doc_id").isNull)
             .select(to_json(struct(col("text"), col("lang"), col("source"))).as("_corrupt")))
         try gate(valid, quar, batchId, indexPath, curatedDir, verdictsDir, quarantineDir)

@@ -204,9 +204,16 @@ class StreamOpsSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "bad.warc.gz"),
       Array.fill[Byte](64)(0x2a))
     StreamingRawIngest.runAvailableNowWarc(spark, rawDir, idx, curated, verdicts, quar, ckpt)
-    // drain 2: dup of drain-1's kept doc 11 through the grown index
+    // drain 2: dup of drain-1's kept doc 11 through the grown index — in
+    // a PARTIALLY damaged archive (valid member + truncated garbage
+    // tail): the leading record must still ingest AND the file must be
+    // flagged for requeue
     java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, "b.warc.gz"),
-      warcGz(Seq(20L -> "warc batch original")))
+      { // valid member + a second member truncated mid-deflate (trailing
+        // NON-member garbage is silent EOF by gzip's own contract)
+        val tail = warcGz(Seq(21L -> "never fully arrives"))
+        warcGz(Seq(20L -> "warc batch original")) ++ tail.take(tail.length / 2)
+      })
     StreamingRawIngest.runAvailableNowWarc(spark, rawDir, idx, curated, verdicts, quar, ckpt)
     val v = spark.read.parquet(verdicts)
       .select($"doc_id", $"kept", $"rep").as[(Long, Boolean, Long)]
@@ -216,6 +223,8 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(v(20L) == ((false, 11L)), "drain-2 dup resolves through the grown index")
     val q = spark.read.parquet(quar).select($"_corrupt").as[String].collect()
     assert(q.exists(_.contains("bad.warc.gz")), s"damaged archive must be quarantined: ${q.toSeq}")
+    assert(q.exists(_.contains("b.warc.gz")),
+      s"partially damaged archive must be flagged for requeue: ${q.toSeq}")
     assert(spark.read.parquet(curated).select($"doc_id").as[Long].collect().sorted.toSeq
       == Seq(11L, 13L))
   }
