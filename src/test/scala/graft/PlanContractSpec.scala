@@ -168,6 +168,21 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("sortedintersectcount"))
   }
 
+  test("exact-dedup hash-index probe: hashes scan prunes to the batch's bucket footprint") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("plan-hashidx").toString
+    graft.functions.Dedup.writeHashIndex(
+      docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", dir)
+    val p = graft.functions.Dedup.exactDupsAgainstIndexed(
+      docs.where(col("doc_id") % 7 === 0).limit(5), "doc_id", "text", dir)
+      .queryExecution.sparkPlan.toString
+    // the batch's hb footprint must reach the hashes scan as a PARTITION
+    // filter (pruned directories), not a post-scan Filter — the q134
+    // gate's O(batch + matches) claim against any standing corpus
+    assert("PartitionFilters: \\[[^\\]]*hb".r.findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("embedding near-dup: banded join keys, no vector across the band join, banded candidate volume") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = graft.functions.Similarity.embeddingNearDups(
