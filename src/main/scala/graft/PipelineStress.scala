@@ -204,6 +204,26 @@ object PipelineStress {
     timed("heavy_hitters_sketch_5gram") {
       force(HeavyHitters.frequentGrams(docs, "text", gramLen = 5))
     }
+    // the q135 composed curation chain at 1M docs: clean → lang-ID →
+    // quality → gate → exact dedup on cleaned text → split. Per-row
+    // codegen end to end; the only exchanges are the dedup hash
+    // aggregate and the rep join-back.
+    timed("curation_e2e") {
+      val cleaned = TextOps.cleanText(docs, "doc_id", "text")
+      val lang = TextOps.langId(cleaned, "doc_id", "text_clean")
+        .select(col("doc_id"), col("pred_lang"))
+      val qual = TextOps.qualityScore(
+          cleaned.withColumn("n_chars", length(col("text_clean")).cast("long")),
+          "doc_id", "text_clean", "n_chars")
+        .select(col("doc_id"), col("score"))
+      val f = cleaned.select(col("doc_id"), col("text_clean"))
+        .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+        .where(col("pred_lang") =!= "und" && col("score") >= 150)
+      val kept = Dedup.exactDedup(f, "doc_id", "text_clean")
+      force(TextOps.splitAssign(
+        kept.join(f.select(col("doc_id"), col("pred_lang"), col("score")), Seq("doc_id")),
+        "doc_id"))
+    }.foreach(n => println(s"[stress]   curated docs kept: $n"))
     // The md5 ORACLE TAX, quantified: the hash-dense stages re-timed
     // under the production xxhash64 family (graft.hash.family) — same
     // plans, same shuffles, only the per-shingle hash changes. The delta

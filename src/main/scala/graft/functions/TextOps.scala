@@ -485,12 +485,18 @@ object TextOps {
       (cleaned =!= col(textCol)).as("changed"))
   }
 
+  /** The [[cleanText]] normalization as a DuckDB scalar expression over
+    * `textExpr` — shared by [[cleanTextSql]] and composed twins (q135).
+    */
+  def cleanTextExprSql(textExpr: String): String =
+    "trim(regexp_replace(regexp_replace(nfc_normalize(" + textExpr +
+      "), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), '\\s+', ' ', 'g'))"
+
   /** DuckDB twin of [[cleanText]] (utf8proc `nfc_normalize`; RE2 needs
     * the explicit 'g' flag).
     */
   def cleanTextSql(tbl: String, idCol: String, textExpr: String): String = {
-    val cleaned = "trim(regexp_replace(regexp_replace(nfc_normalize(" + textExpr +
-      "), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), '\\s+', ' ', 'g'))"
+    val cleaned = cleanTextExprSql(textExpr)
     s"SELECT $idCol, $cleaned AS text_clean, $cleaned <> $textExpr AS changed FROM $tbl"
   }
 

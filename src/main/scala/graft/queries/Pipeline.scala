@@ -1251,6 +1251,65 @@ object Pipeline {
              |       CAST(3 * sum(v) AS BIGINT) AS px_sum
              |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // END-TO-END CURATION: the composed chain a migrating user actually
+    // runs — clean (NFC + control-strip + whitespace squash) → language
+    // ID → integer quality score → lang/quality gate → exact dedup on
+    // the CLEANED text (keep-lowest, copies counted) → deterministic
+    // split assignment. Input plants real duplicates (every doc_id%3==0
+    // doc re-keyed at +10000 with identical text). Every stage is an
+    // already-oracle-checked operator (q116/q35/q36/q30/q102); this row
+    // pins that the COMPOSITION — filters between stages, dedup over the
+    // derived clean text, split over the surviving reps — is exact too.
+    // Plan shape: per-row codegen projections end to end; the only
+    // exchanges are the dedup hash aggregate and the final sort.
+    "q135_curation_e2e" -> QueryDef(
+      (s, dir) => {
+        val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val input = base.unionByName(
+          base.where(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+        val cleaned = TextOps.cleanText(input, "doc_id", "text")
+        val lang = TextOps.langId(cleaned, "doc_id", "text_clean")
+          .select(col("doc_id"), col("pred_lang"))
+        val qual = TextOps.qualityScore(
+            cleaned.withColumn("n_chars", length(col("text_clean")).cast("long")),
+            "doc_id", "text_clean", "n_chars")
+          .select(col("doc_id"), col("score"))
+        val f = cleaned.select(col("doc_id"), col("text_clean"))
+          .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+          .where(col("pred_lang") =!= "und" && col("score") >= 150)
+        val kept = Dedup.exactDedup(f, "doc_id", "text_clean")
+        TextOps.splitAssign(
+            kept.join(f.select(col("doc_id"), col("pred_lang"), col("score")), Seq("doc_id")),
+            "doc_id")
+          .select(col("doc_id"), col("pred_lang"), col("score"),
+            col("n_copies"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = TextOps.langProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+        s"""WITH input AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0),
+           |c AS (SELECT doc_id, ${TextOps.cleanTextExprSql("text")} AS text_clean FROM input),
+           |l AS (SELECT doc_id, pred_lang FROM (${TextOps.langIdSql("c", "doc_id", "text_clean")}) ll),
+           |q AS (SELECT doc_id, n_tokens * 2 + n_uniq * 3 + n_stop * 5 - n_chars // 10 AS score FROM (
+           |  SELECT doc_id, length(text_clean) AS n_chars,
+           |    CAST(len(tk) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+           |    CAST(len(list_filter(tk, t -> t IN ($stop))) AS BIGINT) AS n_stop
+           |  FROM (SELECT doc_id, text_clean, string_split(text_clean, ' ') AS tk FROM c) t) s),
+           |f AS (SELECT c.doc_id, c.text_clean, l.pred_lang, q.score
+           |      FROM c JOIN l USING (doc_id) JOIN q USING (doc_id)
+           |      WHERE l.pred_lang <> 'und' AND q.score >= 150),
+           |d AS (SELECT doc_id,
+           |        row_number() OVER (PARTITION BY md5(text_clean) ORDER BY doc_id) AS rn,
+           |        count(*) OVER (PARTITION BY md5(text_clean)) AS n_copies FROM f)
+           |SELECT f.doc_id, f.pred_lang, f.score, d.n_copies,
+           |       ${TextOps.splitAssignSql("f.doc_id")} AS split
+           |FROM f JOIN d USING (doc_id) WHERE d.rn = 1
+           |ORDER BY f.doc_id""".stripMargin.replace("\n", " ")
+      }),
+
     // Sketch-guided heavy hitters: every corpus trigram at frequency
     // share >= 1/5000 with its EXACT count — but the plan never shuffles
     // the unbounded gram key space (q74's full groupBy does, and at
