@@ -168,6 +168,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("sortedintersectcount"))
   }
 
+  test("curation chain: no window function, dedup aggregate map-side combined") {
+    // q135's scale claim: the whole chain is projections + filters; the
+    // only corpus-keyed exchanges are the dedup hash aggregate (partial
+    // before exchange — a viral duplicate costs a counter per partition)
+    // and the rep join-back. A window over the hash groups would sort
+    // whole duplicate groups in one task and must never reappear.
+    val p = plan("q135_curation_e2e")
+    assert(!p.contains("WindowExec"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "dedup aggregate must map-side combine:\n" + p.take(800))
+  }
+
   test("exact-dedup hash-index probe: hashes scan prunes to the batch's bucket footprint") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("plan-hashidx").toString
