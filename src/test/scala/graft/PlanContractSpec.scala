@@ -168,6 +168,38 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("sortedintersectcount"))
   }
 
+  test("heavy hitters: verify exchange moves candidate-bounded rows, not the gram space") {
+    import spark.implicits._
+    // the operator's core claim at RUNTIME: with a near-unique gram
+    // space (one planted heavy), the verify pass's shuffles carry rows
+    // bounded by candidates × partitions — never one row per distinct
+    // gram, which is what the direct groupBy plan would move
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rnd = new scala.util.Random(7)
+      val docs = (0L until 400L).map { i =>
+        val noise = Seq.fill(30)(s"u${rnd.nextInt(100000)}").mkString(" ")
+        (i, s"hot gram one $noise")
+      }.toDF("doc_id", "text")
+      val k = 150
+      val out = graft.functions.HeavyHitters.frequentGrams(
+        docs.repartition(4), "text", gramLen = 3, shareDen = 50, k = k)
+      out.queryExecution.toRdd.count()
+      val shuffled = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.collect {
+            case (name, m) if name.toLowerCase.contains("recordswritten") => m.value
+          }.sum
+      }.sum
+      val grams = 400L * 31L // ~distinct gram count (noise is near-unique)
+      assert(shuffled > 0, "expected at least one exchange to execute")
+      assert(shuffled <= 2L * k * 4 + 100,
+        s"verify pass shuffled $shuffled rows — candidate bound exceeded")
+      assert(shuffled < grams / 4,
+        s"verify pass shuffled $shuffled rows — approaching the $grams-gram key space")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("curation chain: no window function, dedup aggregate map-side combined") {
     // q135's scale claim: the whole chain is projections + filters; the
     // only corpus-keyed exchanges are the dedup hash aggregate (partial
