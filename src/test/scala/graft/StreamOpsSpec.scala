@@ -171,6 +171,61 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(cur.toSeq == Seq(11L, 13L, 21L))
   }
 
+  test("streaming raw ingest soak: random drains match the first-arrival-wins model") {
+    import spark.implicits._
+    // Randomized duplicates across a standing corpus + 5 drains, checked
+    // against an independent in-memory simulation of first-arrival-wins
+    // dedup — the property the q134 oracle pins on one fixture, here
+    // exercised on arbitrary collision patterns (standing hits,
+    // intra-batch ties, cross-batch chains, singletons).
+    val rnd = new scala.util.Random(4242)
+    val pool = (0 until 12).map(i => s"pooled text variant $i")
+    def randText() = pool(rnd.nextInt(pool.length))
+    val standing = (0L until 8L).map(i => (i, randText()))
+    val batches = (0 until 5).map { b =>
+      (0 until 6 + rnd.nextInt(6)).map(j => (100L * (b + 1) + j, randText()))
+    }
+    // reference model
+    val rep = scala.collection.mutable.HashMap.empty[String, Long]
+    standing.groupBy(_._2).foreach { case (t, ds) => rep(t) = ds.map(_._1).min }
+    val expect = scala.collection.mutable.HashMap.empty[Long, (Boolean, Long)]
+    batches.foreach { docs =>
+      val newReps = docs.groupBy(_._2).collect {
+        case (t, ds) if !rep.contains(t) => t -> ds.map(_._1).min
+      }
+      docs.foreach { case (id, t) =>
+        expect(id) = (newReps.get(t).contains(id), rep.getOrElse(t, newReps(t)))
+      }
+      newReps.foreach { case (t, r) => rep(t) = r }
+    }
+    // the job
+    val rawDir = java.nio.file.Files.createTempDirectory("soak-raw").toString
+    val idx = java.nio.file.Files.createTempDirectory("soak-idx").toString
+    val curated = java.nio.file.Files.createTempDirectory("soak-cur").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("soak-verd").toString
+    val quar = java.nio.file.Files.createTempDirectory("soak-quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("soak-ckpt").toString
+    graft.functions.Dedup.writeHashIndex(
+      standing.toDF("doc_id", "text"), "doc_id", "text", idx)
+    batches.zipWithIndex.foreach { case (docs, b) =>
+      val lines = docs.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t","lang":"en","source":"s","n_chars":${t.length}}"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, s"b$b.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      StreamingRawIngest.runAvailableNow(spark, rawDir, idx, curated, verdicts, quar, ckpt)
+    }
+    val got = spark.read.parquet(verdicts)
+      .select($"doc_id", $"kept", $"rep").as[(Long, Boolean, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == expect.keySet)
+    val bad = expect.filter { case (id, e) => got(id) != e }
+    assert(bad.isEmpty, s"verdicts diverge from the model: ${bad.take(5)} got ${bad.take(5).map { case (i, _) => i -> got(i) }}")
+    // curated store = kept docs, exactly once each
+    val cur = spark.read.parquet(curated).select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(cur == expect.collect { case (id, (true, _)) => id }.toSeq.sorted)
+  }
+
   test("streaming WARC ingest: same gate, damaged archive quarantined, growth across drains") {
     import spark.implicits._
     def warcGz(recs: Seq[(Long, String)]): Array[Byte] = {
