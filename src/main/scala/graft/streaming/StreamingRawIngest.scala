@@ -38,7 +38,11 @@ import graft.sources.RawCorpus
   * hashes first seen in this batch. Delivery: source offsets are
   * checkpointed; verdict/curated/quarantine writes are idempotent per
   * batch id; the index append is at-least-once with the same
-  * min-representative probe remedy as [[StreamingDedup]].
+  * min-representative probe remedy as [[StreamingDedup]]. Maintenance:
+  * run [[graft.functions.IndexMaintenance.compactHashIndex]] on cadence
+  * (restores one-row-per-hash); the curated store's per-batch
+  * directories compact with
+  * [[graft.functions.IndexMaintenance.compactParquetTable]].
   */
 object StreamingRawIngest {
 
