@@ -256,6 +256,22 @@ object PipelineStress {
     timed("surprisal_score") {
       force(TextOps.surprisalScore(docs, "doc_id", "text"))
     }
+    // bigram-LM perplexity bands (q136): the conditional upgrade of the
+    // surprisal stage — the salted corpus has ~one distinct bigram per
+    // token instance, so this pins the worst-case model-exchange volume
+    timed("bigram_lm") {
+      force(TextOps.bigramLmScore(docs, "doc_id", "text"))
+    }
+    // epoch shard shuffle (q138): the one shard-keyed exchange +
+    // in-shard sort at 1M docs (64 shards ≈ 16k docs/shard sort)
+    timed("shard_shuffle") {
+      force(TextOps.shardShuffle(docs, "doc_id", numShards = 64))
+    }
+    // one-scan profile (q137): Expand-multiplied exact distincts over
+    // (id, text) — the ANALYZE cost at 1M docs
+    timed("table_profile") {
+      force(graft.functions.Profile.tableProfile(docs, Seq("doc_id", "text")))
+    }
     // tokenizer-encode (q112): ranked-vocab broadcast + ordered per-doc
     // id-sequence rebuild at 1M docs
     timed("token_ids") {

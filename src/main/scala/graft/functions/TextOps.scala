@@ -862,4 +862,131 @@ object TextOps {
        |       CAST(coalesce(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
        |       coalesce(sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END), 0) > 0 AS contaminated
        |FROM dg GROUP BY $idCol""".stripMargin.replace("\n", " ")
+
+  /** Bigram-LM perplexity band filter — the CCNet-style (Wenzek et al.
+    * 2020) corpus curation gate, integer-exact: a document's score is the
+    * sum over its token TRANSITIONS (w1→w2) of the conditional surprisal
+    * `⌊log₂ c(w1·)⌋ − ⌊log₂ c(w1,w2)⌋` (c(w1,w2) = corpus bigram count,
+    * c(w1·) = transitions leaving w1 — so common continuations score 0,
+    * rare ones high), and documents land in CCNet's head/middle/tail
+    * bands by thresholding the mean surprisal ×10 (integer division —
+    * no float anywhere, so the DuckDB twin replays it bit-for-bit; the
+    * ⌊log₂⌋ is the same bit-length `bin()` trick as [[surprisalScore]]).
+    * This upgrades q111's unigram stand-in to a real conditional model:
+    * "the cat sat" scores low even when every unigram is rare, because
+    * the transitions are predictable.
+    *
+    * Plan: one corpus exchange keyed on the bigram (compact
+    * (w1,w2,count) rows — map-side combined, never token streams); the
+    * context counts derive from the bigram counts (a second aggregate
+    * over the already-compact model rows, NOT a second corpus pass);
+    * the join-back moves (w1,w2,surp) rows and the doc re-aggregate is
+    * the only doc-keyed exchange. Same 100 TB shape as q111/q105.
+    * Docs with fewer than 2 tokens have no transitions and are dropped
+    * (the q112 `n_tokens > 0` convention).
+    */
+  def bigramLmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      headMax10: Long = 20L,
+      midMax10: Long = 40L): DataFrame = {
+    val tk = df.select(col(idCol),
+      expr(s"filter(split($textCol, ' '), t -> t <> '')").as("tk"))
+    val trans = tk.where(size(col("tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(tk)-2), " +
+          "i -> struct(element_at(tk, i+1) AS w1, element_at(tk, i+2) AS w2))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("nb")).as("nu"))
+    val surp = cb.join(cu, "w1")
+      .select(col("w1"), col("w2"),
+        (length(bin(col("nu"))) - length(bin(col("nb")))).cast("long").as("surp"))
+    val mean10 = expr("surp_sum * 10 div n_trans")
+    trans.join(surp, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("surp")).as("surp_sum"))
+      .select(col(idCol), col("n_trans"), col("surp_sum"),
+        mean10.as("ppl10"),
+        when(mean10 <= headMax10, "head")
+          .when(mean10 <= midMax10, "middle")
+          .otherwise("tail").as("band"))
+  }
+
+  /** DuckDB twin of [[bigramLmScore]] (`bin()` zero-pads there — ltrim
+    * before measuring, exactly as [[surprisalScoreSql]]).
+    */
+  def bigramLmScoreSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      headMax10: Long = 20L,
+      midMax10: Long = 40L): String =
+    s"""WITH w AS (SELECT $idCol,
+       |  list_filter(string_split($textCol, ' '), t -> t <> '') AS tk FROM $tbl),
+       |tr AS (SELECT $idCol, u.w1, u.w2 FROM (
+       |  SELECT $idCol, unnest(list_transform(range(len(tk)-1),
+       |    i -> struct_pack(w1 := tk[i+1], w2 := tk[i+2]))) AS u
+       |  FROM w WHERE len(tk) >= 2) q),
+       |cb AS (SELECT w1, w2, count(*) AS nb FROM tr GROUP BY w1, w2),
+       |cu AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nu FROM cb GROUP BY w1),
+       |s AS (SELECT w1, w2,
+       |  CAST(length(ltrim(bin(nu), '0')) - length(ltrim(bin(nb), '0')) AS BIGINT) AS surp
+       |  FROM cb JOIN cu USING (w1)),
+       |d AS (SELECT $idCol, count(*) AS n_trans, CAST(sum(surp) AS BIGINT) AS surp_sum
+       |  FROM tr JOIN s USING (w1, w2) GROUP BY $idCol)
+       |SELECT $idCol, n_trans, surp_sum, surp_sum * 10 // n_trans AS ppl10,
+       |  CASE WHEN surp_sum * 10 // n_trans <= $headMax10 THEN 'head'
+       |       WHEN surp_sum * 10 // n_trans <= $midMax10 THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM d""".stripMargin.replace("\n", " ")
+
+  /** Deterministic epoch shuffle into training shards — the pipeline's
+    * last step before the trainer reads: every doc gets a shard (uniform
+    * over `numShards` by [[portableHash]] of the id) and a position
+    * within that shard (rank of a second, independent hash — ties broken
+    * by id), so the global read order `(shard, pos)` is a seeded
+    * pseudo-random permutation that any engine reproduces exactly
+    * (re-seed per epoch via `seed`). Returns (id, shard, pos).
+    *
+    * Plan: one exchange on the shard key + an in-shard sort — which is
+    * precisely `repartition(shard).sortWithinPartitions(h2)`, the only
+    * scalable form of a global shuffle (a corpus-wide `ORDER BY
+    * rand()` is a single total sort; this is `numShards` independent
+    * ones). Shard keys are uniform 60-bit hashes, so there is no skew
+    * by construction; at 100 TB the caller sizes `numShards` so
+    * corpus/numShards fits one task's sort budget, exactly like q95's
+    * packing shards.
+    */
+  def shardShuffle(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int = 8,
+      seed: String = "epoch0"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val shard = pmod(portableHash(col(idCol).cast("string"), seed), lit(numShards))
+      .cast("long")
+    val h2 = portableHash(col(idCol).cast("string"), seed + ":ord")
+    df.select(col(idCol), shard.as("shard"), h2.as("h2"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("h2"), col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** DuckDB twin of [[shardShuffle]] ([[portableHash]] is positive, so
+    * `%` and `pmod` agree — the q102 convention).
+    */
+  def shardShuffleSql(
+      tbl: String,
+      idCol: String,
+      numShards: Int = 8,
+      seed: String = "epoch0"): String =
+    s"""SELECT $idCol, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, $idCol) AS BIGINT) AS pos
+       |FROM (SELECT $idCol,
+       |  (${portableHashSql(s"CAST($idCol AS VARCHAR)", seed)}) % $numShards AS shard,
+       |  ${portableHashSql(s"CAST($idCol AS VARCHAR)", seed + ":ord")} AS h2
+       |  FROM $tbl) t""".stripMargin.replace("\n", " ")
 }

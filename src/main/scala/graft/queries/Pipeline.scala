@@ -1370,6 +1370,43 @@ object Pipeline {
               |      FROM qq CROSS JOIN qv)
               |SELECT query_id, vec_id, dot, rk FROM (
               |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rk FROM d) r
-              |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")))
+              |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " "))),
+
+    // Bigram-LM perplexity bands (CCNet-style curation gate): per-doc
+    // conditional-surprisal sums over token TRANSITIONS — the corpus's
+    // own bigram model, integer-exact via the bit-length log — bucketed
+    // into head/middle/tail. Upgrades q111's unigram stand-in to a real
+    // conditional model; the only corpus exchanges move compact
+    // (w1,w2,count) model rows and the doc re-aggregate.
+    "q136_bigram_lm" -> QueryDef(
+      (s, dir) =>
+        TextOps.bigramLmScore(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextOps.bigramLmScoreSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+
+    // One-scan table profile (ANALYZE-style corpus health check): per
+    // column — rows, nulls, exact distincts, string-form min/max — all
+    // from ONE aggregate over ONE scan, unpivoted to a row per column.
+    // The oracle recomputes each column independently.
+    "q137_table_profile" -> QueryDef(
+      (s, dir) =>
+        graft.functions.Profile.tableProfile(tbl(s, dir, "documents"),
+            Seq("doc_id", "text", "lang", "source", "n_chars"))
+          .orderBy(col("col_name")),
+      Some(s"SELECT * FROM (${graft.functions.Profile.tableProfileSql("documents",
+          Seq("doc_id", "text", "lang", "source", "n_chars"))}) p ORDER BY col_name")),
+
+    // Deterministic epoch shuffle into training shards: seeded
+    // pseudo-random permutation as (shard, pos) — uniform hash shard
+    // assignment + in-shard rank of an independent hash. The plan is
+    // repartition-by-shard + in-shard sort (numShards independent sorts,
+    // never a corpus-wide ORDER BY rand()).
+    "q138_shard_shuffle" -> QueryDef(
+      (s, dir) =>
+        TextOps.shardShuffle(tbl(s, dir, "documents"), "doc_id", numShards = 8)
+          .orderBy(col("shard"), col("pos")),
+      Some(TextOps.shardShuffleSql("documents", "doc_id", numShards = 8) +
+        " ORDER BY shard, pos"))
   )
 }

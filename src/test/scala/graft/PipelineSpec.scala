@@ -1686,4 +1686,68 @@ class PipelineSpec extends AnyFunSuite {
     val b = Multimodal.decodeMeta(blobs, "doc_id", "blob").head()
     assert(a == ((b.n_bytes, b.format)))
   }
+
+  test("bigram LM: conditional surprisal is exact bit-length math; short docs dropped") {
+    import spark.implicits._
+    // cb: (a,b)=3 (b,a)=1 (b,c)=1; cu: a=3 b=2.
+    // surp(a,b)=⌊log₂3⌋−⌊log₂3⌋=0, surp(b,a)=⌊log₂2⌋−⌊log₂1⌋=1, surp(b,c)=1.
+    val df = docs((1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, ""))
+    val out = TextOps.bigramLmScore(df, "doc_id", "text",
+        headMax10 = 3L, midMax10 = 5L)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // d1: 3 trans, sum 1, ppl10 = 10/3 = 3 → head (boundary inclusive);
+    // d2: 2 trans, sum 1, ppl10 = 5 → middle (boundary inclusive);
+    // d3/d4: < 2 tokens → no transitions → dropped.
+    assert(out == Seq((1L, 3L, 1L, 3L, "head"), (2L, 2L, 1L, 5L, "middle")))
+    // tail branch: thresholds below every score
+    val bands = TextOps.bigramLmScore(df, "doc_id", "text",
+        headMax10 = -1L, midMax10 = -1L)
+      .select($"band").distinct().as[String].collect().toSeq
+    assert(bands == Seq("tail"))
+    // a dominant repeated transition is maximally predictable: surp 0
+    val rep = docs((1L, Seq.fill(64)("w").mkString(" ")), (2L, "w q"))
+    val r1 = TextOps.bigramLmScore(rep, "doc_id", "text")
+      .where($"doc_id" === 1L).select($"surp_sum").as[Long].head()
+    // cu(w)=64, cb(w,w)=63: ⌊log₂64⌋−⌊log₂63⌋ = 6−5 = 1 per transition
+    assert(r1 == 63L)
+  }
+
+  test("shard shuffle: seeded permutation — contiguous ranks, id-preserving, seed-sensitive") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = TextOps.shardShuffle(df, "doc_id", numShards = 8, seed = "e0")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).sorted == (0L until 500L))
+    // per shard: positions are exactly 1..count (dense ranks, no gaps)
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size.toLong), s"shard $sh ranks")
+    }
+    // deterministic: same seed replays bit-for-bit; partitioning-independent
+    val again = TextOps.shardShuffle(df.repartition(7), "doc_id", 8, "e0")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.toSet == again.toSet)
+    // a different epoch seed reorders (some doc moves shard or rank)
+    val e1 = TextOps.shardShuffle(df, "doc_id", 8, "e1")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.toSet != e1.toSet)
+    // uniformity sanity: no shard is empty or > 3× the fair share
+    val sizes = out.groupBy(_._2).values.map(_.size)
+    assert(sizes.size == 8 && sizes.max <= 3 * 500 / 8)
+  }
+
+  test("table profile: one-scan stats match direct per-column computation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("apple"), "en"), (2L, None, "en"),
+      (3L, Some("pear"), "de"), (4L, Some("apple"), "de"))
+      .toDF("id", "word", "lang")
+    val prof = graft.functions.Profile.tableProfile(df, Seq("id", "word", "lang"))
+      .orderBy($"col_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(prof == Seq(
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("lang", 4L, 0L, 2L, "de", "en"),
+      ("word", 4L, 1L, 2L, "apple", "pear")))
+  }
 }

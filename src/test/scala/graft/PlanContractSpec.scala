@@ -432,4 +432,44 @@ class PlanContractSpec extends AnyFunSuite {
     assert("ReadSchema: [^\\n]*l_returnflag".r.findFirstIn(p).isDefined)
     assert(!p.contains("l_comment"), "q01 scan reads unneeded columns")
   }
+
+  test("bigram LM: no window, no cartesian, map-side combined model aggregates") {
+    val p = plan("q136_bigram_lm")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"), p.take(800))
+    // both model aggregates (bigram counts, doc re-agg) combine map-side
+    assert(p.contains("partial_count"), "model aggregates must be two-phase")
+    // every exchange is keyed on model/doc keys — the text column never
+    // shuffles (exchanges exist only post-EnsureRequirements)
+    val pe = SparkEntry.queries("q136_bigram_lm")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([^)]+)\\)".r
+      .findAllMatchIn(pe).map(_.group(1)).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text crossed an exchange: $exchanges")
+  }
+
+  test("table profile: ONE scan feeds the whole multi-column profile") {
+    val p = plan("q137_table_profile")
+    // the single-aggregate claim: one FileScan, Expand carries the
+    // multi-distinct, no join between per-column passes
+    val scans = "FileScan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"profile scanned the table $scans times:\n${p.take(600)}")
+    assert(p.contains("Expand"), "multi-distinct should plan as Expand")
+    assert(!p.contains("Join"), "profile must not join per-column passes")
+  }
+
+  test("shard shuffle: one shard-keyed exchange + in-shard sort, nothing corpus-wide") {
+    import graft.functions.TextOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = TextOps.shardShuffle(docs, "doc_id", numShards = 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange (\\w+partitioning\\([^)]*\\))".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.size == 1 && exchanges.head.startsWith("hashpartitioning(shard"),
+      s"expected exactly the shard repartition, got: $exchanges")
+    assert(p.contains("Window"), "rank must come from the per-shard window")
+    assert(!p.contains("rangepartitioning"),
+      "a global sort crept into the shuffle plan")
+  }
 }
