@@ -890,7 +890,53 @@ object TextOps {
       idCol: String,
       textCol: String,
       headMax10: Long = 20L,
-      midMax10: Long = 40L): DataFrame = {
+      midMax10: Long = 40L): DataFrame =
+    bigramScored(df, idCol, textCol)
+      .withColumn("band",
+        when(col("ppl10") <= headMax10, "head")
+          .when(col("ppl10") <= midMax10, "middle")
+          .otherwise("tail"))
+
+  /** The band thresholds derived from the corpus itself — CCNet's actual
+    * rule (the paper buckets by perplexity QUANTILES of the corpus, not
+    * fixed values): head = ppl10 ≤ the pLow-th percentile, middle ≤ the
+    * pHigh-th, tail above. The thresholds come from
+    * [[Quantiles.radixQuantiles]] over the scored frame — 4 narrow
+    * passes, no sort, and the driver sees exactly two (p, value) rows —
+    * so the adaptive rule costs O(1) driver state at any corpus size
+    * (the adaptive-banding pattern: the sizing rule is derivable by the
+    * oracle, so no data value crosses engines). The scored frame is
+    * persisted for the two passes (quantile scan + final projection).
+    */
+  def bigramLmBandsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pLowNum: Int = 33,
+      pHighNum: Int = 66,
+      pDen: Int = 100): DataFrame = {
+    require(0 < pLowNum && pLowNum <= pHighNum && pHighNum <= pDen,
+      s"need 0 < pLow <= pHigh <= pDen: $pLowNum/$pHighNum/$pDen")
+    // eager localCheckpoint (the Graph/Retrieval convention): the scored
+    // frame is materialized ONCE and feeds both the quantile passes and
+    // the final projection; ContextCleaner reclaims the blocks when the
+    // result frame is dropped
+    val scored = bigramScored(df, idCol, textCol).localCheckpoint(true)
+    val qs = Quantiles.radixQuantiles(scored, "ppl10", Seq(pLowNum, pHighNum), pDen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap // 2 driver rows
+    if (qs.isEmpty) // no scoreable docs: every row was < 2 tokens
+      return scored.withColumn("band", lit("head")).where(lit(false))
+    val (t1, t2) = (qs(pLowNum.toLong), qs(pHighNum.toLong))
+    scored.withColumn("band",
+      when(col("ppl10") <= t1, "head")
+        .when(col("ppl10") <= t2, "middle")
+        .otherwise("tail"))
+  }
+
+  /** (id, n_trans, surp_sum, ppl10) — the shared scoring core of
+    * [[bigramLmScore]] / [[bigramLmBandsAuto]].
+    */
+  private def bigramScored(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = df.select(col(idCol),
       expr(s"filter(split($textCol, ' '), t -> t <> '')").as("tk"))
     val trans = tk.where(size(col("tk")) >= 2)
@@ -903,27 +949,19 @@ object TextOps {
     val surp = cb.join(cu, "w1")
       .select(col("w1"), col("w2"),
         (length(bin(col("nu"))) - length(bin(col("nb")))).cast("long").as("surp"))
-    val mean10 = expr("surp_sum * 10 div n_trans")
     trans.join(surp, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trans"), sum(col("surp")).as("surp_sum"))
       .select(col(idCol), col("n_trans"), col("surp_sum"),
-        mean10.as("ppl10"),
-        when(mean10 <= headMax10, "head")
-          .when(mean10 <= midMax10, "middle")
-          .otherwise("tail").as("band"))
+        expr("surp_sum * 10 div n_trans").as("ppl10"))
   }
 
-  /** DuckDB twin of [[bigramLmScore]] (`bin()` zero-pads there — ltrim
-    * before measuring, exactly as [[surprisalScoreSql]]).
+  /** The shared scoring CTE chain of the bigram-LM twins: ends in
+    * `sc(id, n_trans, surp_sum, ppl10)` (`bin()` zero-pads in DuckDB —
+    * ltrim before measuring, exactly as [[surprisalScoreSql]]).
     */
-  def bigramLmScoreSql(
-      tbl: String,
-      idCol: String,
-      textCol: String,
-      headMax10: Long = 20L,
-      midMax10: Long = 40L): String =
-    s"""WITH w AS (SELECT $idCol,
+  private def bigramScoredCtes(tbl: String, idCol: String, textCol: String): String =
+    s"""w AS (SELECT $idCol,
        |  list_filter(string_split($textCol, ' '), t -> t <> '') AS tk FROM $tbl),
        |tr AS (SELECT $idCol, u.w1, u.w2 FROM (
        |  SELECT $idCol, unnest(list_transform(range(len(tk)-1),
@@ -935,12 +973,45 @@ object TextOps {
        |  CAST(length(ltrim(bin(nu), '0')) - length(ltrim(bin(nb), '0')) AS BIGINT) AS surp
        |  FROM cb JOIN cu USING (w1)),
        |d AS (SELECT $idCol, count(*) AS n_trans, CAST(sum(surp) AS BIGINT) AS surp_sum
-       |  FROM tr JOIN s USING (w1, w2) GROUP BY $idCol)
-       |SELECT $idCol, n_trans, surp_sum, surp_sum * 10 // n_trans AS ppl10,
-       |  CASE WHEN surp_sum * 10 // n_trans <= $headMax10 THEN 'head'
-       |       WHEN surp_sum * 10 // n_trans <= $midMax10 THEN 'middle'
+       |  FROM tr JOIN s USING (w1, w2) GROUP BY $idCol),
+       |sc AS (SELECT $idCol, n_trans, surp_sum, surp_sum * 10 // n_trans AS ppl10 FROM d)""".stripMargin
+
+  /** DuckDB twin of [[bigramLmScore]]. */
+  def bigramLmScoreSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      headMax10: Long = 20L,
+      midMax10: Long = 40L): String =
+    s"""WITH ${bigramScoredCtes(tbl, idCol, textCol)}
+       |SELECT $idCol, n_trans, surp_sum, ppl10,
+       |  CASE WHEN ppl10 <= $headMax10 THEN 'head'
+       |       WHEN ppl10 <= $midMax10 THEN 'middle'
        |       ELSE 'tail' END AS band
-       |FROM d""".stripMargin.replace("\n", " ")
+       |FROM sc""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of [[bigramLmBandsAuto]] — replays the quantile rule
+    * (value at 1-based ascending position ⌈p·n⌉, the
+    * [[Quantiles.radixQuantiles]] convention) instead of receiving the
+    * thresholds, so no data-derived value crosses engines.
+    */
+  def bigramLmBandsAutoSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      pLowNum: Int = 33,
+      pHighNum: Int = 66,
+      pDen: Int = 100): String =
+    s"""WITH ${bigramScoredCtes(tbl, idCol, textCol)},
+       |r AS (SELECT ppl10, row_number() OVER (ORDER BY ppl10) AS rn,
+       |             count(*) OVER () AS n FROM sc),
+       |t1 AS (SELECT min(ppl10) AS v FROM r WHERE rn >= ($pLowNum * n + ${pDen - 1}) // $pDen),
+       |t2 AS (SELECT min(ppl10) AS v FROM r WHERE rn >= ($pHighNum * n + ${pDen - 1}) // $pDen)
+       |SELECT $idCol, n_trans, surp_sum, ppl10,
+       |  CASE WHEN ppl10 <= (SELECT v FROM t1) THEN 'head'
+       |       WHEN ppl10 <= (SELECT v FROM t2) THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM sc""".stripMargin.replace("\n", " ")
 
   /** Deterministic epoch shuffle into training shards — the pipeline's
     * last step before the trainer reads: every doc gets a shard (uniform
@@ -989,4 +1060,46 @@ object TextOps {
        |  (${portableHashSql(s"CAST($idCol AS VARCHAR)", seed)}) % $numShards AS shard,
        |  ${portableHashSql(s"CAST($idCol AS VARCHAR)", seed + ":ord")} AS h2
        |  FROM $tbl) t""".stripMargin.replace("\n", " ")
+
+  /** Deterministic uniform k-sample PER GROUP — eyeballing/eval draws
+    * ("give me 50 random docs per language") that any engine reproduces:
+    * a doc is sampled iff its seeded [[portableHash]] ranks among the
+    * group's k smallest (ties by id). Returns (group, id, rk ∈ 1..k).
+    *
+    * Runs through [[TopK.perKey]]'s bounded-heap operator, so the state
+    * is O(groups × k) and there is NO per-group sort and NO window —
+    * a corpus-scale group (every doc is in SOME language) costs one heap
+    * update per row. This is exact bottom-k sampling: uniform without
+    * replacement per group, deterministic under the seed, and
+    * partitioning-independent.
+    */
+  def sampleKPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      seed: String = "sample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = df.select(col(groupCol), col(idCol),
+      portableHash(col(idCol).cast("string"), seed).as("h"))
+    graft.functions.TopK.perKey(base, Seq(groupCol),
+        Seq(("h", false), (idCol, false)), k)
+      .select(col(groupCol), col(idCol), col("rk"))
+  }
+
+  /** DuckDB twin of [[sampleKPerGroup]] (the window form the bounded
+    * heap replaces).
+    */
+  def sampleKPerGroupSql(
+      tbl: String,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      seed: String = "sample"): String =
+    s"""SELECT $groupCol, $idCol, rk FROM (
+       |  SELECT $groupCol, $idCol, CAST(row_number() OVER (
+       |    PARTITION BY $groupCol ORDER BY h, $idCol) AS BIGINT) AS rk
+       |  FROM (SELECT $groupCol, $idCol,
+       |    ${portableHashSql(s"CAST($idCol AS VARCHAR)", seed)} AS h FROM $tbl) t) r
+       |WHERE rk <= $k""".stripMargin.replace("\n", " ")
 }

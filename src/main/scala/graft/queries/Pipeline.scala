@@ -1407,6 +1407,30 @@ object Pipeline {
         TextOps.shardShuffle(tbl(s, dir, "documents"), "doc_id", numShards = 8)
           .orderBy(col("shard"), col("pos")),
       Some(TextOps.shardShuffleSql("documents", "doc_id", numShards = 8) +
-        " ORDER BY shard, pos"))
+        " ORDER BY shard, pos")),
+
+    // Deterministic uniform k-per-group sample (eval/eyeball draws):
+    // bottom-k of a seeded hash per group THROUGH THE BOUNDED HEAP —
+    // O(groups × k) state, no window sort even when a group spans the
+    // corpus. The oracle is the row_number window the heap replaces, so
+    // sampling semantics (ranks included) are hash-checked.
+    "q139_group_sample" -> QueryDef(
+      (s, dir) =>
+        TextOps.sampleKPerGroup(tbl(s, dir, "documents"), "doc_id", "lang", k = 7)
+          .orderBy(col("lang"), col("rk")),
+      Some(TextOps.sampleKPerGroupSql("documents", "doc_id", "lang", k = 7) +
+        " ORDER BY lang, rk")),
+
+    // CCNet's actual band rule: head/middle/tail by corpus perplexity
+    // QUANTILES (33rd/66th percentile of ppl10), thresholds found by the
+    // radix quantile machinery (4 narrow passes, 2 driver rows) — the
+    // oracle re-derives the same ⌈p·n⌉-rank values, so no data-derived
+    // threshold crosses engines.
+    "q140_bigram_lm_auto" -> QueryDef(
+      (s, dir) =>
+        TextOps.bigramLmBandsAuto(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextOps.bigramLmBandsAutoSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id"))
   )
 }

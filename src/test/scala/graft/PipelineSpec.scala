@@ -1736,6 +1736,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(sizes.size == 8 && sizes.max <= 3 * 500 / 8)
   }
 
+  test("group sample: bottom-k hash draw — exact small groups, deterministic, seed-sensitive") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}"))
+      .toDF("doc_id", "grp")
+      .unionByName(Seq((9000L, "tiny"), (9001L, "tiny")).toDF("doc_id", "grp"))
+    val out = TextOps.sampleKPerGroup(df, "doc_id", "grp", k = 5, seed = "s0")
+      .as[(String, Long, Long)].collect().toSeq
+    // groups smaller than k return every member; big groups exactly k
+    val bySize = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySize == Map("g0" -> 5, "g1" -> 5, "g2" -> 5, "tiny" -> 2))
+    // ranks are dense 1..n per group
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size.toLong), s"group $g")
+    }
+    // deterministic + partitioning-independent; a new seed draws differently
+    val again = TextOps.sampleKPerGroup(df.repartition(7), "doc_id", "grp", 5, "s0")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.toSet == again.toSet)
+    val other = TextOps.sampleKPerGroup(df, "doc_id", "grp", 5, "s1")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.filter(_._1 != "tiny").map(_._2).toSet
+      != other.filter(_._1 != "tiny").map(_._2).toSet)
+  }
+
+  test("bigram LM auto bands: thresholds are the corpus ppl10 quantiles (differential)") {
+    import spark.implicits._
+    // a mixed corpus: repetitive docs (low conditional surprisal), mid
+    // docs, and high-surprisal docs — RARE CONTINUATIONS OFF A COMMON
+    // CONTEXT ("the u42w7"): a unique bigram whose context is also
+    // unique scores 0 under a conditional model (trivially predictable),
+    // so high-ppl text must reuse common contexts
+    val df = docs((0L until 60L).map { i =>
+      val t =
+        if (i % 3 == 0) Seq.fill(20)("the cat sat").mkString(" ")
+        else if (i % 3 == 1) s"the cat sat on mat$i and ran far$i away"
+        else (0 until 12).map(j => s"the u${i}w$j").mkString(" ")
+      (i, t)
+    }: _*)
+    val auto = TextOps.bigramLmBandsAuto(df, "doc_id", "text", 33, 66, 100)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // differential oracle: apply the ⌈p·n⌉-rank rule to the fixed-band
+    // scorer's own ppl10 column in plain Scala
+    val ppl = TextOps.bigramLmScore(df, "doc_id", "text")
+      .select(col("doc_id"), col("ppl10")).as[(Long, Long)].collect().toMap
+    val sorted = ppl.values.toSeq.sorted
+    def q(p: Int) = sorted((p * sorted.size + 99) / 100 - 1)
+    val (t1, t2) = (q(33), q(66))
+    assert(t1 < t2, s"degenerate test corpus: t1=$t1 t2=$t2")
+    auto.foreach { case (id, _, _, p10, band) =>
+      val expect = if (p10 <= t1) "head" else if (p10 <= t2) "middle" else "tail"
+      assert(band == expect, s"doc $id ppl10=$p10: $band vs $expect (t1=$t1 t2=$t2)")
+    }
+    assert(auto.map(_._5).toSet == Set("head", "middle", "tail"))
+    // all-short corpus: nothing scoreable, empty result (not a crash)
+    val none = TextOps.bigramLmBandsAuto(docs((1L, "x"), (2L, "")), "doc_id", "text")
+    assert(none.count() == 0)
+  }
+
   test("table profile: one-scan stats match direct per-column computation") {
     import spark.implicits._
     val df = Seq(

@@ -459,6 +459,12 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "profile must not join per-column passes")
   }
 
+  test("group sample: plans as the bounded heap, no window, no sort") {
+    val p = plan("q139_group_sample")
+    assert(p.contains("GroupedTopK"), "sampling must run through the bounded heap")
+    assert(!p.contains("WindowExec"), p.take(600))
+  }
+
   test("shard shuffle: one shard-keyed exchange + in-shard sort, nothing corpus-wide") {
     import graft.functions.TextOps
     val docs = spark.read.parquet(s"$sf/documents.parquet")
