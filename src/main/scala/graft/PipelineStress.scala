@@ -262,6 +262,16 @@ object PipelineStress {
     timed("bigram_lm") {
       force(TextOps.bigramLmScore(docs, "doc_id", "text"))
     }
+    // ...and the hash-keyed 100 TB path (q141): exchanges move
+    // (long, long) keys instead of string pairs — md5 first (the oracle
+    // family), then the production xxhash64 family (the real cost)
+    timed("bigram_lm_hashed") {
+      force(TextOps.bigramLmScoreHashed(docs, "doc_id", "text"))
+    }
+    System.setProperty(TextOps.HashFamilyProp, "xxhash64")
+    try timed("bigram_lm_hashed_xx") {
+      force(TextOps.bigramLmScoreHashed(docs, "doc_id", "text"))
+    } finally System.clearProperty(TextOps.HashFamilyProp)
     // epoch shard shuffle (q138): the one shard-keyed exchange +
     // in-shard sort at 1M docs (64 shards ≈ 16k docs/shard sort)
     timed("shard_shuffle") {

@@ -60,4 +60,95 @@ object Profile {
          |  max(CAST($c AS VARCHAR)) AS max_str FROM $tbl""".stripMargin
         .replace("\n", " ")
     }.mkString(" UNION ALL ")
+
+  /** The 100 TB profile: [[tableProfile]] with the exact multi-column
+    * `count(DISTINCT)` (and its Expand ×columns shuffle of raw values)
+    * replaced by per-column HLL REGISTER state (the q73 sketch, grouped
+    * by column): per column — n_rows, n_null, the exact integer HLL
+    * denominator `hll_denom = Σ_buckets 2^(55 − max_rho)` and
+    * `n_buckets_hit` (of 64). The caller turns (denom, hit) into the
+    * usual float estimate `α·m²·2⁵⁵/denom` (+ linear counting when
+    * hit < m); the OUTPUT stays integer-exact so the DuckDB twin replays
+    * it bit-for-bit — the q73 register-exactness discipline applied to
+    * profiling.
+    *
+    * Plan: still ONE scan — each row projects an array of
+    * (col_idx, bucket, rho) structs (rho null for null values), one
+    * explode (×columns, the same multiplier the exact path pays in
+    * Expand — but the exchange after it is keyed (col, bucket) and
+    * carries ≤ 64·columns mergeable register rows out of each task,
+    * never raw values), then two tiny aggregates. Distinct state at any
+    * corpus size is 64 longs per column.
+    */
+  def tableProfileSketch(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(i).as("ci"),
+        when(col(c).isNotNull,
+          graft.functions.TextOps.portableHash(col(c).cast("string")))
+          .as("hv"))
+    }
+    val nameFor = cols.zipWithIndex
+      .foldLeft(lit(null).cast("string")) { case (e, (c, i)) =>
+        when(col("ci") === i, c).otherwise(e)
+      }
+    df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.ci").as("ci"),
+        (col("e.hv") % 64).as("bucket"),
+        when(col("e.hv").isNotNull,
+          lit(55) - length(expr("trim(LEADING '0' FROM bin(e.hv div 64))")))
+          .cast("long").as("rho"))
+      .groupBy(col("ci"), col("bucket"))
+      .agg(count(lit(1)).as("n"), count(col("rho")).as("nn"),
+        max(col("rho")).as("max_rho"))
+      .groupBy(col("ci"))
+      .agg(sum(col("n")).as("n_rows"),
+        (sum(col("n")) - sum(col("nn"))).as("n_null"),
+        sum(when(col("max_rho").isNotNull,
+          expr("shiftleft(cast(1 as bigint), cast(55 - max_rho as int))"))
+          .otherwise(0L)).as("hll_denom"),
+        count(col("max_rho")).as("n_buckets_hit"))
+      .select(nameFor.as("col_name"), col("n_rows"), col("n_null"),
+        col("hll_denom"), col("n_buckets_hit"))
+  }
+
+  /** DuckDB twin of [[tableProfileSketch]] (register-exact, q73's
+    * convention; `bucket` for a null value is NULL so null rows never
+    * touch a register but still count).
+    */
+  def tableProfileSketchSql(tbl: String, cols: Seq[String]): String = {
+    import graft.functions.TextOps.portableHashSql
+    val branches = cols.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS col_name, CASE WHEN $c IS NOT NULL THEN ${portableHashSql(s"CAST($c AS VARCHAR)")} END AS hv FROM $tbl"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS ($branches),
+       |b AS (SELECT col_name, hv % 64 AS bucket,
+       |  CASE WHEN hv IS NOT NULL
+       |       THEN 55 - length(ltrim(bin(hv // 64), '0')) END AS rho FROM e),
+       |r AS (SELECT col_name, bucket, count(*) AS n, count(rho) AS nn,
+       |  max(rho) AS max_rho FROM b GROUP BY col_name, bucket)
+       |SELECT col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(sum(n) - sum(nn) AS BIGINT) AS n_null,
+       |  CAST(coalesce(sum(CASE WHEN max_rho IS NOT NULL
+       |    THEN 1::BIGINT << (55 - max_rho) ELSE 0 END), 0) AS BIGINT) AS hll_denom,
+       |  count(max_rho) AS n_buckets_hit
+       |FROM r GROUP BY col_name""".stripMargin.replace("\n", " ")
+  }
+
+  /** Caller-side float estimate from [[tableProfileSketch]]'s exact
+    * integer state: standard HLL `α·m²/Σ2^-ρ` (denominators were scaled
+    * by 2⁵⁵, so the numerator is too), with the linear-counting
+    * correction for small cardinalities (empty buckets present).
+    */
+  def hllEstimate(hllDenom: Long, bucketsHit: Long, m: Int = 64): Double = {
+    if (hllDenom == 0L) return 0.0
+    val zeros = m - bucketsHit
+    // Σ2^-ρ includes 2^0 = 1 per EMPTY bucket in standard HLL
+    val denom = hllDenom.toDouble + zeros.toDouble * math.pow(2.0, 55)
+    val alpha = 0.709 // α₆₄
+    val raw = alpha * m.toDouble * m.toDouble * math.pow(2.0, 55) / denom
+    if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
 }

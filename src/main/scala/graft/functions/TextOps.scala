@@ -933,6 +933,78 @@ object TextOps {
         .otherwise("tail"))
   }
 
+  /** [[bigramLmScore]] with HASH-KEYED exchanges — the 100 TB path (the
+    * q105/q54 discipline): every shuffle and join moves (long, long)
+    * hash keys instead of token-string pairs — `w1h` = [[portableHash]]
+    * of the context, `bh` = of the space-joined bigram (space cannot
+    * appear inside a token, so the pairing is injective). Counts are
+    * exact modulo 60-bit collisions (~N²/2⁶¹ — documented asymmetry, as
+    * q105), and the DuckDB twin hashes identically so parity stays
+    * bit-exact. Under the production xxhash64 family
+    * ([[HashFamilyProp]]) the hashing itself is codegen'd and cheap;
+    * md5 is the oracle tax, quantified in the stress `_xx` stages.
+    */
+  def bigramLmScoreHashed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      headMax10: Long = 20L,
+      midMax10: Long = 40L): DataFrame = {
+    val tk = df.select(col(idCol),
+      expr(s"filter(split($textCol, ' '), t -> t <> '')").as("tk"))
+    val trans = tk.where(size(col("tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(tk)-2), " +
+          "i -> struct(element_at(tk, i+1) AS w1, element_at(tk, i+2) AS w2))")).as("b"))
+      .select(col(idCol),
+        portableHash(col("b.w1")).as("w1h"),
+        portableHash(concat(col("b.w1"), lit(" "), col("b.w2"))).as("bh"))
+    val cb = trans.groupBy(col("w1h"), col("bh")).agg(count(lit(1)).as("nb"))
+    val cu = cb.groupBy(col("w1h")).agg(sum(col("nb")).as("nu"))
+    val surp = cb.join(cu, "w1h")
+      .select(col("bh"),
+        (length(bin(col("nu"))) - length(bin(col("nb")))).cast("long").as("surp"))
+    trans.join(surp, "bh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("surp")).as("surp_sum"))
+      .select(col(idCol), col("n_trans"), col("surp_sum"),
+        expr("surp_sum * 10 div n_trans").as("ppl10"))
+      .withColumn("band",
+        when(col("ppl10") <= headMax10, "head")
+          .when(col("ppl10") <= midMax10, "middle")
+          .otherwise("tail"))
+  }
+
+  /** DuckDB twin of [[bigramLmScoreHashed]] (identical md5 hashing on
+    * both sides — collisions, if any, collide identically).
+    */
+  def bigramLmScoreHashedSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      headMax10: Long = 20L,
+      midMax10: Long = 40L): String =
+    s"""WITH w AS (SELECT $idCol,
+       |  list_filter(string_split($textCol, ' '), t -> t <> '') AS tk FROM $tbl),
+       |tr0 AS (SELECT $idCol, u.w1, u.w2 FROM (
+       |  SELECT $idCol, unnest(list_transform(range(len(tk)-1),
+       |    i -> struct_pack(w1 := tk[i+1], w2 := tk[i+2]))) AS u
+       |  FROM w WHERE len(tk) >= 2) q),
+       |tr AS (SELECT $idCol, ${portableHashSql("w1")} AS w1h,
+       |  ${portableHashSql("w1 || ' ' || w2")} AS bh FROM tr0),
+       |cb AS (SELECT w1h, bh, count(*) AS nb FROM tr GROUP BY w1h, bh),
+       |cu AS (SELECT w1h, CAST(sum(nb) AS BIGINT) AS nu FROM cb GROUP BY w1h),
+       |s AS (SELECT bh,
+       |  CAST(length(ltrim(bin(nu), '0')) - length(ltrim(bin(nb), '0')) AS BIGINT) AS surp
+       |  FROM cb JOIN cu USING (w1h)),
+       |d AS (SELECT $idCol, count(*) AS n_trans, CAST(sum(surp) AS BIGINT) AS surp_sum
+       |  FROM tr JOIN s USING (bh) GROUP BY $idCol)
+       |SELECT $idCol, n_trans, surp_sum, surp_sum * 10 // n_trans AS ppl10,
+       |  CASE WHEN surp_sum * 10 // n_trans <= $headMax10 THEN 'head'
+       |       WHEN surp_sum * 10 // n_trans <= $midMax10 THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM d""".stripMargin.replace("\n", " ")
+
   /** (id, n_trans, surp_sum, ppl10) — the shared scoring core of
     * [[bigramLmScore]] / [[bigramLmBandsAuto]].
     */

@@ -1431,6 +1431,33 @@ object Pipeline {
         TextOps.bigramLmBandsAuto(tbl(s, dir, "documents"), "doc_id", "text")
           .orderBy(col("doc_id")),
       Some(TextOps.bigramLmBandsAutoSql("documents", "doc_id", "text") +
-        " ORDER BY doc_id"))
+        " ORDER BY doc_id")),
+
+    // q136's 100 TB path: identical output, but every exchange and join
+    // moves (long, long) HASH keys instead of token-string pairs (the
+    // q105/q54 compact-key discipline; counts exact modulo 60-bit
+    // collisions, and the twin hashes identically so parity is
+    // bit-exact). The production xxhash64 family makes the hashing
+    // itself codegen-cheap; md5 is the oracle tax.
+    "q141_bigram_lm_hashed" -> QueryDef(
+      (s, dir) =>
+        TextOps.bigramLmScoreHashed(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextOps.bigramLmScoreHashedSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+
+    // q137's 100 TB path: the Expand-multiplied exact count(DISTINCT)
+    // replaced by per-column HLL REGISTER state — the exchange carries
+    // ≤ 64 mergeable register rows per column out of each task, never
+    // raw values, and the output stays integer-exact (the q73
+    // register-exactness discipline) so the twin replays it
+    // bit-for-bit.
+    "q142_profile_sketch" -> QueryDef(
+      (s, dir) =>
+        graft.functions.Profile.tableProfileSketch(tbl(s, dir, "documents"),
+            Seq("doc_id", "text", "lang", "source", "n_chars"))
+          .orderBy(col("col_name")),
+      Some(s"SELECT * FROM (${graft.functions.Profile.tableProfileSketchSql("documents",
+          Seq("doc_id", "text", "lang", "source", "n_chars"))}) p ORDER BY col_name"))
   )
 }

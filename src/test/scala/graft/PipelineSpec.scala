@@ -1713,6 +1713,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1 == 63L)
   }
 
+  test("hashed bigram LM ≡ string-keyed scorer, in both hash families") {
+    import spark.implicits._
+    val df = docs((0L until 40L).map { i =>
+      (i, if (i % 2 == 0) s"the cat sat on mat$i and ran far$i away"
+          else Seq.fill(10)("the cat sat").mkString(" "))
+    }: _*)
+    val exact = TextOps.bigramLmScore(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val hashed = TextOps.bigramLmScoreHashed(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(hashed == exact)
+    // the production family changes hash VALUES, never the counts/bands
+    System.setProperty(TextOps.HashFamilyProp, "xxhash64")
+    try {
+      val xx = TextOps.bigramLmScoreHashed(df, "doc_id", "text")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(xx == exact)
+    } finally System.clearProperty(TextOps.HashFamilyProp)
+  }
+
   test("shard shuffle: seeded permutation — contiguous ranks, id-preserving, seed-sensitive") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
@@ -1807,5 +1827,30 @@ class PipelineSpec extends AnyFunSuite {
       ("id", 4L, 0L, 4L, "1", "4"),
       ("lang", 4L, 0L, 2L, "de", "en"),
       ("word", 4L, 1L, 2L, "apple", "pear")))
+  }
+
+  test("sketch profile: row/null counts exact, HLL estimates land near true distincts") {
+    import spark.implicits._
+    import graft.functions.Profile
+    val df = (0L until 20000L)
+      .map(i => (i, s"v${i % 5000}", if (i % 7 == 0) None else Some(s"w${i % 3}")))
+      .toDF("id", "mid", "low")
+    val prof = Profile.tableProfileSketch(df, Seq("id", "mid", "low"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // exact facets agree with the exact profiler
+    val exact = Profile.tableProfile(df, Seq("id", "mid", "low"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    Seq("id", "mid", "low").foreach { c =>
+      assert(prof(c)._2 == exact(c)._2 && prof(c)._3 == exact(c)._3, c)
+    }
+    // sketch facets: m=64 gives ~13% standard error — assert within 40%
+    def est(c: String) = Profile.hllEstimate(prof(c)._4, prof(c)._5)
+    assert(math.abs(est("id") - 20000.0) / 20000.0 < 0.4, s"id est ${est("id")}")
+    assert(math.abs(est("mid") - 5000.0) / 5000.0 < 0.4, s"mid est ${est("mid")}")
+    // tiny cardinality: linear counting regime is tight
+    assert(math.abs(est("low") - 3.0) <= 1.0, s"low est ${est("low")}")
+    assert(prof("low")._5 <= 3L) // 3 distinct values can hit at most 3 buckets
   }
 }
