@@ -450,4 +450,100 @@ object Multimodal {
       when(length(col(blobCol)) % 3 === 0, "img")
         .when(length(col(blobCol)) % 3 === 1, "audio")
         .otherwise("video").as("format"))
+
+  /** Perceptual difference-hash (dHash) of IMAGE blobs through the REAL
+    * decode path ([[decodeImage]] — q84's strict surface; non-image
+    * blobs drop): the decoded first band is sampled on a fixed 9×8
+    * nearest-neighbor grid — `sx(i) = i·w div 9`, `sy(j) = j·h div 8`,
+    * pure integer math so the oracle can replay the sampling
+    * relationally from the fixture's pixel formula — and each of the 64
+    * bits is `sample(i+1, j) > sample(i, j)`. The hash is emitted as 8
+    * row-BANDS of 8 bits (`bands[j] = Σ_i bit(i,j) << i`, each in
+    * [0, 255]) rather than one 64-bit word: the banded layout is what
+    * the near-dup join keys on (the simhash/LSH banding discipline), and
+    * it keeps every value unsigned-small in both engines.
+    *
+    * Output: (id, width, height, bands array<long>[8]). Decode is
+    * `mapPartitions` (one codec init per partition, no disk cache);
+    * everything downstream is columnar.
+    */
+  def imageDHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          decodeImage(bytes).map { case (_, img) =>
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            val grid = Array.ofDim[Int](8, 9)
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 9) {
+                grid(j)(i) = raster.getSample(i * w / 9, j * h / 8, 0)
+                i += 1
+              }
+              j += 1
+            }
+            val bands = new Array[Long](8)
+            j = 0
+            while (j < 8) {
+              var v = 0L
+              var i = 0
+              while (i < 8) {
+                if (grid(j)(i + 1) > grid(j)(i)) v |= (1L << i)
+                i += 1
+              }
+              bands(j) = v
+              j += 1
+            }
+            (id, w.toLong, h.toLong, bands)
+          }
+        }
+      }.toDF(idCol, "width", "height", "bands")
+  }
+
+  /** Image near-duplicate pairs by banded dHash — multimodal dedup for
+    * a vision-training corpus: two images are candidates iff at least
+    * one of their 8 hash bands matches exactly (any pair within Hamming
+    * distance ≤ 7 of the 64-bit hash MUST share a band — pigeonhole —
+    * so banding has no false negatives at `maxHamming ≤ 7`), and a
+    * candidate is a near-dup iff the full Hamming distance
+    * `Σ_j bit_count(a.bands[j] xor b.bands[j]) ≤ maxHamming`.
+    *
+    * Plan: the candidate generator is a (band_idx, band_val) self
+    * equi-join — corpus-cardinality keys, never an all-pairs product
+    * (the q32/q49 banding shape applied to images); the 8-long band
+    * arrays ride through the join so verification is a per-row
+    * `aggregate(zip_with(...))` with no second join; `distinct`
+    * dedups multi-band collisions on compact (id, id) keys. Decode
+    * happens once per image in [[imageDHash]]'s map stage.
+    */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "banding guarantees no false negatives only for maxHamming <= 7")
+    val h = imageDHash(df, idCol, blobCol)
+      .select(col(idCol).as("id"), col("bands"))
+    val e = h.select(col("id"), col("bands"),
+      posexplode(col("bands")).as(Seq("b_idx", "b_val")))
+    val cand = e.as("a").join(e.as("b"),
+        col("a.b_idx") === col("b.b_idx") &&
+          col("a.b_val") === col("b.b_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.bands").as("ba"), col("b.bands").as("bb"))
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), " +
+          "0L, (acc, d) -> acc + d)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -1174,4 +1174,95 @@ object TextOps {
        |  FROM (SELECT $groupCol, $idCol,
        |    ${portableHashSql(s"CAST($idCol AS VARCHAR)", seed)} AS h FROM $tbl) t) r
        |WHERE rk <= $k""".stripMargin.replace("\n", " ")
+
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") made integer-exact:
+    * per-doc target-likeness under two unigram models — a TARGET model
+    * (rows where `isTargetCol`) and the RAW model (the whole corpus) —
+    * estimated from ONE shared count aggregate (the target is a subset,
+    * so `c_tgt ≤ c_raw` and one pass over the exploded tokens builds
+    * both). The per-token weight is the bit-length log-likelihood ratio
+    * `⌊log₂(c_tgt+1)⌋ − ⌊log₂ c_raw⌋ + 64` (Laplace +1 so target-absent
+    * tokens stay defined; the +64 shift keeps every integer nonnegative
+    * so `div`/`//` agree cross-engine — a constant per-token shift never
+    * changes the mean-score ranking). Output per doc: `is_t`,
+    * `n_tokens`, `score_sum`, and `score10 = score_sum·10 div n_tokens`
+    * (mean ×10, the q111/q136 convention — higher = more target-like).
+    *
+    * Plan: one corpus token-count exchange (map-side combined; the
+    * conditional target count rides the same aggregate), a token-keyed
+    * join-back of compact (token, weight) rows, and the doc re-aggregate
+    * — exactly [[surprisalScore]]'s shape, so a 100 TB scoring pass
+    * costs what q111 costs.
+    */
+  def dsirScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTargetCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), col(isTargetCol).cast("boolean").as("is_t"),
+        explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    val model = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_tgt"))
+      .select(col("tok"),
+        (length(bin(col("c_tgt") + 1)) - length(bin(col("c_raw"))) + 64)
+          .cast("long").as("w"))
+    toks.join(model, "tok")
+      .groupBy(col(idCol), col("is_t"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_sum"))
+      .select(col(idCol), col("is_t"), col("n_tokens"), col("score_sum"),
+        expr("score_sum * 10 div n_tokens").as("score10"))
+  }
+
+  /** DSIR selection: the top-`k` most target-like NON-target docs by
+    * [[dsirScore]] (score10 desc, id asc — deterministic at ties), with
+    * their 1-based rank. Ranking runs through the `GroupedTopKExec`
+    * bounded heap on a constant key (O(k) task state, no corpus-wide
+    * sort/window) — the data-selection front door: "give me the k raw
+    * docs that look most like my curated target set".
+    */
+  def dsirSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTargetCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = dsirScore(df, idCol, textCol, isTargetCol)
+      .where(!col("is_t"))
+      .select(col(idCol), col("n_tokens"), col("score_sum"), col("score10"),
+        lit(0L).as("g"))
+    graft.functions.TopK.perKey(scored, Seq("g"),
+        Seq(("score10", true), (idCol, false)), k)
+      .select(col(idCol), col("n_tokens"), col("score_sum"), col("score10"),
+        col("rk"))
+  }
+
+  /** DuckDB twin of [[dsirSelect]] (the window form the bounded heap
+    * replaces; same Laplace/+64 integer conventions).
+    */
+  def dsirSelectSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      isTargetSql: String,
+      k: Int): String =
+    s"""WITH w0 AS (SELECT $idCol, ($isTargetSql) AS is_t,
+       |  unnest(string_split($textCol, ' ')) AS tok FROM $tbl),
+       |t AS (SELECT $idCol, is_t, tok FROM w0 WHERE tok <> ''),
+       |m AS (SELECT tok,
+       |  length(ltrim(bin(sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1), '0'))
+       |  - length(ltrim(bin(count(*)), '0')) + 64 AS w FROM t GROUP BY tok),
+       |d AS (SELECT $idCol, is_t, count(*) AS n_tokens,
+       |  CAST(sum(w) AS BIGINT) AS score_sum
+       |  FROM t JOIN m USING (tok) GROUP BY $idCol, is_t),
+       |s AS (SELECT $idCol, n_tokens, score_sum,
+       |  score_sum * 10 // n_tokens AS score10 FROM d WHERE NOT is_t),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |  ORDER BY score10 DESC, $idCol) AS BIGINT) AS rk FROM s)
+       |SELECT $idCol, n_tokens, score_sum, score10, rk FROM r
+       |WHERE rk <= $k""".stripMargin.replace("\n", " ")
 }

@@ -1458,6 +1458,78 @@ object Pipeline {
             Seq("doc_id", "text", "lang", "source", "n_chars"))
           .orderBy(col("col_name")),
       Some(s"SELECT * FROM (${graft.functions.Profile.tableProfileSketchSql("documents",
-          Seq("doc_id", "text", "lang", "source", "n_chars"))}) p ORDER BY col_name"))
+          Seq("doc_id", "text", "lang", "source", "n_chars"))}) p ORDER BY col_name")),
+
+    // DSIR-style data selection (Xie et al. 2023): the top-50 most
+    // target-like NON-target docs under integer bit-length unigram LLR,
+    // target = the English split. One shared count aggregate builds both
+    // models; ranking is the bounded heap, hash-checked against the
+    // row_number window it replaces.
+    "q143_dsir_select" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("is_t", col("lang") === "en")
+        TextOps.dsirSelect(docs, "doc_id", "text", "is_t", k = 50)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"SELECT * FROM (${TextOps.dsirSelectSql("documents", "doc_id",
+          "text", "lang = 'en'", k = 50)}) q ORDER BY doc_id")),
+
+    // Image near-dup dedup by banded perceptual dHash, THROUGH the real
+    // PNG decode path (q84's fixture discipline: pixels are
+    // formula-derived — groups of 5 docs share a blocky base image, each
+    // doc perturbs one pixel — so the oracle replays decode + 9×8
+    // sampling + banding + Hamming verify relationally while Spark runs
+    // the actual ImageIO codec). Candidates come from the (band, value)
+    // equi-join; pigeonhole makes banding exact at maxHamming ≤ 7.
+    "q144_image_near_dup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = graft.functions.Par.fanOut(
+            tbl(s, dir, "documents").select(col("doc_id")))
+          .as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val gid = id / 5
+              val w = (gid % 13 + 16).toInt
+              val h = (gid % 11 + 16).toInt
+              val nx = (id % w).toInt
+              val ny = (id * 3 % h).toInt
+              (id, Multimodal.encodeGrayPng(w, h, (x, y) => {
+                val base = ((gid * 37 + (x / 3) * 29 + (y / 3) * 17) % 2 * 255).toInt
+                if (x == nx && y == ny) ((base + id) % 256).toInt else base
+              }))
+            }
+          }.toDF("doc_id", "blob")
+        Multimodal.imageNearDupPairs(blobs, "doc_id", "blob", maxHamming = 6)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
+             |d AS (SELECT doc_id, gid, gid % 13 + 16 AS w, gid % 11 + 16 AS h,
+             |  doc_id % (gid % 13 + 16) AS nx, (doc_id * 3) % (gid % 11 + 16) AS ny FROM ids),
+             |g AS (SELECT doc_id, gid, nx, ny, i.r AS xi, j.r AS yj,
+             |  i.r * w // 9 AS sx, j.r * h // 8 AS sy
+             |  FROM d, range(0, 9) i(r), range(0, 8) j(r)),
+             |p AS (SELECT doc_id, xi, yj,
+             |  CASE WHEN sx = nx AND sy = ny
+             |    THEN ((gid*37 + (sx//3)*29 + (sy//3)*17) % 2 * 255 + doc_id) % 256
+             |    ELSE (gid*37 + (sx//3)*29 + (sy//3)*17) % 2 * 255 END AS pv FROM g),
+             |bits AS (SELECT a.doc_id, a.yj, a.xi,
+             |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+             |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.yj = b.yj
+             |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
+             |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, yj),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b ON a.yj = b.yj AND a.bv = b.bv
+             |    AND a.doc_id < b.doc_id),
+             |ham AS (SELECT c.id_a, c.id_b,
+             |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands x ON x.doc_id = c.id_a
+             |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
+             |  GROUP BY c.id_a, c.id_b)
+             |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
   )
 }

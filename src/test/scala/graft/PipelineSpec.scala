@@ -1853,4 +1853,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(est("low") - 3.0) <= 1.0, s"low est ${est("low")}")
     assert(prof("low")._5 <= 3L) // 3 distinct values can hit at most 3 buckets
   }
+
+  test("DSIR score: integer bit-length LLR from one shared count aggregate") {
+    import spark.implicits._
+    // Corpus: d1 target "a a a"; d2/d4 raw "a b"; d3 raw "b b b"; d5 empty.
+    // c_raw(a)=5, c_tgt(a)=3 → w(a)=bitlen(4)−bitlen(5)+64 = 3−3+64 = 64;
+    // c_raw(b)=5, c_tgt(b)=0 → w(b)=bitlen(1)−bitlen(5)+64 = 1−3+64 = 62.
+    val df = docs((1L, "a a a"), (2L, "a b"), (3L, "b b b"), (4L, "a b"),
+        (5L, ""))
+      .withColumn("is_t", $"doc_id" === 1L)
+    val out = TextOps.dsirScore(df, "doc_id", "text", "is_t")
+      .orderBy($"doc_id")
+      .as[(Long, Boolean, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, true, 3L, 192L, 640L),   // 3·64, 1920 div 3
+      (2L, false, 2L, 126L, 630L),  // 64+62, 1260 div 2
+      (3L, false, 3L, 186L, 620L),  // 3·62
+      (4L, false, 2L, 126L, 630L))) // token-empty d5 dropped
+  }
+
+  test("DSIR select: target docs excluded, score10-desc/id-asc rank, k bound") {
+    import spark.implicits._
+    val df = docs((1L, "a a a"), (2L, "a b"), (3L, "b b b"), (4L, "a b"))
+      .withColumn("is_t", $"doc_id" === 1L)
+    val top = TextOps.dsirSelect(df, "doc_id", "text", "is_t", k = 5)
+      .orderBy($"rk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // d2/d4 tie at 630 → id asc breaks it; target d1 (score 640) excluded
+    assert(top.map(r => (r._1, r._4, r._5)) ==
+      Seq((2L, 630L, 1L), (4L, 630L, 2L), (3L, 620L, 3L)))
+    val k1 = TextOps.dsirSelect(df, "doc_id", "text", "is_t", k = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(k1.map(_._1) == Seq(2L))
+    intercept[IllegalArgumentException] {
+      TextOps.dsirSelect(df, "doc_id", "text", "is_t", k = 0)
+    }
+  }
+
+  test("image dHash: gradient rows saturate bands, constants zero them, non-images drop") {
+    import spark.implicits._
+    // w=18,h=16 → sample grid x=2i, y=2j. A strictly increasing row makes
+    // every gradient bit 1 (band 255); a constant image makes them all 0.
+    val grad = Multimodal.encodeGrayPng(18, 16, (x, _) => x * 10)
+    val flat = Multimodal.encodeGrayPng(18, 16, (_, _) => 7)
+    val junk = "notanimage-bytes".getBytes("UTF-8")
+    val df = Seq((1L, grad), (2L, flat), (3L, junk)).toDF("doc_id", "blob")
+    val out = Multimodal.imageDHash(df, "doc_id", "blob")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L)) // junk blob declined, not failed
+    assert(out.head == ((1L, 18L, 16L, Seq.fill(8)(255L))))
+    assert(out(1) == ((2L, 18L, 16L, Seq.fill(8)(0L))))
+  }
+
+  test("image near-dup: banded candidates, exact Hamming verify, threshold honored") {
+    import spark.implicits._
+    val gradA = Multimodal.encodeGrayPng(18, 16, (x, _) => x * 10)
+    // perturb an UNSAMPLED pixel (odd coords) → identical hash → hamming 0
+    val gradA2 = Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == 1 && y == 1) 255 else x * 10)
+    // flip exactly the (i=0, j=0) comparison → band0 254, hamming 1 vs A
+    val gradC = Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == 0 && y == 0) 255 else x * 10)
+    val flat = Multimodal.encodeGrayPng(18, 16, (_, _) => 7)
+    val df = Seq((1L, gradA), (2L, gradA2), (3L, gradC), (4L, flat))
+      .toDF("doc_id", "blob")
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "blob", maxHamming = 6)
+      .orderBy($"id_a", $"id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // flat shares no band with the gradients → never even a candidate
+    assert(pairs == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // hamming 1 pairs drop at maxHamming = 0
+    val strict = Multimodal.imageNearDupPairs(df, "doc_id", "blob", maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(strict == Seq((1L, 2L, 0L)))
+    // pigeonhole guarantee holds only to 7
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(df, "doc_id", "blob", maxHamming = 8)
+    }
+  }
 }

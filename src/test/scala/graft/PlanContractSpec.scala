@@ -478,4 +478,31 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"),
       "a global sort crept into the shuffle plan")
   }
+
+  test("DSIR select: bounded-heap rank, no window, text never crosses an exchange") {
+    val p = plan("q143_dsir_select")
+    assert(p.contains("GroupedTopK"), "selection must run through the bounded heap")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"), p.take(800))
+    // one shared count aggregate builds both models: map-side combined
+    assert(p.contains("partial_count"), "model aggregate must be two-phase")
+    val pe = SparkEntry.queries("q143_dsir_select")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([^)]+)\\)".r
+      .findAllMatchIn(pe).map(_.group(1)).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text crossed an exchange: $exchanges")
+  }
+
+  test("image near-dup: banded equi-join candidates, never a pair product") {
+    val p = plan("q144_image_near_dup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // exactly ONE join in the whole pipeline: the (band_idx, band_val)
+    // candidate join — Hamming verify rides the joined band arrays, it
+    // must not join back to the hash table
+    val joins = "HashJoin|SortMergeJoin".r.findAllMatchIn(p).length
+    assert(joins == 1, s"expected the single band join, found $joins:\n${p.take(800)}")
+    assert(!p.contains("WindowExec"), p.take(600))
+  }
 }
