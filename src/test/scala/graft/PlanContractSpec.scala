@@ -479,6 +479,35 @@ class PlanContractSpec extends AnyFunSuite {
       "a global sort crept into the shuffle plan")
   }
 
+  test("hashed bigram LM: every exchange moves hash/doc keys, never token strings") {
+    val pe = SparkEntry.queries("q141_bigram_lm_hashed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pe.contains("CartesianProduct") && !pe.contains("WindowExec"))
+    // the whole point of q141: the count shuffle and the join-back are
+    // keyed on (long, long) portable hashes — no token-string column
+    // (w1/w2/b struct, text) may appear in any exchange key
+    val keys = "Exchange hashpartitioning\\(([^)]+)\\)".r
+      .findAllMatchIn(pe).flatMap(m => "(\\w+)#\\d+".r
+        .findAllMatchIn(m.group(1)).map(_.group(1))).toSet
+    assert(keys.nonEmpty)
+    assert(keys.subsetOf(Set("w1h", "bh", "doc_id")),
+      s"a non-hash key crossed an exchange: $keys")
+  }
+
+  test("sketch profile: ONE scan, register-keyed exchange, no join, no raw-value shuffle") {
+    val p = plan("q142_profile_sketch")
+    val scans = "FileScan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"sketch profile scanned the table $scans times:\n${p.take(600)}")
+    assert(!p.contains("Join"), "profile must not join per-column passes")
+    // registers combine map-side: distinct state per task is <=64 rows/col
+    assert(p.contains("partial_max"), "register aggregate must be two-phase")
+    val keys = "Exchange hashpartitioning\\(([^)]+)\\)".r
+      .findAllMatchIn(p).flatMap(m => "(\\w+)#\\d+".r
+        .findAllMatchIn(m.group(1)).map(_.group(1))).toSet
+    assert(keys.subsetOf(Set("ci", "bucket")),
+      s"a raw value column crossed an exchange: $keys")
+  }
+
   test("DSIR select: bounded-heap rank, no window, text never crosses an exchange") {
     val p = plan("q143_dsir_select")
     assert(p.contains("GroupedTopK"), "selection must run through the bounded heap")
