@@ -100,8 +100,10 @@ object PipelineStress {
     }
     // resolve + keep-best (q103): CC over the persisted pair frame plus
     // the quality-ranked window pick; lshPairs is forced OUTSIDE the
-    // timed block so subset reruns time the same work as full sweeps
-    lshPairs.count()
+    // timed block so subset reruns time the same work as full sweeps —
+    // but only when this stage will run at all (an unguarded force cost
+    // every unrelated scoped rerun ~200 s)
+    if (only.isEmpty || only("canonical_pick")) lshPairs.count()
     timed("canonical_pick") {
       val cc = Graph.connectedComponents(lshPairs, "doc_a", "doc_b")
       val scored = TextOps.qualityScore(
@@ -272,6 +274,14 @@ object PipelineStress {
     try timed("bigram_lm_hashed_xx") {
       force(TextOps.bigramLmScoreHashed(docs, "doc_id", "text"))
     } finally System.clearProperty(TextOps.HashFamilyProp)
+    // DSIR importance selection (q143): q111's plan shape at 1M docs —
+    // the salted corpus makes the model exchange worst-case (~one
+    // distinct token per instance); target = ~1% of docs, k=1000
+    timed("dsir_select") {
+      force(TextOps.dsirSelect(
+        docs.withColumn("is_t", col("doc_id") % 97 === 0L),
+        "doc_id", "text", "is_t", k = 1000))
+    }
     // epoch shard shuffle (q138): the one shard-keyed exchange +
     // in-shard sort at 1M docs (64 shards ≈ 16k docs/shard sort)
     timed("shard_shuffle") {
@@ -385,6 +395,68 @@ object PipelineStress {
         graft.sources.RawCorpus.readWarc(spark, s"$rawDir/warc")))
     }
 
+    // image near-dup (q144): 200k synthetic PNGs through the REAL
+    // ImageIO encode+decode path — 40k groups of 5 sharing a base image
+    // (each member perturbs one unsampled pixel, so groups collapse to
+    // identical hashes: the worst-case candidate fan-in for the band
+    // join is the group size, never the corpus)
+    timed("image_near_dup_200k") {
+      import spark.implicits._
+      val blobs = spark.range(200000L).select(col("id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val gid = id / 5
+            val w = (gid % 13 + 16).toInt
+            val h = (gid % 11 + 16).toInt
+            val nx = (id % w).toInt
+            val ny = (id * 3 % h).toInt
+            (id, graft.functions.Multimodal.encodeGrayPng(w, h, (x, y) => {
+              val base =
+                {
+                  val b = ((gid + 1L) * 2654435761L +
+                    (x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
+                  (b * b / 64L % 256L).toInt
+                }
+              if (x == nx && y == ny) ((base + id) % 256).toInt else base
+            }))
+          }
+        }.toDF("doc_id", "blob")
+      force(graft.functions.Multimodal.imageNearDupPairs(
+        blobs, "doc_id", "blob"))
+    }
+
+    // audio near-dup (q145): 200k synthetic WAV clips (1152 samples)
+    // through the REAL AudioSystem decode — same shared banded-Hamming
+    // engine as the image stage, so the delta vs image_near_dup_200k is
+    // pure codec cost
+    timed("audio_near_dup_200k") {
+      import spark.implicits._
+      val blobs = spark.range(200000L).select(col("id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val gid = id / 5
+            val n = 1152
+            val kp = (id % n).toInt
+            val samples = new Array[Short](n)
+            var k = 0
+            while (k < n) {
+              val b = ((gid + 1L) * 2654435761L +
+                ((k / 16) + 3L) * 40503L) / 8192L % 65536L
+              val v = b * b / 64L % 1000L - 500L
+              val p = if (k == kp) id % 300 + 1 else 0L
+              samples(k) = (v + p).toShort
+              k += 1
+            }
+            (id, graft.functions.Multimodal.encodeWavPcm16(8000, samples))
+          }
+        }.toDF("doc_id", "blob")
+      force(graft.functions.Multimodal.audioNearDupPairs(
+        blobs, "doc_id", "blob"))
+    }
+
     // lexical retrieval (q114): 8 queries over the salted corpus — the
     // term list must hit salted tokens, so derive queries from group-0
     // vocabulary ('tk0' forms survive the copy transform for copy < 4)
@@ -411,8 +483,17 @@ object PipelineStress {
                |  CASE WHEN (i * (1 + copy % 97) + copy) % 5 = 0 THEN -v ELSE v END)""".stripMargin)
           .cast("array<float>").as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEmb = emb.count()
-    println(s"[stress] embeddings: $nEmb vectors")
+    // force the vector fixture only when some ANN/semantic stage runs —
+    // emb is lazy, so text-only scoped reruns skip the ~min-long build
+    val nEmb: Long =
+      if (only.isEmpty || Seq("ann_lsh_topk_100q", "ann_lsh_multiprobe_100q",
+          "embedding_near_dups", "ann_ivf_det_100q", "semantic_dedup_scaled",
+          "ivf_index_build", "ann_ivf_indexed_100q", "ivfpq_index_build",
+          "ann_ivfpq_indexed_100q", "ann_recall_suite").exists(only)) {
+        val c = emb.count()
+        println(s"[stress] embeddings: $c vectors")
+        c
+      } else 0L
     timed("ann_lsh_topk_100q") {
       force(Similarity.lshTopK(emb, "vec_id", "embedding",
         col("vec_id") < 100, 5, 64, 4))

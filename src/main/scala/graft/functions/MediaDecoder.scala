@@ -119,6 +119,47 @@ object MediaDecoder {
           case _: IndexOutOfBoundsException                         => None
         }
       }
+
+    /** Full decoded 16-bit PCM of channel 0 (sample rate, samples) —
+      * the sample-exact surface [[Multimodal.audioFingerprint]] hashes.
+      * Honors the container's endianness (WAV is LE, AIFF/AU BE) so the
+      * same clip fingerprints identically from any of the three
+      * containers; declines (None) on non-16-bit or non-PCM encodings
+      * and on any parse failure — the chain's never-throw contract.
+      */
+    def pcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+      sniff(bytes).flatMap { _ =>
+        try {
+          val in = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels < 1) {
+            in.close(); None
+          } else {
+            val pcm = in.readAllBytes()
+            in.close()
+            val frame = fmt.getChannels * 2
+            val big = fmt.isBigEndian
+            val n = pcm.length / frame
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              val o = i * frame
+              out(i) =
+                if (big) (((pcm(o) & 0xff) << 8) | (pcm(o + 1) & 0xff)).toShort
+                else (((pcm(o + 1) & 0xff) << 8) | (pcm(o) & 0xff)).toShort
+              i += 1
+            }
+            Some((fmt.getSampleRate.toInt, out))
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException                               => None
+          case _: IllegalArgumentException                          => None
+          case _: IndexOutOfBoundsException                         => None
+        }
+      }
   }
 
   /** Pure-JVM VIDEO decode: AVI (RIFF) container parse + per-frame

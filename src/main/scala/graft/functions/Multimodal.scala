@@ -508,42 +508,156 @@ object Multimodal {
 
   /** Image near-duplicate pairs by banded dHash — multimodal dedup for
     * a vision-training corpus: two images are candidates iff at least
-    * one of their 8 hash bands matches exactly (any pair within Hamming
-    * distance ≤ 7 of the 64-bit hash MUST share a band — pigeonhole —
-    * so banding has no false negatives at `maxHamming ≤ 7`), and a
-    * candidate is a near-dup iff the full Hamming distance
+    * one of their `numBands` hash bands matches exactly (exact — no
+    * false negatives — by pigeonhole whenever `maxHamming < numBands`),
+    * and a candidate is a near-dup iff the full 64-bit Hamming distance
     * `Σ_j bit_count(a.bands[j] xor b.bands[j]) ≤ maxHamming`.
     *
-    * Plan: the candidate generator is a (band_idx, band_val) self
-    * equi-join — corpus-cardinality keys, never an all-pairs product
-    * (the q32/q49 banding shape applied to images); the 8-long band
-    * arrays ride through the join so verification is a per-row
-    * `aggregate(zip_with(...))` with no second join; `distinct`
-    * dedups multi-band collisions on compact (id, id) keys. Decode
-    * happens once per image in [[imageDHash]]'s map stage.
+    * Plan: [[bandedHammingPairs]] — a (band_idx, band_val) self
+    * equi-join with corpus-cardinality 16-bit-band keys (the q32/q49
+    * banding shape applied to images; see the engine's scaladoc for the
+    * band-width/candidate-volume math), pair dedup through a compact
+    * (id, id)-keyed aggregate, codegen Hamming verify with no second
+    * join. Decode happens once per image in [[imageDHash]]'s map stage.
     */
   def imageNearDupPairs(
       df: DataFrame,
       idCol: String,
       blobCol: String,
-      maxHamming: Int = 6): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      "banding guarantees no false negatives only for maxHamming <= 7")
-    val h = imageDHash(df, idCol, blobCol)
-      .select(col(idCol).as("id"), col("bands"))
-    val e = h.select(col("id"), col("bands"),
-      posexplode(col("bands")).as(Seq("b_idx", "b_val")))
+      maxHamming: Int = 3,
+      numBands: Int = 4): DataFrame =
+    bandedHammingPairs(
+      imageDHash(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
+      maxHamming, numBands)
+
+  /** Shared banded-Hamming candidate join + exact verify over any
+    * 8×8-bit banded hash frame (id, bands array<long>[8]) — the engine
+    * under [[imageNearDupPairs]] and [[audioNearDupPairs]].
+    *
+    * The 64 hash bits regroup into `numBands` join bands of `64/numBands`
+    * bits (adjacent 8-bit rows packed little-endian). Pigeonhole makes
+    * the (band_idx, band_val) equi-join EXACT — zero false negatives —
+    * whenever `maxHamming < numBands`: a pair within maxHamming can't
+    * put a differing bit in every band. The band width is the scale
+    * knob: 4 bands of 16 bits give a 65536-value bucket space per band,
+    * so candidate volume on an N-item corpus with d-duplicate cliques is
+    * ~4·(N²/65536 + Σd²) — linear until N approaches millions per
+    * executor-reachable bucket space (8 bands of 8 bits would be N²/32:
+    * quadratic at any interesting N; that's why maxHamming > 7 isn't a
+    * supported regime on a 64-bit hash).
+    *
+    * Verification never joins again: both 8-row band arrays ride the
+    * candidate join, pairs dedup through a (id_a, id_b)-keyed aggregate
+    * (`first` over the functionally-dependent arrays — narrower shuffle
+    * keys than a 4-column distinct, and a barrier Catalyst cannot push
+    * the Hamming filter below, keeping it OUT of the join's bound
+    * condition), and the full 64-bit Hamming distance is an unrolled
+    * codegen `bit_count(xor)` sum — no interpreted higher-order
+    * functions anywhere on the hot path.
+    */
+  private[graft] def bandedHammingPairs(
+      hashed: DataFrame, maxHamming: Int, numBands: Int): DataFrame = {
+    require(Set(1, 2, 4, 8)(numBands), "numBands must be 1, 2, 4, or 8")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"banding is exact only for maxHamming < numBands ($maxHamming >= $numBands)")
+    val w = 8 / numBands
+    val joinBands = array((0 until numBands).map { j =>
+      (0 until w).map { t =>
+        shiftleft(element_at(col("bands"), j * w + t + 1), 8 * t)
+      }.reduce(_ + _)
+    }: _*)
+    val e = hashed.select(col("id"), col("bands"),
+      posexplode(joinBands).as(Seq("b_idx", "b_val")))
     val cand = e.as("a").join(e.as("b"),
         col("a.b_idx") === col("b.b_idx") &&
           col("a.b_val") === col("b.b_val") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.bands").as("ba"), col("b.bands").as("bb"))
-      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("ba")).as("ba"), first(col("bb")).as("bb"))
+    val hamming = (1 to 8).map { t =>
+      expr(s"bit_count(element_at(ba, $t) ^ element_at(bb, $t))")
+    }.reduce(_ + _)
     cand
       .select(col("id_a"), col("id_b"),
-        expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), " +
-          "0L, (acc, d) -> acc + d)").cast("long").as("hamming"))
+        hamming.cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Acoustic fingerprint of AUDIO blobs through the REAL decode path
+    * ([[MediaDecoder.JdkAudio.pcm16]] — the q109 strict surface;
+    * non-audio / non-PCM16 blobs drop): channel-0 samples are cut into
+    * 72 integer slices (`slice s = samples[s·n div 72, (s+1)·n div 72)`,
+    * pure integer bounds so the oracle can replay the windowing
+    * relationally), each slice's energy is `Σ|sample| div count`, and
+    * the 64 fingerprint bits are the energy GRADIENT `e(9j+i+1) >
+    * e(9j+i)` — time-domain dHash, the audio twin of [[imageDHash]]'s
+    * spatial gradient. Emitted as 8 bands of 8 bits for the banded
+    * near-dup join. Clips shorter than 72 samples drop (no slice may be
+    * empty).
+    *
+    * Output: (id, sample_rate, n_samples, bands array<long>[8]).
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaDecoder.JdkAudio.pcm16(bytes).flatMap { case (rate, samples) =>
+            val n = samples.length
+            if (n < 72) None
+            else {
+              val e = new Array[Long](72)
+              var s = 0
+              while (s < 72) {
+                val lo = s.toLong * n / 72
+                val hi = (s + 1).toLong * n / 72
+                var sum = 0L
+                var k = lo
+                while (k < hi) {
+                  sum += math.abs(samples(k.toInt).toLong); k += 1
+                }
+                e(s) = sum / (hi - lo)
+                s += 1
+              }
+              val bands = new Array[Long](8)
+              var j = 0
+              while (j < 8) {
+                var v = 0L
+                var i = 0
+                while (i < 8) {
+                  if (e(9 * j + i + 1) > e(9 * j + i)) v |= (1L << i)
+                  i += 1
+                }
+                bands(j) = v
+                j += 1
+              }
+              Some((id, rate.toLong, n.toLong, bands))
+            }
+          }
+        }
+      }.toDF(idCol, "sample_rate", "n_samples", "bands")
+  }
+
+  /** Audio near-duplicate pairs by banded acoustic fingerprint — the
+    * audio leg of the multimodal dedup triad ([[imageNearDupPairs]] for
+    * images, `Dedup`/LSH for text): candidates iff ≥1 of the `numBands`
+    * fingerprint bands matches exactly (pigeonhole-exact whenever
+    * `maxHamming < numBands`), verified by the full 64-bit Hamming
+    * distance. Decode runs once per clip in [[audioFingerprint]]'s map
+    * stage; the join/verify plan is [[bandedHammingPairs]]'s.
+    */
+  def audioNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      maxHamming: Int = 3,
+      numBands: Int = 4): DataFrame =
+    bandedHammingPairs(
+      audioFingerprint(df, idCol, blobCol)
+        .select(col(idCol).as("id"), col("bands")),
+      maxHamming, numBands)
 }

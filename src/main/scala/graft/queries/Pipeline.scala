@@ -1477,11 +1477,12 @@ object Pipeline {
 
     // Image near-dup dedup by banded perceptual dHash, THROUGH the real
     // PNG decode path (q84's fixture discipline: pixels are
-    // formula-derived — groups of 5 docs share a blocky base image, each
-    // doc perturbs one pixel — so the oracle replays decode + 9×8
-    // sampling + banding + Hamming verify relationally while Spark runs
-    // the actual ImageIO codec). Candidates come from the (band, value)
-    // equi-join; pigeonhole makes banding exact at maxHamming ≤ 7.
+    // formula-derived — groups of 5 docs share a pseudo-random blocky
+    // base image, each doc perturbs one pixel — so the oracle replays
+    // decode + 9×8 sampling + banding + Hamming verify relationally
+    // while Spark runs the actual ImageIO codec). Candidates come from
+    // the 16-bit (band, value) equi-join; pigeonhole makes banding exact
+    // at maxHamming < numBands (3 < 4 here).
     "q144_image_near_dup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -1497,39 +1498,112 @@ object Pipeline {
               val nx = (id % w).toInt
               val ny = (id * 3 % h).toInt
               (id, Multimodal.encodeGrayPng(w, h, (x, y) => {
-                val base = ((gid * 37 + (x / 3) * 29 + (y / 3) * 17) % 2 * 255).toInt
+                val base =
+                  {
+                  val b = ((gid + 1L) * 2654435761L +
+                    (x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
+                  (b * b / 64L % 256L).toInt
+                }
                 if (x == nx && y == ny) ((base + id) % 256).toInt else base
               }))
             }
           }.toDF("doc_id", "blob")
-        Multimodal.imageNearDupPairs(blobs, "doc_id", "blob", maxHamming = 6)
+        Multimodal.imageNearDupPairs(blobs, "doc_id", "blob")
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
              |d AS (SELECT doc_id, gid, gid % 13 + 16 AS w, gid % 11 + 16 AS h,
              |  doc_id % (gid % 13 + 16) AS nx, (doc_id * 3) % (gid % 11 + 16) AS ny FROM ids),
              |g AS (SELECT doc_id, gid, nx, ny, i.r AS xi, j.r AS yj,
-             |  i.r * w // 9 AS sx, j.r * h // 8 AS sy
+             |  i.r * w // 9 AS sx, j.r * h // 8 AS sy,
+             |  ((gid+1)*2654435761 + (i.r * w // 9 * 29 + j.r * h // 8 * 13 + 7)*40503)
+             |    // 8192 % 65536 AS bm
              |  FROM d, range(0, 9) i(r), range(0, 8) j(r)),
              |p AS (SELECT doc_id, xi, yj,
              |  CASE WHEN sx = nx AND sy = ny
-             |    THEN ((gid*37 + (sx//3)*29 + (sy//3)*17) % 2 * 255 + doc_id) % 256
-             |    ELSE (gid*37 + (sx//3)*29 + (sy//3)*17) % 2 * 255 END AS pv FROM g),
+             |    THEN (bm*bm // 64 % 256 + doc_id) % 256
+             |    ELSE bm*bm // 64 % 256 END AS pv FROM g),
              |bits AS (SELECT a.doc_id, a.yj, a.xi,
              |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
              |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.yj = b.yj
              |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
              |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
              |  FROM bits GROUP BY doc_id, yj),
+             |b16 AS (SELECT doc_id, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY doc_id, yj // 2),
              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM bands a JOIN bands b ON a.yj = b.yj AND a.bv = b.bv
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
              |    AND a.doc_id < b.doc_id),
              |ham AS (SELECT c.id_a, c.id_b,
              |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
              |  FROM cand c JOIN bands x ON x.doc_id = c.id_a
              |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
              |  GROUP BY c.id_a, c.id_b)
-             |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+             |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // Audio near-dup dedup by banded acoustic fingerprint, THROUGH the
+    // real AudioSystem decode path (q109's discipline, q144's fixture
+    // trick applied to sound: samples are formula-derived — groups of 5
+    // docs share a pseudo-random 72-slice wave, each doc perturbs ONE
+    // sample — so the oracle replays decode + slicing + energy + banding
+    // + Hamming relationally while Spark decodes the actual WAV bytes).
+    "q145_audio_near_dup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = graft.functions.Par.fanOut(
+            tbl(s, dir, "documents").select(col("doc_id")))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val gid = id / 5
+              val n = 1152
+              val kp = (id % n).toInt
+              val samples = new Array[Short](n)
+              var k = 0
+              while (k < n) {
+                val b = ((gid + 1L) * 2654435761L +
+                ((k / 16) + 3L) * 40503L) / 8192L % 65536L
+              val v = b * b / 64L % 1000L - 500L
+                val p = if (k == kp) id % 300 + 1 else 0L
+                samples(k) = (v + p).toShort
+                k += 1
+              }
+              (id, Multimodal.encodeWavPcm16(8000, samples))
+            }
+          }.toDF("doc_id", "blob")
+        Multimodal.audioNearDupPairs(blobs, "doc_id", "blob")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid,
+             |  doc_id % 1152 AS kp FROM documents),
+             |bm AS (SELECT doc_id, kp, s.r AS s,
+             |  ((gid+1)*2654435761 + (s.r+3)*40503) // 8192 % 65536 AS b
+             |  FROM ids, range(0, 72) s(r)),
+             |smp AS (SELECT doc_id, s,
+             |  abs(b*b // 64 % 1000 - 500
+             |    + CASE WHEN s*16 + q.r = kp THEN doc_id % 300 + 1 ELSE 0 END) AS a
+             |  FROM bm, range(0, 16) q(r)),
+             |e AS (SELECT doc_id, s, sum(a) // 16 AS e FROM smp GROUP BY doc_id, s),
+             |bits AS (SELECT a.doc_id, a.s // 9 AS yj, a.s % 9 AS xi,
+             |  CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.s = a.s + 1
+             |  WHERE a.s % 9 < 8),
+             |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, yj),
+             |b16 AS (SELECT doc_id, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY doc_id, yj // 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+             |    AND a.doc_id < b.doc_id),
+             |ham AS (SELECT c.id_a, c.id_b,
+             |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands x ON x.doc_id = c.id_a
+             |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
+             |  GROUP BY c.id_a, c.id_b)
+             |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
   )
 }

@@ -1918,7 +1918,7 @@ class PipelineSpec extends AnyFunSuite {
     val flat = Multimodal.encodeGrayPng(18, 16, (_, _) => 7)
     val df = Seq((1L, gradA), (2L, gradA2), (3L, gradC), (4L, flat))
       .toDF("doc_id", "blob")
-    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "blob", maxHamming = 6)
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "blob")
       .orderBy($"id_a", $"id_b")
       .as[(Long, Long, Long)].collect().toSeq
     // flat shares no band with the gradients → never even a candidate
@@ -1927,9 +1927,83 @@ class PipelineSpec extends AnyFunSuite {
     val strict = Multimodal.imageNearDupPairs(df, "doc_id", "blob", maxHamming = 0)
       .as[(Long, Long, Long)].collect().toSeq
     assert(strict == Seq((1L, 2L, 0L)))
-    // pigeonhole guarantee holds only to 7
+    // pigeonhole guarantee requires maxHamming < numBands
     intercept[IllegalArgumentException] {
-      Multimodal.imageNearDupPairs(df, "doc_id", "blob", maxHamming = 8)
+      Multimodal.imageNearDupPairs(df, "doc_id", "blob", maxHamming = 4)
+    }
+    // ...and the wide-recall regime exists: 8 bands allow maxHamming 7
+    val wide = Multimodal.imageNearDupPairs(df, "doc_id", "blob",
+        maxHamming = 7, numBands = 8)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(wide == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("audio fingerprint: energy ramps saturate bands, constants zero them, short/junk drop") {
+    import spark.implicits._
+    // 72 slices × 16 samples; slice s at constant amplitude 10s → energy
+    // strictly increasing → every gradient bit 1 (band 255)
+    val ramp = Multimodal.encodeWavPcm16(8000,
+      Array.tabulate(1152)(k => (k / 16 * 10).toShort))
+    val flat = Multimodal.encodeWavPcm16(8000, Array.fill(1152)(100.toShort))
+    val short = Multimodal.encodeWavPcm16(8000, Array.fill(71)(5.toShort))
+    val junk = "not-audio".getBytes("UTF-8")
+    val df = Seq((1L, ramp), (2L, flat), (3L, short), (4L, junk))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.audioFingerprint(df, "doc_id", "blob")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L)) // short clip + junk blob decline
+    assert(out.head == ((1L, 8000L, 1152L, Seq.fill(8)(255L))))
+    assert(out(1) == ((2L, 8000L, 1152L, Seq.fill(8)(0L))))
+  }
+
+  test("audio fingerprint: endianness-honoring decode — same clip hashes identically from WAV and AIFF") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Array.tabulate(1152)(k => ((k * 37) % 900 - 450).toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    // AIFF carries the SAME samples big-endian
+    val be = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      be(2 * i) = (s >> 8).toByte; be(2 * i + 1) = s.toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, true)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(be), fmt, samples.length.toLong),
+      AudioFileFormat.Type.AIFF, bos)
+    val df = Seq((1L, wav), (2L, bos.toByteArray)).toDF("doc_id", "blob")
+    val out = Multimodal.audioFingerprint(df, "doc_id", "blob")
+      .as[(Long, Long, Long, Seq[Long])].collect()
+      .map(r => (r._2, r._3, r._4)).toSet
+    assert(out.size == 1, s"WAV and AIFF fingerprints diverged: $out")
+  }
+
+  test("audio near-dup: banded candidates, exact Hamming verify, threshold honored") {
+    import spark.implicits._
+    def clip(f: Int => Short) =
+      Multimodal.encodeWavPcm16(8000, Array.tabulate(1152)(f))
+    val rampA = clip(k => (k / 16 * 10).toShort)
+    // +15 inside one exactly-divisible slice: integer energy unchanged
+    // → identical fingerprint → hamming 0
+    val rampA2 = clip(k => ((k / 16 * 10) + (if (k == 100) 15 else 0)).toShort)
+    // zero slice 1 → only the e(1)>e(0) bit flips → band0 254, hamming 1
+    val rampC = clip(k => (if (k / 16 == 1) 0 else k / 16 * 10).toShort)
+    val flat = clip(_ => 100.toShort)
+    val df = Seq((1L, rampA), (2L, rampA2), (3L, rampC), (4L, flat))
+      .toDF("doc_id", "blob")
+    val pairs = Multimodal.audioNearDupPairs(df, "doc_id", "blob")
+      .orderBy($"id_a", $"id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val strict = Multimodal.audioNearDupPairs(df, "doc_id", "blob", maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(strict == Seq((1L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.audioNearDupPairs(df, "doc_id", "blob", maxHamming = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.audioNearDupPairs(df, "doc_id", "blob", numBands = 3)
     }
   }
 }

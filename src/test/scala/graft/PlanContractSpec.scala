@@ -534,4 +534,13 @@ class PlanContractSpec extends AnyFunSuite {
     assert(joins == 1, s"expected the single band join, found $joins:\n${p.take(800)}")
     assert(!p.contains("WindowExec"), p.take(600))
   }
+
+  test("audio near-dup: same banded single-join contract as the image path") {
+    val p = plan("q145_audio_near_dup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    val joins = "HashJoin|SortMergeJoin".r.findAllMatchIn(p).length
+    assert(joins == 1, s"expected the single band join, found $joins:\n${p.take(800)}")
+    assert(!p.contains("WindowExec"), p.take(600))
+  }
 }
