@@ -427,6 +427,42 @@ object PipelineStress {
         blobs, "doc_id", "blob"))
     }
 
+    // persistent fingerprint index (q146): the steady-state split —
+    // index build is the once-amortized standing cost; the probe is what
+    // each ingest batch (1% = 2k images) pays: decode+hash the batch,
+    // partition-pruned band scan, Hamming verify vs stored arrays
+    def stressImages(pred: Long => Boolean) = {
+      import spark.implicits._
+      spark.range(200000L).select(col("id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.filter(pred).map { id =>
+            val gid = id / 5
+            val w = (gid % 13 + 16).toInt
+            val h = (gid % 11 + 16).toInt
+            val nx = (id % w).toInt
+            val ny = (id * 3 % h).toInt
+            (id, graft.functions.Multimodal.encodeGrayPng(w, h, (x, y) => {
+              val base = {
+                val b = ((gid + 1L) * 2654435761L +
+                  (x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
+                (b * b / 64L % 256L).toInt
+              }
+              if (x == nx && y == ny) ((base + id) % 256).toInt else base
+            }))
+          }
+        }.toDF("doc_id", "blob")
+    }
+    val fpDir = Files.createTempDirectory("graft-stress-fpidx").toString
+    timed("fp_index_build_200k") {
+      graft.functions.Multimodal.writeImageFingerprintIndex(
+        stressImages(_ % 101 != 0), "doc_id", "blob", fpDir)
+    }
+    timed("image_near_dup_indexed_1pct") {
+      force(graft.functions.Multimodal.imageNearDupAgainstIndex(
+        stressImages(_ % 101 == 0), "doc_id", "blob", fpDir))
+    }
+
     // audio near-dup (q145): 200k synthetic WAV clips (1152 samples)
     // through the REAL AudioSystem decode — same shared banded-Hamming
     // engine as the image stage, so the delta vs image_near_dup_200k is

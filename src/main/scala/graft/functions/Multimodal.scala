@@ -555,17 +555,37 @@ object Multimodal {
     * codegen `bit_count(xor)` sum — no interpreted higher-order
     * functions anywhere on the hot path.
     */
-  private[graft] def bandedHammingPairs(
-      hashed: DataFrame, maxHamming: Int, numBands: Int): DataFrame = {
+  private def requireBanding(maxHamming: Int, numBands: Int): Unit = {
     require(Set(1, 2, 4, 8)(numBands), "numBands must be 1, 2, 4, or 8")
     require(maxHamming >= 0 && maxHamming < numBands,
       s"banding is exact only for maxHamming < numBands ($maxHamming >= $numBands)")
+  }
+
+  /** The `numBands` join-band values of an 8×8-bit `bands` column:
+    * adjacent 8-bit rows packed little-endian into 64/numBands-bit
+    * values — the writer, the self-join and the index probe all band
+    * with this one expression, so a batch's band keys always land in
+    * the buckets the index wrote. */
+  private def joinBandsExpr(numBands: Int) = {
     val w = 8 / numBands
-    val joinBands = array((0 until numBands).map { j =>
+    array((0 until numBands).map { j =>
       (0 until w).map { t =>
         shiftleft(element_at(col("bands"), j * w + t + 1), 8 * t)
       }.reduce(_ + _)
     }: _*)
+  }
+
+  /** Unrolled codegen 64-bit Hamming distance between band arrays `a`
+    * and `b` — no interpreted higher-order functions. */
+  private def hammingExpr(a: String, b: String) =
+    (1 to 8).map { t =>
+      expr(s"bit_count(element_at($a, $t) ^ element_at($b, $t))")
+    }.reduce(_ + _)
+
+  private[graft] def bandedHammingPairs(
+      hashed: DataFrame, maxHamming: Int, numBands: Int): DataFrame = {
+    requireBanding(maxHamming, numBands)
+    val joinBands = joinBandsExpr(numBands)
     val e = hashed.select(col("id"), col("bands"),
       posexplode(joinBands).as(Seq("b_idx", "b_val")))
     val cand = e.as("a").join(e.as("b"),
@@ -576,14 +596,131 @@ object Multimodal {
         col("a.bands").as("ba"), col("b.bands").as("bb"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("ba")).as("ba"), first(col("bb")).as("bb"))
-    val hamming = (1 to 8).map { t =>
-      expr(s"bit_count(element_at(ba, $t) ^ element_at(bb, $t))")
-    }.reduce(_ + _)
     cand
       .select(col("id_a"), col("id_b"),
-        hamming.cast("long").as("hamming"))
+        hammingExpr("ba", "bb").cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Band-key bucket column — writer and probe compute it with the same
+    * hash, so a batch's distinct `bk` values select exactly the index
+    * partitions its band keys could live in (the `Dedup.bandBucket`
+    * discipline for media fingerprints). */
+  private def fpBucket(buckets: Int) =
+    pmod(hash(col("b_idx"), col("b_val")), lit(buckets))
+
+  /** Materialize a persistent banded-fingerprint index over any hashed
+    * media frame (id, bands array<long>[8]) — the standing state of a
+    * continuously-fed MULTIMODAL dedup pipeline (the media analog of
+    * `Dedup.writeSignatureIndex`). Two tables under `path`:
+    *
+    *  - `bands/`, partitioned by `bk` = hash bucket of the (b_idx,
+    *    b_val) band key — a probing batch prunes to its own bucket
+    *    footprint at the directory level;
+    *  - `hashes/` — the full 8-row band arrays for exact Hamming
+    *    verification of candidates.
+    *
+    * `hashes/` is written BEFORE `bands/` (same crash-ordering argument
+    * as the signature index: orphan verification rows are harmless,
+    * band rows whose hashes are missing would silently drop candidates
+    * in the verify inner join).
+    */
+  def writeFingerprintIndex(
+      hashed: DataFrame,
+      path: String,
+      numBands: Int = 4,
+      buckets: Int = 64,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit = {
+    requireBanding(0, numBands)
+    hashed.select(col("id"), col("bands"))
+      .write.mode(mode).parquet(s"$path/hashes")
+    hashed.select(col("id"),
+        posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
+      .withColumn("bk", fpBucket(buckets))
+      .write.mode(mode).partitionBy("bk").parquet(s"$path/bands")
+  }
+
+  /** Grow a standing [[writeFingerprintIndex]] by an ingested batch —
+    * O(batch) on both tables, existing partitions never rewritten. */
+  def appendFingerprintIndex(
+      hashed: DataFrame,
+      path: String,
+      numBands: Int = 4,
+      buckets: Int = 64): Unit =
+    writeFingerprintIndex(hashed, path, numBands, buckets,
+      org.apache.spark.sql.SaveMode.Append)
+
+  /** Incremental media near-dup against a materialized
+    * [[writeFingerprintIndex]]: hashes ONLY the new batch, probes the
+    * index's band table with partition pruning on the batch's bucket
+    * footprint (≤ `buckets` ints, driver-bounded by construction — the
+    * isin reaches the scan as a partition filter), and Hamming-verifies
+    * candidates against the index's stored `hashes/` arrays semi-joined
+    * down to the candidates — the per-batch cost a deployment pays once
+    * the fingerprint index stands. Output: (id_new, id_old, hamming).
+    */
+  def nearDupAgainstFingerprintIndex(
+      batchHashed: DataFrame,
+      indexPath: String,
+      maxHamming: Int = 3,
+      numBands: Int = 4,
+      buckets: Int = 64): DataFrame = {
+    requireBanding(maxHamming, numBands)
+    val spark = batchHashed.sparkSession
+    val a = batchHashed.select(col("id"), col("bands"),
+        posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
+      .withColumn("bk", fpBucket(buckets))
+    val bks = a.select(col("bk")).distinct().collect().map(_.getInt(0)).toSeq
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+      .where(col("bk").isin(bks: _*))
+      .select(col("id").as("id_old"), col("b_idx"), col("b_val"))
+    val cand = a
+      .select(col("id").as("id_new"), col("bands").as("ba"),
+        col("b_idx"), col("b_val"))
+      .join(idxBands, Seq("b_idx", "b_val"))
+      .groupBy(col("id_new"), col("id_old"))
+      .agg(first(col("ba")).as("ba"))
+    val idxHashes = spark.read.parquet(s"$indexPath/hashes")
+      .join(cand.select(col("id_old").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id").as("id_old"), col("bands").as("bb"))
+    cand.join(idxHashes, "id_old")
+      .select(col("id_new"), col("id_old"),
+        hammingExpr("ba", "bb").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** [[writeFingerprintIndex]] fed by the image dHash path. */
+  def writeImageFingerprintIndex(
+      df: DataFrame, idCol: String, blobCol: String, path: String,
+      numBands: Int = 4, buckets: Int = 64): Unit =
+    writeFingerprintIndex(
+      imageDHash(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
+      path, numBands, buckets)
+
+  /** Incremental image near-dup: decode + hash ONLY the batch, probe the
+    * standing index ([[nearDupAgainstFingerprintIndex]]). */
+  def imageNearDupAgainstIndex(
+      df: DataFrame, idCol: String, blobCol: String, indexPath: String,
+      maxHamming: Int = 3, numBands: Int = 4, buckets: Int = 64): DataFrame =
+    nearDupAgainstFingerprintIndex(
+      imageDHash(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
+      indexPath, maxHamming, numBands, buckets)
+
+  /** [[writeFingerprintIndex]] fed by the audio fingerprint path. */
+  def writeAudioFingerprintIndex(
+      df: DataFrame, idCol: String, blobCol: String, path: String,
+      numBands: Int = 4, buckets: Int = 64): Unit =
+    writeFingerprintIndex(
+      audioFingerprint(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
+      path, numBands, buckets)
+
+  /** Incremental audio near-dup against a standing fingerprint index. */
+  def audioNearDupAgainstIndex(
+      df: DataFrame, idCol: String, blobCol: String, indexPath: String,
+      maxHamming: Int = 3, numBands: Int = 4, buckets: Int = 64): DataFrame =
+    nearDupAgainstFingerprintIndex(
+      audioFingerprint(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
+      indexPath, maxHamming, numBands, buckets)
 
   /** Acoustic fingerprint of AUDIO blobs through the REAL decode path
     * ([[MediaDecoder.JdkAudio.pcm16]] — the q109 strict surface;

@@ -46,6 +46,51 @@ object Pipeline {
       p
     })
 
+  /** The q144/q146 image fixture: one synthetic PNG per document id —
+    * groups of 5 docs share a middle-square pseudo-random base image,
+    * each doc perturbs one pixel — so every hash/band/Hamming step is
+    * relationally replayable by the oracle while Spark runs the REAL
+    * ImageIO codec on real PNG bytes.
+    */
+  private def imageBlobs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.Par.fanOut(
+        tbl(s, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val gid = id / 5
+          val w = (gid % 13 + 16).toInt
+          val h = (gid % 11 + 16).toInt
+          val nx = (id % w).toInt
+          val ny = (id * 3 % h).toInt
+          (id, Multimodal.encodeGrayPng(w, h, (x, y) => {
+            val base = {
+              val b = ((gid + 1L) * 2654435761L +
+                (x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
+              (b * b / 64L % 256L).toInt
+            }
+            if (x == nx && y == ny) ((base + id) % 256).toInt else base
+          }))
+        }
+      }.toDF("doc_id", "blob")
+  }
+
+  /** Materialized image-fingerprint index over the standing corpus
+    * (doc_id % 7 != 0, the [[sigIndex]] split), built once per testdata
+    * dir: q146 times the per-batch decode+hash+pruned-probe, not the
+    * index build.
+    */
+  private val fpIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fpIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    fpIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-fpindex").toString
+      Multimodal.writeImageFingerprintIndex(
+        imageBlobs(s, dir).where(col("doc_id") % 7 =!= 0), "doc_id", "blob", p)
+      p
+    })
+
   /** Materialized IVF index over the embeddings table (same standing-
     * state rationale as [[sigIndex]]: q89 times the probe, not the
     * build).
@@ -1485,30 +1530,7 @@ object Pipeline {
     // at maxHamming < numBands (3 < 4 here).
     "q144_image_near_dup" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        val blobs = graft.functions.Par.fanOut(
-            tbl(s, dir, "documents").select(col("doc_id")))
-          .as[Long]
-          .mapPartitions { it =>
-            javax.imageio.ImageIO.setUseCache(false)
-            it.map { id =>
-              val gid = id / 5
-              val w = (gid % 13 + 16).toInt
-              val h = (gid % 11 + 16).toInt
-              val nx = (id % w).toInt
-              val ny = (id * 3 % h).toInt
-              (id, Multimodal.encodeGrayPng(w, h, (x, y) => {
-                val base =
-                  {
-                  val b = ((gid + 1L) * 2654435761L +
-                    (x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
-                  (b * b / 64L % 256L).toInt
-                }
-                if (x == nx && y == ny) ((base + id) % 256).toInt else base
-              }))
-            }
-          }.toDF("doc_id", "blob")
-        Multimodal.imageNearDupPairs(blobs, "doc_id", "blob")
+        Multimodal.imageNearDupPairs(imageBlobs(s, dir), "doc_id", "blob")
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
@@ -1604,6 +1626,52 @@ object Pipeline {
              |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
              |  GROUP BY c.id_a, c.id_b)
              |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
-             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // Incremental image near-dup against the MATERIALIZED fingerprint
+    // index (the q87 steady-state discipline for media): decode + hash
+    // only the batch (doc_id % 7 = 0), probe the standing index's band
+    // table with partition pruning on the batch's bucket footprint,
+    // Hamming-verify against the index's stored hash arrays. The oracle
+    // replays the whole chain — decode, 9×8 sampling, banding, the
+    // cross-split candidate join, Hamming — relationally.
+    "q146_image_near_dup_indexed" -> QueryDef(
+      (s, dir) => {
+        Multimodal.imageNearDupAgainstIndex(
+            imageBlobs(s, dir).where(col("doc_id") % 7 === 0),
+            "doc_id", "blob", fpIndex(s, dir))
+          .orderBy(col("id_new"), col("id_old"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
+             |d AS (SELECT doc_id, gid, gid % 13 + 16 AS w, gid % 11 + 16 AS h,
+             |  doc_id % (gid % 13 + 16) AS nx, (doc_id * 3) % (gid % 11 + 16) AS ny FROM ids),
+             |g AS (SELECT doc_id, gid, nx, ny, i.r AS xi, j.r AS yj,
+             |  i.r * w // 9 AS sx, j.r * h // 8 AS sy,
+             |  ((gid+1)*2654435761 + (i.r * w // 9 * 29 + j.r * h // 8 * 13 + 7)*40503)
+             |    // 8192 % 65536 AS bm
+             |  FROM d, range(0, 9) i(r), range(0, 8) j(r)),
+             |p AS (SELECT doc_id, xi, yj,
+             |  CASE WHEN sx = nx AND sy = ny
+             |    THEN (bm*bm // 64 % 256 + doc_id) % 256
+             |    ELSE bm*bm // 64 % 256 END AS pv FROM g),
+             |bits AS (SELECT a.doc_id, a.yj, a.xi,
+             |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+             |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.yj = b.yj
+             |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
+             |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, yj),
+             |b16 AS (SELECT doc_id, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY doc_id, yj // 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+             |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+             |ham AS (SELECT c.id_new, c.id_old,
+             |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands x ON x.doc_id = c.id_new
+             |    JOIN bands y ON y.doc_id = c.id_old AND y.yj = x.yj
+             |  GROUP BY c.id_new, c.id_old)
+             |SELECT id_new, id_old, hamming FROM ham WHERE hamming <= 3
+             |ORDER BY id_new, id_old""".stripMargin.replace("\n", " ")))
   )
 }

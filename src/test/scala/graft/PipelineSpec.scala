@@ -1938,6 +1938,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(wide == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("fingerprint index: pruned probe finds cross-split near-dups; append extends the corpus") {
+    import spark.implicits._
+    val gradA = Multimodal.encodeGrayPng(18, 16, (x, _) => x * 10)
+    val gradA2 = Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == 1 && y == 1) 255 else x * 10) // same hash as A
+    val gradC = Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == 0 && y == 0) 255 else x * 10) // hamming 1 vs A
+    val flat = Multimodal.encodeGrayPng(18, 16, (_, _) => 7)
+    val junk = "not-an-image".getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpidx-spec").toString
+    Multimodal.writeImageFingerprintIndex(
+      Seq((1L, gradA), (4L, flat)).toDF("doc_id", "blob"), "doc_id", "blob", dir)
+    val probe = Multimodal.imageNearDupAgainstIndex(
+        Seq((2L, gradA2), (3L, gradC), (5L, junk)).toDF("doc_id", "blob"),
+        "doc_id", "blob", dir)
+      .orderBy($"id_new").as[(Long, Long, Long)].collect().toSeq
+    // exact-dup and hamming-1 both found against the standing index;
+    // flat never shares a band with a gradient; junk blob declines
+    assert(probe == Seq((2L, 1L, 0L), (3L, 1L, 1L)))
+    // grow the index by an ingested batch, re-probe: both generations hit
+    Multimodal.appendFingerprintIndex(
+      Multimodal.imageDHash(Seq((6L, gradC)).toDF("doc_id", "blob"), "doc_id", "blob")
+        .select($"doc_id".as("id"), $"bands"), dir)
+    val again = Multimodal.imageNearDupAgainstIndex(
+        Seq((7L, gradA)).toDF("doc_id", "blob"), "doc_id", "blob", dir)
+      .orderBy($"id_old").as[(Long, Long, Long)].collect().toSeq
+    assert(again == Seq((7L, 1L, 0L), (7L, 6L, 1L)))
+  }
+
   test("audio fingerprint: energy ramps saturate bands, constants zero them, short/junk drop") {
     import spark.implicits._
     // 72 slices × 16 samples; slice s at constant amplitude 10s → energy

@@ -535,6 +535,16 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), p.take(600))
   }
 
+  test("indexed image near-dup: band scan prunes to the batch's bucket footprint") {
+    val p = plan("q146_image_near_dup_indexed")
+    // the batch's bk footprint must reach the bands scan as a PARTITION
+    // filter (pruned directories), not a post-scan Filter
+    assert("PartitionFilters: \\[[^\\]]*bk".r.findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("WindowExec"), p.take(600))
+  }
+
   test("audio near-dup: same banded single-join contract as the image path") {
     val p = plan("q145_audio_near_dup")
     assert(!p.contains("CartesianProduct") &&
