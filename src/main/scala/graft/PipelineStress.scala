@@ -323,6 +323,31 @@ object PipelineStress {
     timed("clean_text") {
       force(TextOps.cleanText(docs, "doc_id", "text"))
     }
+    // html extraction (q147): the raw-ingest front door — per-row
+    // regexp chain over full synthetic pages at 1M docs
+    timed("html_extract") {
+      val pages = docs.select(col("doc_id"), concat(
+        lit("<html><head><title>D</title><style>p{x}</style>" +
+          "<script>var x = 1 < 2 && \"</div>\";</script></head><body><p>"),
+        col("text"),
+        lit(" &amp;lt; &quot;q&quot;</p><div>t &amp; &lt;e&gt;</div></body></html>"))
+        .as("html"))
+      force(TextOps.htmlExtract(pages, "doc_id", "html"))
+    }
+    // paragraph boilerplate scrub (q148): 8-token lines + a planted
+    // newsletter header/footer at 1M docs — the count exchange moves
+    // line hashes, the rebuild is the one text exchange
+    timed("paragraph_scrub") {
+      val lined = docs.withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), concat(
+          lit("subscribe to newsletter variant "),
+          (col("doc_id") % 3).cast("string"), lit("\n"),
+          expr("array_join(transform(sequence(0, " +
+            "greatest(1, cast(ceil(size(tk)/8.0) as int)) - 1), " +
+            "i -> array_join(slice(tk, i*8+1, 8), ' ')), '\n')"))
+          .as("text2"))
+      force(TextOps.paragraphScrub(lined, "doc_id", "text2"))
+    }
     // BPE tokenizer (q123): train on the capped word-frequency model
     // (the salted corpus has ~250k distinct words — the cap IS the
     // scale guard), then the per-row merge-application encode map

@@ -1265,4 +1265,103 @@ object TextOps {
        |  ORDER BY score10 DESC, $idCol) AS BIGINT) AS rk FROM s)
        |SELECT $idCol, n_tokens, score_sum, score10, rk FROM r
        |WHERE rk <= $k""".stripMargin.replace("\n", " ")
+
+  /** HTML → text extraction — the step between raw-corpus ingest
+    * (`RawCorpus`, q125/q126: WARC bodies ARE html) and every text
+    * operator here: strip `<script>`/`<style>` blocks and comments
+    * (content and all), drop remaining tags, decode the common named
+    * entities (single pass, `&amp;` last so `&amp;lt;` decodes to the
+    * LITERAL `&lt;` per the HTML spec's double-escape semantics), squash
+    * whitespace. A pure per-row codegen `regexp_replace` chain — zero
+    * exchanges, the [[cleanText]] shape — restricted to regex features
+    * Java and RE2 share (no backreferences/lookahead) so the DuckDB twin
+    * runs the IDENTICAL patterns. Regex-based extraction has the usual
+    * documented edge (a literal `>` inside a quoted attribute ends the
+    * tag early); a deployment needing attribute-exact parsing plugs a
+    * parser into the same mapPartitions slot the media decoders use.
+    *
+    * Output: (id, text_extracted).
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val steps: Seq[(String, String)] = htmlStripSteps
+    val stripped = steps.foldLeft(col(htmlCol)) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    df.select(col(idCol), trim(stripped).as("text_extracted"))
+  }
+
+  /** The shared strip chain (pattern, replacement), identical on both
+    * engines; order is load-bearing (blocks before tags, `&amp;` last).
+    */
+  private val htmlStripSteps: Seq[(String, String)] = Seq(
+    "(?is)<script\\b[^>]*>.*?</script>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?s)<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&apos;" -> "'",
+    "&amp;" -> "&",
+    "\\s+" -> " ")
+
+  /** Paragraph-frequency boilerplate scrub — CCNet's paragraph dedup:
+    * split each doc on `sep`, drop every paragraph that appears in more
+    * than `maxDf` DISTINCT documents corpus-wide (headers, footers,
+    * cookie banners, license blurbs — the lines that repeat across a
+    * crawl), and reassemble the survivors in original order.
+    *
+    * Plan: the frequency model exchange carries (line-hash, doc) LONG
+    * pairs — paragraph text never shuffles for counting ([[portableHash]]
+    * keys, the q141/q105 compact-key discipline); the hot set is tiny by
+    * construction (only lines with df > maxDf) and broadcasts onto the
+    * line stream; the only text-carrying exchange is the per-doc rebuild
+    * — irreducible, the q110 argument. Output: (id, text_scrubbed,
+    * n_kept, n_dropped); a fully-boilerplate doc yields "" (never NULL).
+    */
+  def paragraphScrub(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      maxDf: Int = 2): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .where(trim(col("line")) =!= "")
+      .withColumn("lh", portableHash(col("line")))
+    val hot = lines.groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") > maxDf)
+      .select(col("lh"), lit(true).as("is_hot"))
+    lines.join(broadcast(hot), Seq("lh"), "left")
+      .select(col(idCol), col("pos"), col("line"),
+        coalesce(col("is_hot"), lit(false)).as("hot"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          expr("transform(filter(array_sort(" +
+            "collect_list(struct(pos, hot, line))), x -> NOT x.hot), " +
+            "x -> x.line)"),
+          sep).as("text_scrubbed"),
+        sum(when(col("hot"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("hot"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** DuckDB twin of [[htmlExtract]] as a scalar expression (RE2 runs the
+    * same patterns; 'g' flag explicit; single-quoted SQL strings keep
+    * backslashes literal, so only quotes need escaping).
+    */
+  def htmlExtractExprSql(htmlExpr: String): String = {
+    val chained = htmlStripSteps.foldLeft(htmlExpr) { case (e, (pat, rep)) =>
+      val p = pat.replace("'", "''")
+      val r = rep.replace("'", "''")
+      s"regexp_replace($e, '$p', '$r', 'g')"
+    }
+    s"trim($chained)"
+  }
 }

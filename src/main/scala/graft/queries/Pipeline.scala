@@ -1672,6 +1672,88 @@ object Pipeline {
              |    JOIN bands y ON y.doc_id = c.id_old AND y.yj = x.yj
              |  GROUP BY c.id_new, c.id_old)
              |SELECT id_new, id_old, hamming FROM ham WHERE hamming <= 3
-             |ORDER BY id_new, id_old""".stripMargin.replace("\n", " ")))
+             |ORDER BY id_new, id_old""".stripMargin.replace("\n", " "))),
+
+    // HTML → text extraction (q125/q126's WARC bodies are html; this is
+    // the step between ingest and every text operator): each doc's text
+    // is wrapped in a full html page — head/title, a style block, a
+    // script block whose BODY contains both a '<' comparison and a
+    // literal "</div>" string, a comment, double-escaped and named
+    // entities — and the extractor must return exactly the visible text.
+    // Pure per-row codegen regexp chain, identical patterns both engines.
+    "q147_html_extract" -> QueryDef(
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style type=\"text/css\">p { color: red; }</style>" +
+            "<script type=\"text/javascript\">var x = 1 < 2 && \"</div>\";" +
+            "</script></head><body><!-- boilerplate note --><p>"),
+          col("text"),
+          lit(" &amp;lt; &quot;q&quot; &#39;s&nbsp;end</p>" +
+            "<div>tail &amp; &lt;eof&gt;</div></body></html>"))
+        TextOps.htmlExtract(
+            tbl(s, dir, "documents").select(col("doc_id"), html.as("html")),
+            "doc_id", "html")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val htmlSql = "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || " +
+          "'</title><style type=\"text/css\">p { color: red; }</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2 && \"</div>\";" +
+          "</script></head><body><!-- boilerplate note --><p>' || text || " +
+          "' &amp;lt; &quot;q&quot; &#39;s&nbsp;end</p>" +
+          "<div>tail &amp; &lt;eof&gt;</div></body></html>'"
+        s"SELECT doc_id, ${TextOps.htmlExtractExprSql(htmlSql)} AS text_extracted " +
+          "FROM documents ORDER BY doc_id"
+      }),
+
+    // Paragraph-frequency boilerplate scrub (CCNet paragraph dedup):
+    // every doc is reshaped into 8-token lines with a planted newsletter
+    // header (3 variants, df ≈ N/3) and, for even ids, a rights footer
+    // (df ≈ N/2) — the scrub must drop exactly the planted boilerplate
+    // (df > 2) plus any organically repeated content line, and rebuild
+    // the doc in original order. Counting shuffles line HASHES only.
+    "q148_paragraph_scrub" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("tk", split(col("text"), " "))
+          .select(col("doc_id"), concat(
+            lit("subscribe to newsletter variant "),
+            (col("doc_id") % 3).cast("string"), lit("\n"),
+            expr("array_join(transform(sequence(0, " +
+              "greatest(1, cast(ceil(size(tk)/8.0) as int)) - 1), " +
+              "i -> array_join(slice(tk, i*8+1, 8), ' ')), '\n')"),
+            when(col("doc_id") % 2 === 0,
+              lit("\nall rights reserved footer 0")).otherwise(lit("")))
+            .as("text2"))
+        TextOps.paragraphScrub(docs, "doc_id", "text2")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |src AS (SELECT doc_id,
+          |  'subscribe to newsletter variant ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+          |  array_to_string(list_transform(
+          |    range(0, greatest(1, CAST(ceil(len(tk)/8.0) AS INT))),
+          |    i -> array_to_string(tk[i*8+1:i*8+8], ' ')), chr(10)) ||
+          |  CASE WHEN doc_id % 2 = 0
+          |    THEN chr(10) || 'all rights reserved footer 0' ELSE '' END AS text2
+          |  FROM t0),
+          |t AS (SELECT doc_id, string_split(text2, chr(10)) AS sp FROM src),
+          |l0 AS (SELECT doc_id, unnest(sp) AS line,
+          |  unnest(range(len(sp))) AS pos FROM t),
+          |l AS (SELECT doc_id, pos, line FROM l0 WHERE trim(line) <> ''),
+          |lh AS (SELECT doc_id, pos, line,
+          |  ${TextOps.portableHashSql("line")} AS lh FROM l),
+          |hot AS (SELECT lh FROM (
+          |  SELECT lh, count(DISTINCT doc_id) AS df FROM lh GROUP BY lh) h
+          |  WHERE df > 2),
+          |f AS (SELECT a.doc_id, a.pos, a.line,
+          |  (h.lh IS NOT NULL) AS hot FROM lh a LEFT JOIN hot h USING (lh))
+          |SELECT doc_id,
+          |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+          |    FILTER (WHERE NOT hot), '') AS text_scrubbed,
+          |  CAST(sum(CASE WHEN hot THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+          |  CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -1967,6 +1967,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == Seq((7L, 1L, 0L), (7L, 6L, 1L)))
   }
 
+  test("html extract: scripts/styles/comments stripped whole, entities decoded, double-escape kept") {
+    import spark.implicits._
+    val html = "<html><head><title>T</title><style type=\"x\">p {color: red}</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2 && \"</div>\";</script></head>" +
+      "<body><!-- note --><p>hello &amp;lt; world &quot;quoted&quot; &#39;s &nbsp;ok</p>" +
+      "<div>tail &amp; &lt;end&gt;</div></body></html>"
+    val out = TextOps.htmlExtract(
+        Seq((1L, html), (2L, "plain   text, no markup")).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    // &amp;lt; must decode to the LITERAL "&lt;" (double-escape), the
+    // script body's quoted "</div>" must not terminate the strip early
+    assert(out.head._2 == "T hello &lt; world \"quoted\" 's ok tail & <end>")
+    assert(out(1)._2 == "plain text, no markup")
+  }
+
+  test("paragraph scrub: corpus-hot lines dropped, order-preserving rebuild, df boundary") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"$boiler\nalpha one\nbravo two"),
+      (2L, s"$boiler\ncharlie three\nshared pair"),
+      (3L, s"$boiler\nshared pair\ndelta four"),
+      (4L, boiler)).toDF("doc_id", "text")
+    val out = TextOps.paragraphScrub(df, "doc_id", "text", maxDf = 2)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    // boiler df=4 > 2 dropped everywhere; "shared pair" df=2 == maxDf KEPT;
+    // doc 4 is pure boilerplate -> empty string, never NULL
+    assert(out == Seq(
+      (1L, "alpha one\nbravo two", 2L, 1L),
+      (2L, "charlie three\nshared pair", 2L, 1L),
+      (3L, "shared pair\ndelta four", 2L, 1L),
+      (4L, "", 0L, 1L)))
+    // tighter threshold: the df-2 line now drops too
+    val strict = TextOps.paragraphScrub(df, "doc_id", "text", maxDf = 1)
+      .where($"doc_id" === 2L).as[(Long, String, Long, Long)].head()
+    assert(strict == ((2L, "charlie three", 1L, 2L)))
+    intercept[IllegalArgumentException] {
+      TextOps.paragraphScrub(df, "doc_id", "text", maxDf = 0)
+    }
+  }
+
   test("audio fingerprint: energy ramps saturate bands, constants zero them, short/junk drop") {
     import spark.implicits._
     // 72 slices × 16 samples; slice s at constant amplitude 10s → energy

@@ -545,6 +545,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), p.take(600))
   }
 
+  test("html extract: pure per-row codegen chain — no shuffle, no join, no window") {
+    val p = plan("q147_html_extract")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a per-row extraction shuffled:\n${p.take(600)}")
+    assert(!p.contains("Join") && !p.contains("WindowExec"), p.take(600))
+  }
+
+  test("paragraph scrub: counting shuffles line hashes, hot set broadcasts, one text rebuild") {
+    val pe = SparkEntry.queries("q148_paragraph_scrub")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pe.contains("BroadcastHashJoin"), "hot set must broadcast")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("WindowExec"))
+    // every exchange key is the line hash or the doc id — paragraph TEXT
+    // never shuffles for counting (only the irreducible doc rebuild
+    // carries it, keyed on doc_id)
+    val keys = "Exchange hashpartitioning\\(([^)]+)\\)".r
+      .findAllMatchIn(pe).flatMap(m => "(\\w+)#\\d+".r
+        .findAllMatchIn(m.group(1)).map(_.group(1))).toSet
+    assert(keys.nonEmpty)
+    assert(keys.subsetOf(Set("lh", "doc_id")),
+      s"unexpected exchange key: $keys")
+  }
+
   test("audio near-dup: same banded single-join contract as the image path") {
     val p = plan("q145_audio_near_dup")
     assert(!p.contains("CartesianProduct") &&
