@@ -452,6 +452,39 @@ object PipelineStress {
         blobs, "doc_id", "blob"))
     }
 
+    // video near-dup (q149): 100k synthetic AVI clips (8-12 DIB frames)
+    // through the real container parse — only the 8 sampled frames of
+    // each clip decode, one at a time
+    timed("video_near_dup_100k") {
+      import spark.implicits._
+      val blobs = spark.range(100000L).select(col("id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val gid = id / 5
+            val w = (18 + gid % 9).toInt
+            val h = (12 + gid % 7).toInt
+            val nf = (8 + gid % 5).toInt
+            val pf = (id % nf).toInt
+            val px = (id % w).toInt
+            val py = (id * 3 % h).toInt
+            val frames = (0 until nf).map { f =>
+              Array.tabulate(w * h) { k =>
+                val (x, y) = (k % w, k / w)
+                val b = ((gid + 1L) * 2654435761L +
+                  (f * 1009L + x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
+                val base = (b * b / 64L % 256L).toInt
+                (if (f == pf && x == px && y == py) ((base + id) % 256).toInt
+                 else base).toByte
+              }
+            }
+            (id, graft.functions.Multimodal.encodeAviDib(w, h, frames))
+          }
+        }.toDF("doc_id", "blob")
+      force(graft.functions.Multimodal.videoNearDupPairs(
+        blobs, "doc_id", "blob"))
+    }
+
     // persistent fingerprint index (q146): the steady-state split —
     // index build is the once-amortized standing cost; the probe is what
     // each ingest batch (1% = 2k images) pays: decode+hash the batch,

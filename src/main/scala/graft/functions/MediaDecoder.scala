@@ -360,6 +360,42 @@ object MediaDecoder {
         }
         if (ok) Some((info.width, info.height, info.frames.length, acc)) else None
       }
+
+    /** Probe individual pixels of SELECTED frames: `pick(w, h, nf)`
+      * returns (frameIdx, x, y) triples; only the picked frames decode
+      * (one at a time — per-row heap is a single decoded frame, never
+      * the whole clip), and each probe yields the first channel byte
+      * (gray for DIB-gray content, blue plane otherwise — deterministic
+      * either way). Declines on any undecodable picked frame or
+      * out-of-range pick — the chain's never-throw contract.
+      */
+    private[functions] def probePixels(
+        bytes: Array[Byte],
+        pick: (Int, Int, Int) => Array[(Int, Int, Int)]): Option[(Int, Int, Int, Array[Int])] =
+      parse(bytes).flatMap { info =>
+        val (w, h, nf) = (info.width, info.height, info.frames.length)
+        val picks = pick(w, h, nf)
+        if (picks.exists { case (f, x, y) =>
+            f < 0 || f >= nf || x < 0 || x >= w || y < 0 || y >= h }) None
+        else {
+          val out = new Array[Int](picks.length)
+          var ok = true
+          picks.zipWithIndex.groupBy(_._1._1).toSeq.sortBy(_._1).foreach {
+            case (fi, ps) =>
+              if (ok) {
+                val (off, size) = info.frames(fi)
+                decodeFrame(bytes, info, off, size) match {
+                  case Some(fr) =>
+                    ps.foreach { case ((_, x, y), oi) =>
+                      out(oi) = fr((y * w + x) * 3) & 0xff
+                    }
+                  case None => ok = false
+                }
+              }
+          }
+          if (ok) Some((w, h, nf, out)) else None
+        }
+      }
   }
 
   /** Deterministic STUB for media with no bound codec — fake dimensions

@@ -689,6 +689,69 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Spatio-temporal fingerprint of VIDEO blobs through the REAL AVI
+    * decode path ([[MediaDecoder.AviVideo]] — q120's strict surface;
+    * non-video blobs drop): 8 temporally-sampled frames
+    * (`t(j) = j·nf div 8` — short clips repeat frames rather than drop)
+    * × 9 spatial probes along the middle row
+    * (`x(i) = i·w div 9`, `y = h div 2`), pure integer geometry so the
+    * oracle can replay the sampling relationally; the 64 bits are the
+    * per-frame horizontal gradient `P(j, i+1) > P(j, i)` — [[imageDHash]]
+    * per sampled frame, one 8-bit band per frame. Only the ≤8 picked
+    * frames decode, one at a time (never the whole clip in memory).
+    *
+    * Output: (id, width, height, n_frames, bands array<long>[8]).
+    */
+  def videoFingerprint(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          MediaDecoder.AviVideo.probePixels(bytes, (w, h, nf) =>
+            Array.tabulate(72) { k =>
+              val j = k / 9; val i = k % 9
+              (j * nf / 8, i * w / 9, h / 2)
+            }
+          ).map { case (w, h, nf, p) =>
+            val bands = new Array[Long](8)
+            var j = 0
+            while (j < 8) {
+              var v = 0L
+              var i = 0
+              while (i < 8) {
+                if (p(9 * j + i + 1) > p(9 * j + i)) v |= (1L << i)
+                i += 1
+              }
+              bands(j) = v
+              j += 1
+            }
+            (id, w.toLong, h.toLong, nf.toLong, bands)
+          }
+        }
+      }.toDF(idCol, "width", "height", "n_frames", "bands")
+  }
+
+  /** Video near-duplicate pairs — the fourth modality leg (text LSH /
+    * image dHash / audio energy-gradient / video spatio-temporal
+    * gradient), same [[bandedHammingPairs]] engine: 16-bit band
+    * candidates, pigeonhole-exact at maxHamming < numBands, codegen
+    * Hamming verify. Decode touches only the 8 sampled frames per clip,
+    * once, in [[videoFingerprint]]'s map stage.
+    */
+  def videoNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      maxHamming: Int = 3,
+      numBands: Int = 4): DataFrame =
+    bandedHammingPairs(
+      videoFingerprint(df, idCol, blobCol)
+        .select(col(idCol).as("id"), col("bands")),
+      maxHamming, numBands)
+
   /** [[writeFingerprintIndex]] fed by the image dHash path. */
   def writeImageFingerprintIndex(
       df: DataFrame, idCol: String, blobCol: String, path: String,

@@ -1754,6 +1754,80 @@ object Pipeline {
           |    FILTER (WHERE NOT hot), '') AS text_scrubbed,
           |  CAST(sum(CASE WHEN hot THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
           |  CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Video near-dup dedup — the fourth modality leg, THROUGH the real
+    // AVI decode path (q120's raw-DIB bit-exactness makes the pixel
+    // formula relationally replayable): groups of 5 docs share a
+    // middle-square pseudo-random clip, each doc perturbs ONE pixel of
+    // ONE frame. The fingerprint samples 8 frames x 9 middle-row probes;
+    // only sampled frames decode. Same 16-bit banding engine as
+    // q144/q145.
+    "q149_video_near_dup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val blobs = graft.functions.Par.fanOut(
+            tbl(s, dir, "documents").select(col("doc_id")))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val gid = id / 5
+              val w = (18 + gid % 9).toInt
+              val h = (12 + gid % 7).toInt
+              val nf = (8 + gid % 5).toInt
+              val pf = (id % nf).toInt
+              val px = (id % w).toInt
+              val py = (id * 3 % h).toInt
+              val frames = (0 until nf).map { f =>
+                Array.tabulate(w * h) { k =>
+                  val (x, y) = (k % w, k / w)
+                  val b = ((gid + 1L) * 2654435761L +
+                    (f * 1009L + x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
+                  val base = (b * b / 64L % 256L).toInt
+                  val v = if (f == pf && x == px && y == py)
+                    ((base + id) % 256).toInt else base
+                  v.toByte
+                }
+              }
+              (id, Multimodal.encodeAviDib(w, h, frames))
+            }
+          }.toDF("doc_id", "blob")
+        Multimodal.videoNearDupPairs(blobs, "doc_id", "blob")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
+             |d AS (SELECT doc_id, gid, 18 + gid % 9 AS w, 12 + gid % 7 AS h,
+             |  8 + gid % 5 AS nf FROM ids),
+             |d2 AS (SELECT doc_id, gid, w, h, nf, doc_id % nf AS pf,
+             |  doc_id % w AS px, (doc_id * 3) % h AS py FROM d),
+             |g AS (SELECT doc_id, gid, pf, px, py, i.r AS xi, j.r AS yj,
+             |  j.r * nf // 8 AS sf, i.r * w // 9 AS sx, h // 2 AS sy,
+             |  ((gid+1)*2654435761 +
+             |   ((j.r * nf // 8)*1009 + (i.r * w // 9)*29 + (h // 2)*13 + 7)*40503)
+             |    // 8192 % 65536 AS bm
+             |  FROM d2, range(0, 9) i(r), range(0, 8) j(r)),
+             |p AS (SELECT doc_id, xi, yj,
+             |  CASE WHEN sf = pf AND sx = px AND sy = py
+             |    THEN (bm*bm // 64 % 256 + doc_id) % 256
+             |    ELSE bm*bm // 64 % 256 END AS pv FROM g),
+             |bits AS (SELECT a.doc_id, a.yj, a.xi,
+             |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+             |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.yj = b.yj
+             |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
+             |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, yj),
+             |b16 AS (SELECT doc_id, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY doc_id, yj // 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+             |    AND a.doc_id < b.doc_id),
+             |ham AS (SELECT c.id_a, c.id_b,
+             |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands x ON x.doc_id = c.id_a
+             |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
+             |  GROUP BY c.id_a, c.id_b)
+             |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
   )
 }

@@ -1967,6 +1967,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == Seq((7L, 1L, 0L), (7L, 6L, 1L)))
   }
 
+  test("video fingerprint: gradient frames saturate bands, constants zero, short clips repeat frames") {
+    import spark.implicits._
+    def clip(nf: Int)(pix: (Int, Int, Int) => Int) =
+      Multimodal.encodeAviDib(18, 16, (0 until nf).map(f =>
+        Array.tabulate(18 * 16)(k => pix(f, k % 18, k / 18).toByte)))
+    val grad = clip(8)((_, x, _) => x * 10)
+    val flat = clip(8)((_, _, _) => 9)
+    val short = clip(2)((_, x, _) => x * 10) // nf < 8: sampled frames repeat
+    val junk = "not-a-video".getBytes("UTF-8")
+    val df = Seq((1L, grad), (2L, flat), (3L, short), (4L, junk))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.videoFingerprint(df, "doc_id", "blob")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L)) // junk declines, short survives
+    assert(out.head == ((1L, 18L, 16L, 8L, Seq.fill(8)(255L))))
+    assert(out(1) == ((2L, 18L, 16L, 8L, Seq.fill(8)(0L))))
+    assert(out(2) == ((3L, 18L, 16L, 2L, Seq.fill(8)(255L))))
+  }
+
+  test("video near-dup: banded candidates through the real AVI decode, threshold honored") {
+    import spark.implicits._
+    def clip(pix: (Int, Int, Int) => Int) =
+      Multimodal.encodeAviDib(18, 16, (0 until 8).map(f =>
+        Array.tabulate(18 * 16)(k => pix(f, k % 18, k / 18).toByte)))
+    val a = clip((_, x, _) => x * 10)
+    // unsampled pixel (odd x, y != 8) -> identical fingerprint
+    val a2 = clip((f, x, y) => if (f == 0 && x == 1 && y == 1) 255 else x * 10)
+    // probe (i=0, j=0) is frame 0, (0, 8): raising it flips exactly bit 0
+    val c = clip((f, x, y) => if (f == 0 && x == 0 && y == 8) 255 else x * 10)
+    val flat = clip((_, _, _) => 9)
+    val df = Seq((1L, a), (2L, a2), (3L, c), (4L, flat)).toDF("doc_id", "blob")
+    val pairs = Multimodal.videoNearDupPairs(df, "doc_id", "blob")
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val strict = Multimodal.videoNearDupPairs(df, "doc_id", "blob", maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(strict == Seq((1L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupPairs(df, "doc_id", "blob", maxHamming = 4)
+    }
+  }
+
   test("html extract: scripts/styles/comments stripped whole, entities decoded, double-escape kept") {
     import spark.implicits._
     val html = "<html><head><title>T</title><style type=\"x\">p {color: red}</style>" +

@@ -576,4 +576,13 @@ class PlanContractSpec extends AnyFunSuite {
     assert(joins == 1, s"expected the single band join, found $joins:\n${p.take(800)}")
     assert(!p.contains("WindowExec"), p.take(600))
   }
+
+  test("video near-dup: same banded single-join contract as the other modalities") {
+    val p = plan("q149_video_near_dup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    val joins = "HashJoin|SortMergeJoin".r.findAllMatchIn(p).length
+    assert(joins == 1, s"expected the single band join, found $joins:\n${p.take(800)}")
+    assert(!p.contains("WindowExec"), p.take(600))
+  }
 }
