@@ -282,6 +282,20 @@ object PipelineStress {
         docs.withColumn("is_t", col("doc_id") % 97 === 0L),
         "doc_id", "text", "is_t", k = 1000))
     }
+    // ...and the hashed-feature variant (q150): the model is BOUNDED at
+    // 8192 bucket rows where dsir_select's string model carries the full
+    // salted vocabulary — the delta is what the bounded model buys
+    timed("dsir_hashed") {
+      force(TextOps.dsirSelectHashed(
+        docs.withColumn("is_t", col("doc_id") % 97 === 0L),
+        "doc_id", "text", "is_t", k = 1000))
+    }
+    System.setProperty(TextOps.HashFamilyProp, "xxhash64")
+    try timed("dsir_hashed_xx") {
+      force(TextOps.dsirSelectHashed(
+        docs.withColumn("is_t", col("doc_id") % 97 === 0L),
+        "doc_id", "text", "is_t", k = 1000))
+    } finally System.clearProperty(TextOps.HashFamilyProp)
     // epoch shard shuffle (q138): the one shard-keyed exchange +
     // in-shard sort at 1M docs (64 shards ≈ 16k docs/shard sort)
     timed("shard_shuffle") {

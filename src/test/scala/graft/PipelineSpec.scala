@@ -1890,6 +1890,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR hashed: bigram-bucket LLR, short docs dropped, bucket collapse is well-defined") {
+    import spark.implicits._
+    // bigrams: d1(target)=ab,ba,ab  d2=ab  d3=bc  d4 has no bigram.
+    // c(ab)=(3,2)→w=64; c(ba)=(1,1)→w=65; c(bc)=(1,0)→w=64.
+    val df = docs((1L, "a b a b"), (2L, "a b"), (3L, "b c"), (4L, "x"))
+      .withColumn("is_t", $"doc_id" === 1L)
+    val out = TextOps.dsirScoreHashed(df, "doc_id", "text", "is_t")
+      .orderBy($"doc_id")
+      .as[(Long, Boolean, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, true, 3L, 193L, 643L),
+      (2L, false, 1L, 64L, 640L),
+      (3L, false, 1L, 64L, 640L))) // single-token d4 dropped
+    val top = TextOps.dsirSelectHashed(df, "doc_id", "text", "is_t", k = 5)
+      .orderBy($"rk").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(top.map(r => (r._1, r._5)) == Seq((2L, 1L), (3L, 2L))) // tie → id asc
+    // buckets=1 collapses every feature into one model row: c=(5,3),
+    // w = bitlen(4)-bitlen(5)+64 = 64 for all — scores stay defined
+    val one = TextOps.dsirScoreHashed(df, "doc_id", "text", "is_t", buckets = 1)
+      .select($"score10").distinct().as[Long].collect().toSeq
+    assert(one == Seq(640L))
+  }
+
   test("image dHash: gradient rows saturate bands, constants zero them, non-images drop") {
     import spark.implicits._
     // w=18,h=16 → sample grid x=2i, y=2j. A strictly increasing row makes

@@ -523,6 +523,22 @@ class PlanContractSpec extends AnyFunSuite {
       s"document text crossed an exchange: $exchanges")
   }
 
+  test("DSIR hashed: bucket-int exchanges only, bounded model, bounded heap") {
+    val p = plan("q150_dsir_hashed")
+    assert(p.contains("GroupedTopK"), "selection must run through the bounded heap")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"), p.take(800))
+    val pe = SparkEntry.queries("q150_dsir_hashed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val keys = "Exchange hashpartitioning\\(([^)]+)\\)".r
+      .findAllMatchIn(pe).flatMap(m => "(\\w+)#\\d+".r
+        .findAllMatchIn(m.group(1)).map(_.group(1))).toSet
+    assert(keys.nonEmpty)
+    // fb = feature bucket (long), doc/is_t re-agg, g = heap key — no
+    // token string ever crosses an exchange
+    assert(keys.subsetOf(Set("fb", "doc_id", "is_t", "g")),
+      s"a non-bucket key crossed an exchange: $keys")
+  }
+
   test("image near-dup: banded equi-join candidates, never a pair product") {
     val p = plan("q144_image_near_dup")
     assert(!p.contains("CartesianProduct") &&
