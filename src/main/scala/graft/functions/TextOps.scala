@@ -1384,16 +1384,21 @@ object TextOps {
     val stripped = steps.foldLeft(col(htmlCol)) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
-    df.select(col(idCol), trim(stripped).as("text_extracted"))
+    df.select(col(idCol), trim(stripped, " \n").as("text_extracted"))
   }
 
   /** The shared strip chain (pattern, replacement), identical on both
-    * engines; order is load-bearing (blocks before tags, `&amp;` last).
+    * engines; order is load-bearing: block strips first, then
+    * block-level closers (and `<br>`) become NEWLINES — the paragraph
+    * structure [[paragraphScrub]] consumes — then remaining tags become
+    * spaces, entities decode (`&amp;` last), horizontal whitespace
+    * squashes within lines, and newline runs collapse.
     */
   private val htmlStripSteps: Seq[(String, String)] = Seq(
     "(?is)<script\\b[^>]*>.*?</script>" -> " ",
     "(?is)<style\\b[^>]*>.*?</style>" -> " ",
     "(?s)<!--.*?-->" -> " ",
+    "(?i)<(?:br[^>]*|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol)>" -> "\n",
     "(?s)<[^>]*>" -> " ",
     "&nbsp;" -> " ",
     "&lt;" -> "<",
@@ -1402,7 +1407,8 @@ object TextOps {
     "&#39;" -> "'",
     "&apos;" -> "'",
     "&amp;" -> "&",
-    "\\s+" -> " ")
+    "[ \\t\\x0B\\f\\r]+" -> " ",
+    " ?\\n[ \\n]*" -> "\n")
 
   /** Paragraph-frequency boilerplate scrub — CCNet's paragraph dedup:
     * split each doc on `sep`, drop every paragraph that appears in more
@@ -1455,10 +1461,10 @@ object TextOps {
     */
   def htmlExtractExprSql(htmlExpr: String): String = {
     val chained = htmlStripSteps.foldLeft(htmlExpr) { case (e, (pat, rep)) =>
-      val p = pat.replace("'", "''")
-      val r = rep.replace("'", "''")
+      val p = pat.replace("'", "''").replace("\n", "' || chr(10) || '")
+      val r = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
       s"regexp_replace($e, '$p', '$r', 'g')"
     }
-    s"trim($chained)"
+    s"trim($chained, ' ' || chr(10))"
   }
 }

@@ -1843,6 +1843,91 @@ object Pipeline {
           .orderBy(col("doc_id"))
       },
       Some(s"SELECT * FROM (${TextOps.dsirSelectHashedSql("documents", "doc_id",
-          "text", "lang = 'en'", k = 50)}) q ORDER BY doc_id"))
+          "text", "lang = 'en'", k = 50)}) q ORDER BY doc_id")),
+
+    // THE raw-corpus pipeline end to end: every doc becomes a full html
+    // page (title/style/script + a nav div and a rights-footer div that
+    // repeat across the WHOLE crawl) with planted exact dups
+    // (doc_id%3==0 re-keyed at +10000, the q135 discipline); the chain
+    // is extract (block closers -> paragraph newlines) -> paragraph
+    // boilerplate scrub (drops the nav/footer lines by corpus df) ->
+    // clean -> langId + quality gate -> exact dedup -> split. Every
+    // stage is an already-oracle-checked operator; this row pins the
+    // COMPOSITION from raw html to training-ready rows.
+    "q151_raw_pipeline_e2e" -> QueryDef(
+      (s, dir) => {
+        val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val input = base.unionByName(
+          base.where(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+        val pages = input.select(col("doc_id"), concat(
+          lit("<html><head><title>t</title><style>p{c:red}</style>" +
+            "<script>var a = 1 < 2 && \"</div>\";</script></head><body>" +
+            "<div>home about contact subscribe</div><p>"),
+          col("text"),
+          lit("</p><!-- f --><div>all rights reserved</div></body></html>"))
+          .as("html"))
+        val extracted = TextOps.htmlExtract(pages, "doc_id", "html")
+        val scrubbed = TextOps.paragraphScrub(extracted, "doc_id", "text_extracted")
+          .select(col("doc_id"), col("text_scrubbed"))
+        val cleaned = TextOps.cleanText(scrubbed, "doc_id", "text_scrubbed")
+        val lang = TextOps.langId(cleaned, "doc_id", "text_clean")
+          .select(col("doc_id"), col("pred_lang"))
+        val qual = TextOps.qualityScore(
+            cleaned.withColumn("n_chars", length(col("text_clean")).cast("long")),
+            "doc_id", "text_clean", "n_chars")
+          .select(col("doc_id"), col("score"))
+        val f = cleaned.select(col("doc_id"), col("text_clean"))
+          .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+          .where(col("pred_lang") =!= "und" && col("score") >= 150)
+        val kept = Dedup.exactDedup(f, "doc_id", "text_clean")
+        TextOps.splitAssign(
+            kept.join(f.select(col("doc_id"), col("pred_lang"), col("score")), Seq("doc_id")),
+            "doc_id")
+          .select(col("doc_id"), col("pred_lang"), col("score"),
+            col("n_copies"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = TextOps.langProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+        val htmlSql = "'<html><head><title>t</title><style>p{c:red}</style>" +
+          "<script>var a = 1 < 2 && \"</div>\";</script></head><body>" +
+          "<div>home about contact subscribe</div><p>' || text || " +
+          "'</p><!-- f --><div>all rights reserved</div></body></html>'"
+        s"""WITH input AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0),
+           |x AS (SELECT doc_id, ${TextOps.htmlExtractExprSql(htmlSql)} AS xt FROM input),
+           |t AS (SELECT doc_id, string_split(xt, chr(10)) AS sp FROM x),
+           |l0 AS (SELECT doc_id, unnest(sp) AS line,
+           |  unnest(range(len(sp))) AS pos FROM t),
+           |ln AS (SELECT doc_id, pos, line FROM l0 WHERE trim(line) <> ''),
+           |lhh AS (SELECT doc_id, pos, line,
+           |  ${TextOps.portableHashSql("line")} AS lh FROM ln),
+           |hot AS (SELECT lh FROM (
+           |  SELECT lh, count(DISTINCT doc_id) AS df FROM lhh GROUP BY lh) h
+           |  WHERE df > 2),
+           |scr AS (SELECT doc_id,
+           |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+           |    FILTER (WHERE h.lh IS NULL), '') AS ts
+           |  FROM lhh a LEFT JOIN hot h USING (lh) GROUP BY doc_id),
+           |c AS (SELECT doc_id, ${TextOps.cleanTextExprSql("ts")} AS text_clean FROM scr),
+           |l AS (SELECT doc_id, pred_lang FROM (${TextOps.langIdSql("c", "doc_id", "text_clean")}) ll),
+           |q AS (SELECT doc_id, n_tokens * 2 + n_uniq * 3 + n_stop * 5 - n_chars // 10 AS score FROM (
+           |  SELECT doc_id, length(text_clean) AS n_chars,
+           |    CAST(len(tk) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+           |    CAST(len(list_filter(tk, t -> t IN ($stop))) AS BIGINT) AS n_stop
+           |  FROM (SELECT doc_id, text_clean, string_split(text_clean, ' ') AS tk FROM c) t2) s2),
+           |f AS (SELECT c.doc_id, c.text_clean, l.pred_lang, q.score
+           |      FROM c JOIN l USING (doc_id) JOIN q USING (doc_id)
+           |      WHERE l.pred_lang <> 'und' AND q.score >= 150),
+           |d AS (SELECT doc_id,
+           |        row_number() OVER (PARTITION BY md5(text_clean) ORDER BY doc_id) AS rn,
+           |        count(*) OVER (PARTITION BY md5(text_clean)) AS n_copies FROM f)
+           |SELECT f.doc_id, f.pred_lang, f.score, d.n_copies,
+           |       ${TextOps.splitAssignSql("f.doc_id")} AS split
+           |FROM f JOIN d USING (doc_id) WHERE d.rn = 1
+           |ORDER BY f.doc_id""".stripMargin.replace("\n", " ")
+      })
   )
 }

@@ -2044,8 +2044,9 @@ class PipelineSpec extends AnyFunSuite {
         "doc_id", "html")
       .orderBy($"doc_id").as[(Long, String)].collect().toSeq
     // &amp;lt; must decode to the LITERAL "&lt;" (double-escape), the
-    // script body's quoted "</div>" must not terminate the strip early
-    assert(out.head._2 == "T hello &lt; world \"quoted\" 's ok tail & <end>")
+    // script body's quoted "</div>" must not terminate the strip early,
+    // and block closers (</p>, </div>) become paragraph newlines
+    assert(out.head._2 == "T hello &lt; world \"quoted\" 's ok\ntail & <end>")
     assert(out(1)._2 == "plain text, no markup")
   }
 
