@@ -597,11 +597,18 @@ object PipelineStress {
       if (only.isEmpty || Seq("ann_lsh_topk_100q", "ann_lsh_multiprobe_100q",
           "embedding_near_dups", "ann_ivf_det_100q", "semantic_dedup_scaled",
           "ivf_index_build", "ann_ivf_indexed_100q", "ivfpq_index_build",
-          "ann_ivfpq_indexed_100q", "ann_recall_suite").exists(only)) {
+          "ann_ivfpq_indexed_100q", "ann_recall_suite",
+          "semantic_decontam_100ev").exists(only)) {
         val c = emb.count()
         println(s"[stress] embeddings: $c vectors")
         c
       } else 0L
+    // semantic decontamination (q152): ~100 broadcast eval vectors swept
+    // against 400k corpus vectors — 40M fused dots, one max exchange
+    timed("semantic_decontam_100ev") {
+      force(Similarity.semanticDecontaminate(
+        emb, "vec_id", "embedding", col("vec_id") % 4001 === 0, tau = 0L))
+    }
     timed("ann_lsh_topk_100q") {
       force(Similarity.lshTopK(emb, "vec_id", "embedding",
         col("vec_id") < 100, 5, 64, 4))

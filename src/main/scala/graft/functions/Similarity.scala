@@ -58,6 +58,35 @@ object Similarity {
     TopK.perKey(scored, Seq("query_id"), Seq(("dot", true), (idCol, false)), k)
   }
 
+  /** Semantic eval-set decontamination — the embedding-space counterpart
+    * of the n-gram benchmark check (q88): every corpus vector scored by
+    * its MAX quantized dot product against the eval/benchmark set, with
+    * a `contaminated` verdict at threshold `tau`. Exact by construction:
+    * the eval set (small by nature — it's a benchmark) broadcasts, the
+    * per-row sweep is the fused [[dotQ]] codegen loop, and the only
+    * exchange is the per-corpus-id max (map-side combined to one row per
+    * id). An eval set past broadcast reach uses the standing IVF index
+    * with eval vectors as queries instead ([[ivfTopKIndexed]], the q89
+    * plan) and trades exactness for nprobe.
+    */
+  def semanticDecontaminate(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      evalPred: Column,
+      tau: Long): DataFrame = {
+    val corpus = Par.fanOut(df.select(col(idCol), col(embCol)))
+      .select(col(idCol), quantize(col(embCol)).as("qe"))
+    val evals = corpus.where(evalPred)
+      .select(col("qe").as("ev"))
+    corpus.where(!evalPred).join(broadcast(evals))
+      .select(col(idCol), dotQ(col("ev"), col("qe")).as("dot"))
+      .groupBy(col(idCol))
+      .agg(max(col("dot")).as("max_dot"))
+      .select(col(idCol), col("max_dot"),
+        (col("max_dot") >= tau).as("contaminated"))
+  }
+
   /** Deterministic pseudo-random hyperplane j as a LITERAL array — the
     * same md5-derived values the SQL oracle computes inline
     * (hash("j:i") mapped to [-1000, 1000]), but precomputed on the driver:

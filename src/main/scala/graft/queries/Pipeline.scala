@@ -1929,5 +1929,24 @@ object Pipeline {
            |FROM f JOIN d USING (doc_id) WHERE d.rn = 1
            |ORDER BY f.doc_id""".stripMargin.replace("\n", " ")
       })
+,
+
+    // Semantic eval-set decontamination (the embedding counterpart of
+    // q88's n-gram check): every corpus vector's MAX quantized dot
+    // against the broadcast eval set (vec_id % 97 = 0), verdict at
+    // tau = 0. Exact — the fused dot codegen loop per (corpus, eval)
+    // pair, one map-combined max exchange, no candidate generation.
+    "q152_semantic_decontam" -> QueryDef(
+      (s, dir) =>
+        Similarity.semanticDecontaminate(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 97 === 0, tau = 0L)
+          .orderBy(col("vec_id")),
+      Some(s"""WITH qv AS (SELECT vec_id, ${Similarity.quantizeSql("embedding")} AS qe FROM embeddings),
+              |e AS (SELECT qe AS ev FROM qv WHERE vec_id % 97 = 0),
+              |d AS (SELECT c.vec_id,
+              |  CAST(max(${Similarity.dotQSql("e.ev", "c.qe", DIM)}) AS BIGINT) AS max_dot
+              |  FROM qv c CROSS JOIN e WHERE c.vec_id % 97 <> 0 GROUP BY c.vec_id)
+              |SELECT vec_id, max_dot, max_dot >= 0 AS contaminated FROM d
+              |ORDER BY vec_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -1890,6 +1890,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic decontamination: eval dup flagged at max self-dot, evals excluded, tau honored") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ev = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val anti = ev.map(v => -v)
+    val df = Seq(
+      (0L, ev),                                       // the eval row
+      (1L, ev.clone()),                               // exact dup of eval
+      (2L, anti),                                     // anti-parallel
+      (3L, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(df, "vec_id", "embedding",
+        col("vec_id") === 0L, tau = 0L)
+      .orderBy($"vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L)) // eval row excluded
+    val selfDot = out.head._2
+    assert(selfDot > 0L && out.head._3) // dup: max possible dot, flagged
+    assert(out(1)._2 == -selfDot && !out(1)._3) // anti-parallel: -self, clean
+    // a tau above the self-dot clears everything
+    val strict = Similarity.semanticDecontaminate(df, "vec_id", "embedding",
+        col("vec_id") === 0L, tau = selfDot + 1)
+      .where($"contaminated").count()
+    assert(strict == 0L)
+  }
+
   test("DSIR hashed: bigram-bucket LLR, short docs dropped, bucket collapse is well-defined") {
     import spark.implicits._
     // bigrams: d1(target)=ab,ba,ab  d2=ab  d3=bc  d4 has no bigram.

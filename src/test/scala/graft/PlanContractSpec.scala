@@ -523,6 +523,21 @@ class PlanContractSpec extends AnyFunSuite {
       s"document text crossed an exchange: $exchanges")
   }
 
+  test("semantic decontamination: eval set broadcasts, one max exchange, fused dot") {
+    val pe = SparkEntry.queries("q152_semantic_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the eval sweep IS a broadcast nested-loop (no join key by design —
+    // every corpus row scores against every eval vector); the corpus
+    // side must never shuffle for it
+    assert(pe.contains("BroadcastNestedLoopJoin"), pe.take(600))
+    assert(pe.toLowerCase.contains("dotproductq"), "dot must be the fused codegen loop")
+    val keys = "Exchange hashpartitioning\\(([^)]+)\\)".r
+      .findAllMatchIn(pe).flatMap(m => "(\\w+)#\\d+".r
+        .findAllMatchIn(m.group(1)).map(_.group(1))).toSet
+    assert(keys.subsetOf(Set("vec_id")),
+      s"only the per-id max agg may shuffle: $keys")
+  }
+
   test("DSIR hashed: bucket-int exchanges only, bounded model, bounded heap") {
     val p = plan("q150_dsir_hashed")
     assert(p.contains("GroupedTopK"), "selection must run through the bounded heap")
