@@ -1947,6 +1947,66 @@ object Pipeline {
               |  CAST(max(${Similarity.dotQSql("e.ev", "c.qe", DIM)}) AS BIGINT) AS max_dot
               |  FROM qv c CROSS JOIN e WHERE c.vec_id % 97 <> 0 GROUP BY c.vec_id)
               |SELECT vec_id, max_dot, max_dot >= 0 AS contaminated FROM d
-              |ORDER BY vec_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
+    // END of the MEDIA dedup pipeline (the q85 shape for images): banded
+    // dHash near-dup pairs (q144) -> transitive closure (q81's
+    // min-label propagation) -> one representative per duplicate
+    // cluster, every other member marked dropped. One row per image.
+    // The oracle replays decode + banding + Hamming + a recursive-CTE
+    // closure.
+    "q153_media_dedup_resolve" -> QueryDef(
+      (s, dir) => {
+        val blobs = imageBlobs(s, dir)
+        val pairs = Multimodal.imageNearDupPairs(blobs, "doc_id", "blob")
+        val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
+        blobs.select(col("doc_id"))
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("rep"),
+            (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
+             |d0 AS (SELECT doc_id, gid, gid % 13 + 16 AS w, gid % 11 + 16 AS h,
+             |  doc_id % (gid % 13 + 16) AS nx, (doc_id * 3) % (gid % 11 + 16) AS ny FROM ids),
+             |g AS (SELECT doc_id, gid, nx, ny, i.r AS xi, j.r AS yj,
+             |  i.r * w // 9 AS sx, j.r * h // 8 AS sy,
+             |  ((gid+1)*2654435761 + (i.r * w // 9 * 29 + j.r * h // 8 * 13 + 7)*40503)
+             |    // 8192 % 65536 AS bm
+             |  FROM d0, range(0, 9) i(r), range(0, 8) j(r)),
+             |p AS (SELECT doc_id, xi, yj,
+             |  CASE WHEN sx = nx AND sy = ny
+             |    THEN (bm*bm // 64 % 256 + doc_id) % 256
+             |    ELSE bm*bm // 64 % 256 END AS pv FROM g),
+             |bits AS (SELECT a.doc_id, a.yj, a.xi,
+             |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+             |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.yj = b.yj
+             |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
+             |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, yj),
+             |b16 AS (SELECT doc_id, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY doc_id, yj // 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+             |    AND a.doc_id < b.doc_id),
+             |ham AS (SELECT c.id_a, c.id_b,
+             |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands x ON x.doc_id = c.id_a
+             |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
+             |  GROUP BY c.id_a, c.id_b),
+             |pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+             |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+             |      UNION SELECT id_b, id_a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM e
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v),
+             |cc AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+             |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS rep,
+             |       coalesce(cc.component, d.doc_id) = d.doc_id AS kept
+             |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")))
   )
 }
