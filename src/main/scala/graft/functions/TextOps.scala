@@ -1363,6 +1363,52 @@ object TextOps {
        |SELECT $idCol, n_feats, score_sum, score10, rk FROM r
        |WHERE rk <= $k""".stripMargin.replace("\n", " ")
 
+  /** URL canonicalization — the step before URL-level dedup in a crawl
+    * pipeline: lowercase scheme+authority, strip default ports and
+    * fragments, drop tracking parameters (utm_*, gclid, fbclid), sort
+    * the surviving query params, normalize the empty path to `/`. A
+    * per-row expression chain (regex extract/replace + array
+    * filter/sort/join), shared semantics with the DuckDB twin. Output:
+    * (id, url, canon_url).
+    */
+  def canonicalUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val noFrag = regexp_replace(col(urlCol), "#.*$", "")
+    df.select(col(idCol), col(urlCol).as("url"), noFrag.as("u0"))
+      .withColumn("head",
+        regexp_replace(lower(
+          regexp_extract(col("u0"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)),
+          ":(443|80)$", ""))
+      .withColumn("tail",
+        expr("substring(u0, length(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1)"))
+      .withColumn("path",
+        when(regexp_extract(col("tail"), "^[^?]*", 0) === "", "/")
+          .otherwise(regexp_extract(col("tail"), "^[^?]*", 0)))
+      .withColumn("qp", expr(
+        "array_join(array_sort(filter(split(regexp_extract(tail, '\\\\?(.*)$', 1), '&'), " +
+          "p -> p != '' AND NOT p rlike '^(utm_|gclid=|fbclid=)')), '&')"))
+      .select(col(idCol), col("url"),
+        concat(col("head"), col("path"),
+          when(col("qp") === "", "").otherwise(concat(lit("?"), col("qp"))))
+          .as("canon_url"))
+  }
+
+  /** DuckDB twin of [[canonicalUrl]] as a SELECT over `tbl`. */
+  def canonicalUrlSql(tbl: String, idCol: String, urlExpr: String): String =
+    s"""SELECT $idCol, $urlExpr AS url,
+       |  hd || pth || CASE WHEN qp = '' THEN '' ELSE '?' || qp END AS canon_url
+       |FROM (SELECT $idCol, $urlExpr, u0,
+       |    regexp_replace(lower(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)),
+       |      ':(443|80)$$', '') AS hd,
+       |    substring(u0, length(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS tl
+       |  FROM (SELECT $idCol, $urlExpr, regexp_replace($urlExpr, '#.*$$', '') AS u0 FROM $tbl) s0) s1,
+       |LATERAL (SELECT
+       |    CASE WHEN regexp_extract(tl, '^[^?]*', 0) = '' THEN '/'
+       |         ELSE regexp_extract(tl, '^[^?]*', 0) END AS pth,
+       |    coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(coalesce(regexp_extract(tl, '\\?(.*)$$', 1), ''), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|gclid=|fbclid=)'))), '&'), '') AS qp) s2""".stripMargin
+      .replace("\n", " ")
+
   /** HTML → text extraction — the step between raw-corpus ingest
     * (`RawCorpus`, q125/q126: WARC bodies ARE html) and every text
     * operator here: strip `<script>`/`<style>` blocks and comments

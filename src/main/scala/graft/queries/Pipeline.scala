@@ -2007,6 +2007,35 @@ object Pipeline {
              |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS rep,
              |       coalesce(cc.component, d.doc_id) = d.doc_id AS kept
              |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")))
+             |ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
+    // URL canonicalization (the step before URL-level dedup in a crawl
+    // pipeline): four messy variants per corpus — mixed-case
+    // scheme/host, default ports, fragments, tracking params, unsorted
+    // queries, empty paths — each normalized to its canonical form.
+    // Pure per-row expression chain; twin shares the exact semantics.
+    "q154_canonical_url" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id").cast("string")
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("HTTPS://Example.COM:443/p"), d, lit("?b=2&utm_source=x&a=1#f")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("http://EXAMPLE.com:80?a=1&doc="), d))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://example.com/p"), d))
+          .otherwise(
+            concat(lit("HTTP://sub.Example.Com/p?gclid=9&z="), d, lit("&y=2#x")))
+        TextOps.canonicalUrl(
+            tbl(s, dir, "documents").select(col("doc_id"), url.as("url")),
+            "doc_id", "url")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val urlExpr = "CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://Example.COM:443/p' || CAST(doc_id AS VARCHAR) || '?b=2&utm_source=x&a=1#f' " +
+          "WHEN doc_id % 4 = 1 THEN 'http://EXAMPLE.com:80?a=1&doc=' || CAST(doc_id AS VARCHAR) " +
+          "WHEN doc_id % 4 = 2 THEN 'https://example.com/p' || CAST(doc_id AS VARCHAR) " +
+          "ELSE 'HTTP://sub.Example.Com/p?gclid=9&z=' || CAST(doc_id AS VARCHAR) || '&y=2#x' END"
+        s"SELECT * FROM (${TextOps.canonicalUrlSql("documents", "doc_id", urlExpr)}) q ORDER BY doc_id"
+      })
   )
 }

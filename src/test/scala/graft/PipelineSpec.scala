@@ -2075,6 +2075,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1)._2 == "plain text, no markup")
   }
 
+  test("url canonicalization: case/port/fragment/tracking/query-order all normalize") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "HTTPS://Example.COM:443/path?b=2&utm_source=x&a=1#frag"),
+      (2L, "http://EXAMPLE.com:80?a=1&b=2"),   // empty path -> "/"
+      (3L, "https://example.com/p"),           // no query at all
+      (4L, "HTTP://sub.Example.Com/p?gclid=9&z=1&y=2#x"),
+      (5L, "https://example.com:8080/p?fbclid=z")) // non-default port KEPT
+      .toDF("doc_id", "url")
+    val out = TextOps.canonicalUrl(df, "doc_id", "url")
+      .orderBy($"doc_id").as[(Long, String, String)].collect().toSeq.map(_._3)
+    assert(out == Seq(
+      "https://example.com/path?a=1&b=2",
+      "http://example.com/?a=1&b=2",
+      "https://example.com/p",
+      "http://sub.example.com/p?y=2&z=1",
+      "https://example.com:8080/p"))
+    // canonicalization is idempotent
+    val again = TextOps.canonicalUrl(
+        TextOps.canonicalUrl(df, "doc_id", "url")
+          .select($"doc_id", $"canon_url".as("url")),
+        "doc_id", "url")
+      .orderBy($"doc_id").as[(Long, String, String)].collect().toSeq.map(_._3)
+    assert(again == out)
+  }
+
   test("paragraph scrub: corpus-hot lines dropped, order-preserving rebuild, df boundary") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter"

@@ -583,6 +583,13 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("WindowExec"), p.take(600))
   }
 
+  test("url canonicalization: pure per-row chain — no shuffle, no join, no window") {
+    val p = plan("q154_canonical_url")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a per-row normalization shuffled:\n${p.take(600)}")
+    assert(!p.contains("Join") && !p.contains("WindowExec"), p.take(600))
+  }
+
   test("paragraph scrub: counting shuffles line hashes, hot set broadcasts, one text rebuild") {
     val pe = SparkEntry.queries("q148_paragraph_scrub")(spark, sf)
       .queryExecution.executedPlan.toString
