@@ -2036,6 +2036,41 @@ object Pipeline {
           "WHEN doc_id % 4 = 2 THEN 'https://example.com/p' || CAST(doc_id AS VARCHAR) " +
           "ELSE 'HTTP://sub.Example.Com/p?gclid=9&z=' || CAST(doc_id AS VARCHAR) || '&y=2#x' END"
         s"SELECT * FROM (${TextOps.canonicalUrlSql("documents", "doc_id", urlExpr)}) q ORDER BY doc_id"
+      }),
+
+    // URL-level dedup — what the canonicalizer exists for: raw URLs that
+    // differ only in case/port/tracking/query-order collapse to one
+    // canonical form (here: 50 pages x 10 messy variants each), then
+    // exact dedup keeps the lowest doc_id per canonical URL with the
+    // copy count. Canonicalization is per-row; the only exchange is the
+    // dedup hash aggregate.
+    "q155_url_dedup" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id").cast("string")
+        val page = (col("doc_id") % 50).cast("string")
+        val url = when(col("doc_id") % 2 === 0,
+            concat(lit("HTTPS://Example.COM:443/page"), page,
+              lit("?utm_source=s"), d, lit("&x=1#f")))
+          .otherwise(
+            concat(lit("https://example.com/page"), page,
+              lit("?x=1&fbclid="), d))
+        Dedup.exactDedup(
+            TextOps.canonicalUrl(
+              tbl(s, dir, "documents").select(col("doc_id"), url.as("url")),
+              "doc_id", "url"),
+            "doc_id", "canon_url")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val urlExpr = "CASE WHEN doc_id % 2 = 0 " +
+          "THEN 'HTTPS://Example.COM:443/page' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=s' || CAST(doc_id AS VARCHAR) || '&x=1#f' " +
+          "ELSE 'https://example.com/page' || CAST(doc_id % 50 AS VARCHAR) || '?x=1&fbclid=' || CAST(doc_id AS VARCHAR) END"
+        s"""SELECT doc_id, text_hash, n_copies FROM (
+           |  SELECT doc_id, md5(canon_url) AS text_hash,
+           |    row_number() OVER (PARTITION BY md5(canon_url) ORDER BY doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY md5(canon_url)) AS n_copies
+           |  FROM (${TextOps.canonicalUrlSql("documents", "doc_id", urlExpr)}) c) t
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
       })
   )
 }
