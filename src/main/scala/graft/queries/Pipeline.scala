@@ -91,6 +91,49 @@ object Pipeline {
       p
     })
 
+  /** The q145/q156 audio fixture: one synthetic WAV clip per document id
+    * — groups of 5 docs share a middle-square pseudo-random 72-slice
+    * wave, each doc perturbs ONE sample — so the oracle replays
+    * decode + slicing + energy + banding relationally while Spark
+    * decodes real WAV bytes.
+    */
+  private def audioBlobs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.Par.fanOut(
+        tbl(s, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 5
+          val n = 1152
+          val kp = (id % n).toInt
+          val samples = new Array[Short](n)
+          var k = 0
+          while (k < n) {
+            val b = ((gid + 1L) * 2654435761L +
+              ((k / 16) + 3L) * 40503L) / 8192L % 65536L
+            val v = b * b / 64L % 1000L - 500L
+            val p = if (k == kp) id % 300 + 1 else 0L
+            samples(k) = (v + p).toShort
+            k += 1
+          }
+          (id, Multimodal.encodeWavPcm16(8000, samples))
+        }
+      }.toDF("doc_id", "blob")
+  }
+
+  /** Materialized AUDIO fingerprint index (the [[fpIndex]] pattern over
+    * the q145 fixture corpus): q156 times the per-batch probe.
+    */
+  private val afpIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def afpIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    afpIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-afpindex").toString
+      Multimodal.writeAudioFingerprintIndex(
+        audioBlobs(s, dir).where(col("doc_id") % 7 =!= 0), "doc_id", "blob", p)
+      p
+    })
+
   /** Materialized IVF index over the embeddings table (same standing-
     * state rationale as [[sigIndex]]: q89 times the probe, not the
     * build).
@@ -1573,29 +1616,7 @@ object Pipeline {
     // + Hamming relationally while Spark decodes the actual WAV bytes).
     "q145_audio_near_dup" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        val blobs = graft.functions.Par.fanOut(
-            tbl(s, dir, "documents").select(col("doc_id")))
-          .as[Long]
-          .mapPartitions { it =>
-            it.map { id =>
-              val gid = id / 5
-              val n = 1152
-              val kp = (id % n).toInt
-              val samples = new Array[Short](n)
-              var k = 0
-              while (k < n) {
-                val b = ((gid + 1L) * 2654435761L +
-                ((k / 16) + 3L) * 40503L) / 8192L % 65536L
-              val v = b * b / 64L % 1000L - 500L
-                val p = if (k == kp) id % 300 + 1 else 0L
-                samples(k) = (v + p).toShort
-                k += 1
-              }
-              (id, Multimodal.encodeWavPcm16(8000, samples))
-            }
-          }.toDF("doc_id", "blob")
-        Multimodal.audioNearDupPairs(blobs, "doc_id", "blob")
+        Multimodal.audioNearDupPairs(audioBlobs(s, dir), "doc_id", "blob")
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid,
@@ -2071,6 +2092,47 @@ object Pipeline {
            |    count(*) OVER (PARTITION BY md5(canon_url)) AS n_copies
            |  FROM (${TextOps.canonicalUrlSql("documents", "doc_id", urlExpr)}) c) t
            |WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
-      })
+      }),
+
+    // Incremental AUDIO near-dup against the materialized fingerprint
+    // index — the q146 steady-state probe through the shared engine's
+    // audio leg: decode + fingerprint only the batch (doc_id % 7 = 0),
+    // bucket-pruned band scan, Hamming verify vs stored arrays.
+    "q156_audio_near_dup_indexed" -> QueryDef(
+      (s, dir) => {
+        Multimodal.audioNearDupAgainstIndex(
+            audioBlobs(s, dir).where(col("doc_id") % 7 === 0),
+            "doc_id", "blob", afpIndex(s, dir))
+          .orderBy(col("id_new"), col("id_old"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid,
+             |  doc_id % 1152 AS kp FROM documents),
+             |bm AS (SELECT doc_id, kp, s.r AS s,
+             |  ((gid+1)*2654435761 + (s.r+3)*40503) // 8192 % 65536 AS b
+             |  FROM ids, range(0, 72) s(r)),
+             |smp AS (SELECT doc_id, s,
+             |  abs(b*b // 64 % 1000 - 500
+             |    + CASE WHEN s*16 + q.r = kp THEN doc_id % 300 + 1 ELSE 0 END) AS a
+             |  FROM bm, range(0, 16) q(r)),
+             |e AS (SELECT doc_id, s, sum(a) // 16 AS e FROM smp GROUP BY doc_id, s),
+             |bits AS (SELECT a.doc_id, a.s // 9 AS yj, a.s % 9 AS xi,
+             |  CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.s = a.s + 1
+             |  WHERE a.s % 9 < 8),
+             |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, yj),
+             |b16 AS (SELECT doc_id, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY doc_id, yj // 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+             |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+             |ham AS (SELECT c.id_new, c.id_old,
+             |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands x ON x.doc_id = c.id_new
+             |    JOIN bands y ON y.doc_id = c.id_old AND y.yj = x.yj
+             |  GROUP BY c.id_new, c.id_old)
+             |SELECT id_new, id_old, hamming FROM ham WHERE hamming <= 3
+             |ORDER BY id_new, id_old""".stripMargin.replace("\n", " ")))
   )
 }

@@ -606,6 +606,14 @@ class PlanContractSpec extends AnyFunSuite {
       s"unexpected exchange key: $keys")
   }
 
+  test("indexed audio near-dup: band scan prunes to the batch's bucket footprint") {
+    val p = plan("q156_audio_near_dup_indexed")
+    assert("PartitionFilters: \\[[^\\]]*bk".r.findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("WindowExec"), p.take(600))
+  }
+
   test("audio near-dup: same banded single-join contract as the image path") {
     val p = plan("q145_audio_near_dup")
     assert(!p.contains("CartesianProduct") &&
