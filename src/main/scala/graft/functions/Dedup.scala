@@ -84,6 +84,21 @@ object Dedup {
     * construction) reaches the index scan as a partition filter;
     * representatives collapse through a batch-keyed min, so replayed
     * index appends cannot fan the probe out.
+    *
+    * SELF-MATCH CONTRACT: `dup_of` CAN equal the probing id — a doc
+    * whose own row is already indexed (an at-least-once replay after a
+    * successful append, or a deliberate re-probe of ingested docs)
+    * reports itself as its hash's representative rather than null.
+    * Callers deciding keep/drop must treat `dup_of === id` as "kept"
+    * (derive the verdict from the representative, the
+    * [[graft.streaming.StreamingRawIngest]] gate's
+    * `coalesce(dup_of, batch_rep) === id` form), never from
+    * `dup_of IS NULL` alone.
+    *
+    * The index read carries an explicit schema derived from the batch,
+    * so probing an index seeded from an EMPTY corpus (zero data files
+    * under `hashes/` — partitionBy writes none) returns all-null
+    * `dup_of` instead of failing schema inference.
     */
   def exactDupsAgainstIndexed(
       batch: DataFrame,
@@ -91,12 +106,17 @@ object Dedup {
       textCol: String,
       path: String,
       buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
     val spark = batch.sparkSession
     val h = batch
       .select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
       .withColumn("hb", hashBucket(buckets))
     val bks = h.select(col("hb")).distinct().collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(s"$path/hashes")
+    val idxSchema = StructType(Seq(
+      StructField(idCol, batch.schema(idCol).dataType),
+      StructField("text_hash", StringType),
+      StructField("hb", IntegerType)))
+    val idx = spark.read.schema(idxSchema).parquet(s"$path/hashes")
       .where(col("hb").isin(bks: _*))
       .select(col("text_hash"), col(idCol).as("dup_of"))
     h.select(col(idCol), col("text_hash"))

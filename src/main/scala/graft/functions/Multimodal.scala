@@ -658,6 +658,14 @@ object Multimodal {
     * candidates against the index's stored `hashes/` arrays semi-joined
     * down to the candidates — the per-batch cost a deployment pays once
     * the fingerprint index stands. Output: (id_new, id_old, hamming).
+    *
+    * Self-matches are EXCLUDED (`id_new =!= id_old` in the candidate
+    * join): a batch doc whose own fingerprint is already indexed — an
+    * at-least-once replay after [[appendFingerprintIndex]], or an
+    * accidental re-ingest — would otherwise report itself as a
+    * hamming-0 near-dup of itself, which downstream resolution would
+    * read as "drop the doc". Re-probed docs therefore see only their
+    * GENUINE neighbors, same verdicts as the first run.
     */
   def nearDupAgainstFingerprintIndex(
       batchHashed: DataFrame,
@@ -678,6 +686,7 @@ object Multimodal {
       .select(col("id").as("id_new"), col("bands").as("ba"),
         col("b_idx"), col("b_val"))
       .join(idxBands, Seq("b_idx", "b_val"))
+      .where(col("id_new") =!= col("id_old"))
       .groupBy(col("id_new"), col("id_old"))
       .agg(first(col("ba")).as("ba"))
     val idxHashes = spark.read.parquet(s"$indexPath/hashes")

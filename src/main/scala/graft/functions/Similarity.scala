@@ -68,6 +68,13 @@ object Similarity {
     * id). An eval set past broadcast reach uses the standing IVF index
     * with eval vectors as queries instead ([[ivfTopKIndexed]], the q89
     * plan) and trades exactness for nprobe.
+    *
+    * Every non-eval corpus row survives to the output: the eval sweep is
+    * a LEFT broadcast join, so an eval predicate matching ZERO rows
+    * yields every corpus row with `max_dot` NULL and
+    * `contaminated = false` (nothing to be contaminated BY) instead of
+    * an empty frame, and rows where `evalPred` evaluates NULL are
+    * coalesced to the corpus side rather than dropped from both.
     */
   def semanticDecontaminate(
       df: DataFrame,
@@ -75,16 +82,22 @@ object Similarity {
       embCol: String,
       evalPred: Column,
       tau: Long): DataFrame = {
-    val corpus = Par.fanOut(df.select(col(idCol), col(embCol)))
-      .select(col(idCol), quantize(col(embCol)).as("qe"))
-    val evals = corpus.where(evalPred)
+    // evaluate the predicate against the FULL input frame (it may read
+    // columns outside the id/embedding projection), NULL-coalesced to
+    // the corpus side
+    val corpus = Par.fanOut(df.select(col(idCol), col(embCol),
+        coalesce(evalPred, lit(false)).as("is_eval")))
+      .select(col(idCol), quantize(col(embCol)).as("qe"), col("is_eval"))
+    val evals = corpus.where(col("is_eval"))
       .select(col("qe").as("ev"))
-    corpus.where(!evalPred).join(broadcast(evals))
-      .select(col(idCol), dotQ(col("ev"), col("qe")).as("dot"))
+    corpus.where(!col("is_eval"))
+      .join(broadcast(evals), lit(true), "left")
+      .select(col(idCol),
+        when(col("ev").isNotNull, dotQ(col("ev"), col("qe"))).as("dot"))
       .groupBy(col(idCol))
       .agg(max(col("dot")).as("max_dot"))
       .select(col(idCol), col("max_dot"),
-        (col("max_dot") >= tau).as("contaminated"))
+        coalesce(col("max_dot") >= tau, lit(false)).as("contaminated"))
   }
 
   /** Deterministic pseudo-random hyperplane j as a LITERAL array — the

@@ -1464,10 +1464,14 @@ object TextOps {
     *
     * Plan: the frequency model exchange carries (line-hash, doc) LONG
     * pairs — paragraph text never shuffles for counting ([[portableHash]]
-    * keys, the q141/q105 compact-key discipline); the hot set is tiny by
-    * construction (only lines with df > maxDf) and broadcasts onto the
-    * line stream; the only text-carrying exchange is the per-doc rebuild
-    * — irreducible, the q110 argument. Output: (id, text_scrubbed,
+    * keys, the q141/q105 compact-key discipline); the only text-carrying
+    * exchange is the per-doc rebuild — irreducible, the q110 argument.
+    * The hot-set join is NOT hint-forced: the hot set (every distinct
+    * line with df > maxDf) is data-dependent and unbounded on a
+    * boilerplate-heavy crawl, so a forced broadcast is a driver OOM at
+    * the 100 TB scale this targets — AQE broadcasts it when its runtime
+    * size actually fits and falls back to a shuffled hash join on the
+    * 8-byte `lh` key when it doesn't. Output: (id, text_scrubbed,
     * n_kept, n_dropped); a fully-boilerplate doc yields "" (never NULL).
     */
   def paragraphScrub(
@@ -1487,7 +1491,7 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("df"))
       .where(col("df") > maxDf)
       .select(col("lh"), lit(true).as("is_hot"))
-    lines.join(broadcast(hot), Seq("lh"), "left")
+    lines.join(hot, Seq("lh"), "left")
       .select(col(idCol), col("pos"), col("line"),
         coalesce(col("is_hot"), lit(false)).as("hot"))
       .groupBy(col(idCol))

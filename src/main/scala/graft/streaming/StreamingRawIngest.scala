@@ -136,8 +136,22 @@ object StreamingRawIngest {
   /** The shared per-batch gate: probe → verdicts → quarantine → curate →
     * index append. `valid` must carry the documents schema (doc_id,
     * text, ...); `quar` one `_corrupt` string column.
+    *
+    * REPLAY IDEMPOTENCE: the index append is at-least-once (a crash
+    * between [[Dedup.appendHashIndex]] and the checkpoint commit replays
+    * the batch against an index that already holds the batch's own kept
+    * docs). On replay the probe then reports each kept doc as a dup of
+    * ITSELF (`dup_of = doc_id`, the min-representative contract
+    * [[Dedup.exactDupsAgainstIndexed]] documents), so `kept` is derived
+    * from the representative — `rep === doc_id`, self-representative
+    * counts as kept — not from `dup_of IS NULL`. A replayed batch
+    * therefore reproduces bit-identical verdicts/curated output; the
+    * naive null-test would flip `kept` to false and overwrite the
+    * batch's curated directory with an empty set (round-13 ADVICE,
+    * high). StreamOpsSpec's crash-replay battery re-runs the gate after
+    * a successful append and asserts the outputs match.
     */
-  private def gate(
+  private[graft] def gate(
       valid: DataFrame,
       quar: DataFrame,
       batchId: Long,
@@ -154,7 +168,7 @@ object StreamingRawIngest {
         col("doc_id"),
         col("text_hash"),
         coalesce(col("dup_of"), col("batch_rep")).as("rep"),
-        (col("dup_of").isNull && col("doc_id") === col("batch_rep")).as("kept"))
+        (coalesce(col("dup_of"), col("batch_rep")) === col("doc_id")).as("kept"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       verdicts.write.mode("overwrite").parquet(s"$verdictsDir/batch_id=$batchId")

@@ -2195,4 +2195,68 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.audioNearDupPairs(df, "doc_id", "blob", numBands = 3)
     }
   }
+
+  test("fingerprint probe excludes self-matches after an at-least-once re-ingest") {
+    import spark.implicits._
+    val gradA = Multimodal.encodeGrayPng(18, 16, (x, _) => x * 10)
+    val gradC = Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == 0 && y == 0) 255 else x * 10) // hamming 1 vs A
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpidx-self").toString
+    Multimodal.writeImageFingerprintIndex(
+      Seq((1L, gradA)).toDF("doc_id", "blob"), "doc_id", "blob", dir)
+    val batch = Seq((2L, gradC)).toDF("doc_id", "blob")
+    Multimodal.appendFingerprintIndex(
+      Multimodal.imageDHash(batch, "doc_id", "blob")
+        .select($"doc_id".as("id"), $"bands"), dir)
+    // replayed probe of the SAME batch: doc 2 is in the index now — it
+    // must NOT report itself as a hamming-0 dup, only its true neighbor
+    val replay = Multimodal.imageNearDupAgainstIndex(
+        batch, "doc_id", "blob", dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(replay == Seq((2L, 1L, 1L)), s"self-match must be excluded: $replay")
+  }
+
+  test("exact-dedup index seeded from an EMPTY corpus probes cleanly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-idx").toString
+    Dedup.writeHashIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", dir)
+    val probe = Dedup.exactDupsAgainstIndexed(
+        Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      .select($"doc_id", $"dup_of").as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(probe == Seq((1L, None), (2L, None), (3L, None)),
+      s"empty index: every hash is new, $probe")
+    // and the index still grows + probes normally afterwards
+    Dedup.appendHashIndex(Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val again = Dedup.exactDupsAgainstIndexed(
+        Seq((9L, "a")).toDF("doc_id", "text"), "doc_id", "text", dir)
+      .select($"dup_of").as[Option[Long]].collect().toSeq
+    assert(again == Seq(Some(1L)))
+  }
+
+  test("semantic decontamination survives an empty or NULL-valued eval predicate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 4L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    // zero-row eval set: every corpus row survives, uncontaminated
+    val out = Similarity.semanticDecontaminate(df, "vec_id", "embedding",
+        col("vec_id") === -1L, tau = 0L)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"max_dot", $"contaminated")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(out.forall(r => r._2.isEmpty && !r._3),
+      s"no eval rows -> max_dot NULL, contaminated=false: $out")
+    // NULL-evaluating predicate coalesces to false (corpus side), not row loss
+    val nullPred = Similarity.semanticDecontaminate(
+        df.withColumn("flag", when($"vec_id" === 0L, true)), // others NULL
+        "vec_id", "embedding", col("flag"), tau = Long.MinValue)
+      .orderBy($"vec_id").select($"vec_id", $"contaminated")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(nullPred.map(_._1) == Seq(1L, 2L, 3L),
+      s"NULL-pred rows stay on the corpus side: $nullPred")
+    assert(nullPred.forall(_._2), "tau=MinValue flags all swept rows")
+  }
 }

@@ -425,4 +425,40 @@ class StreamOpsSpec extends AnyFunSuite {
     val ones = VolumeGen.constant(spark, "k", 0, Region.Box(0, 4, 0, 4, 0, 2), 0 until 1, 1L)
     assert(ones.count() == 32 && ones.map(_.value).distinct().collect().toSeq == Seq(1L))
   }
+
+  test("raw-ingest gate crash-replay: re-running a batch after its index append is idempotent") {
+    import spark.implicits._
+    // Simulates the at-least-once window: the micro-batch crashed AFTER
+    // Dedup.appendHashIndex but BEFORE the checkpoint commit, so the
+    // replayed batch probes an index that already holds its own kept
+    // docs. The replay must reproduce bit-identical verdicts and the
+    // same curated set — NOT flip kept to false and overwrite the
+    // curated directory with an empty one (round-13 ADVICE, high).
+    val idx = java.nio.file.Files.createTempDirectory("replay-idx").toString
+    val curated = java.nio.file.Files.createTempDirectory("replay-cur").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("replay-verd").toString
+    val quar = java.nio.file.Files.createTempDirectory("replay-quar").toString
+    graft.functions.Dedup.writeHashIndex(
+      Seq((1L, "standing text")).toDF("doc_id", "text"), "doc_id", "text", idx)
+    val valid = Seq(
+      (10L, "standing text", "en", "s", 13L),   // standing dup
+      (11L, "batch original", "en", "s", 14L),  // kept
+      (12L, "batch original", "en", "s", 14L),  // intra-batch dup of 11
+      (13L, "fresh text", "en", "s", 10L))      // kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noQuar = Seq.empty[String].toDF("_corrupt")
+    def run() = StreamingRawIngest.gate(valid, noQuar, 0L, idx, curated, verdicts, quar)
+    def snap() = (
+      spark.read.parquet(verdicts)
+        .select($"doc_id", $"text_hash", $"rep", $"kept")
+        .as[(Long, String, Long, Boolean)].collect().toSet,
+      spark.read.parquet(curated).select($"doc_id").as[Long].collect().sorted.toSeq)
+    run() // first (successful) run: verdicts + curated + index append
+    val (v1, c1) = snap()
+    assert(c1 == Seq(11L, 13L), s"first run keeps 11 and 13: $c1")
+    run() // crash-replay: same batch id, index already grown by run 1
+    val (v2, c2) = snap()
+    assert(v2 == v1, s"replayed verdicts must be bit-identical:\n  $v1\n  vs\n  $v2")
+    assert(c2 == c1, s"replayed curated set must survive: $c1 vs $c2")
+  }
 }
