@@ -86,6 +86,22 @@ object IndexMaintenance {
     ()
   }
 
+  /** Compact a [[Multimodal.writeFingerprintIndex]] media index grown by
+    * [[Multimodal.appendFingerprintIndex]] (the image/audio/video
+    * modality legs all share it): merges each `bands/bk=` bucket
+    * directory to one file and the Hamming-verification `hashes/` table
+    * to `hashFiles`. Same hashes-before-bands ordering as the writer —
+    * a crash between the two swaps leaves at worst a compacted
+    * verification table next to an uncompacted band table, never band
+    * rows whose hashes are missing.
+    */
+  def compactFingerprintIndex(
+      spark: SparkSession, path: String, hashFiles: Int = 4): Unit = {
+    compactParquetTable(spark, s"$path/hashes", None, hashFiles)
+    compactParquetTable(spark, s"$path/bands", Some("bk"))
+    ()
+  }
+
   /** Compact a [[Similarity.writeIvfIndex]] index grown by
     * [[Similarity.appendIvfIndex]]: merges each `cells/cell=` directory
     * to one file. The centroid model is untouched.

@@ -778,6 +778,28 @@ object Multimodal {
       imageDHash(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
       indexPath, maxHamming, numBands, buckets)
 
+  /** [[writeFingerprintIndex]] fed by the video spatio-temporal path —
+    * the fourth modality's standing index (decode cost is paid once at
+    * build; each ingest batch decodes only its own clips). */
+  def writeVideoFingerprintIndex(
+      df: DataFrame, idCol: String, blobCol: String, path: String,
+      numBands: Int = 4, buckets: Int = 64): Unit =
+    writeFingerprintIndex(
+      videoFingerprint(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
+      path, numBands, buckets)
+
+  /** Incremental video near-dup against a standing fingerprint index:
+    * decode + fingerprint ONLY the batch's clips (8 sampled frames
+    * each), probe the index's band table bucket-pruned, Hamming-verify
+    * against stored arrays — the steady-state per-batch path for the
+    * video modality ([[nearDupAgainstFingerprintIndex]]). */
+  def videoNearDupAgainstIndex(
+      df: DataFrame, idCol: String, blobCol: String, indexPath: String,
+      maxHamming: Int = 3, numBands: Int = 4, buckets: Int = 64): DataFrame =
+    nearDupAgainstFingerprintIndex(
+      videoFingerprint(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
+      indexPath, maxHamming, numBands, buckets)
+
   /** [[writeFingerprintIndex]] fed by the audio fingerprint path. */
   def writeAudioFingerprintIndex(
       df: DataFrame, idCol: String, blobCol: String, path: String,

@@ -122,6 +122,55 @@ object Pipeline {
       }.toDF("doc_id", "blob")
   }
 
+  /** The q149/q157 video fixture: one synthetic AVI clip per document id
+    * — groups of 5 docs share a middle-square pseudo-random clip, each
+    * doc perturbs ONE pixel of ONE frame — so the oracle replays
+    * decode + frame/probe sampling + banding relationally while Spark
+    * parses real AVI containers.
+    */
+  private def videoBlobs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.Par.fanOut(
+        tbl(s, dir, "documents").select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 5
+          val w = (18 + gid % 9).toInt
+          val h = (12 + gid % 7).toInt
+          val nf = (8 + gid % 5).toInt
+          val pf = (id % nf).toInt
+          val px = (id % w).toInt
+          val py = (id * 3 % h).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h) { k =>
+              val (x, y) = (k % w, k / w)
+              val b = ((gid + 1L) * 2654435761L +
+                (f * 1009L + x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
+              val base = (b * b / 64L % 256L).toInt
+              val v = if (f == pf && x == px && y == py)
+                ((base + id) % 256).toInt else base
+              v.toByte
+            }
+          }
+          (id, Multimodal.encodeAviDib(w, h, frames))
+        }
+      }.toDF("doc_id", "blob")
+  }
+
+  /** Materialized VIDEO fingerprint index (the [[fpIndex]] pattern over
+    * the q149 fixture corpus): q157 times the per-batch probe — the
+    * fourth modality's steady-state path.
+    */
+  private val vfpIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def vfpIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    vfpIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-vfpindex").toString
+      Multimodal.writeVideoFingerprintIndex(
+        videoBlobs(s, dir).where(col("doc_id") % 7 =!= 0), "doc_id", "blob", p)
+      p
+    })
+
   /** Materialized AUDIO fingerprint index (the [[fpIndex]] pattern over
     * the q145 fixture corpus): q156 times the per-batch probe.
     */
@@ -1786,34 +1835,7 @@ object Pipeline {
     // q144/q145.
     "q149_video_near_dup" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        val blobs = graft.functions.Par.fanOut(
-            tbl(s, dir, "documents").select(col("doc_id")))
-          .as[Long]
-          .mapPartitions { it =>
-            it.map { id =>
-              val gid = id / 5
-              val w = (18 + gid % 9).toInt
-              val h = (12 + gid % 7).toInt
-              val nf = (8 + gid % 5).toInt
-              val pf = (id % nf).toInt
-              val px = (id % w).toInt
-              val py = (id * 3 % h).toInt
-              val frames = (0 until nf).map { f =>
-                Array.tabulate(w * h) { k =>
-                  val (x, y) = (k % w, k / w)
-                  val b = ((gid + 1L) * 2654435761L +
-                    (f * 1009L + x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
-                  val base = (b * b / 64L % 256L).toInt
-                  val v = if (f == pf && x == px && y == py)
-                    ((base + id) % 256).toInt else base
-                  v.toByte
-                }
-              }
-              (id, Multimodal.encodeAviDib(w, h, frames))
-            }
-          }.toDF("doc_id", "blob")
-        Multimodal.videoNearDupPairs(blobs, "doc_id", "blob")
+        Multimodal.videoNearDupPairs(videoBlobs(s, dir), "doc_id", "blob")
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
@@ -2119,6 +2141,57 @@ object Pipeline {
              |  CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
              |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.s = a.s + 1
              |  WHERE a.s % 9 < 8),
+             |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, yj),
+             |b16 AS (SELECT doc_id, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY doc_id, yj // 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+             |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+             |ham AS (SELECT c.id_new, c.id_old,
+             |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands x ON x.doc_id = c.id_new
+             |    JOIN bands y ON y.doc_id = c.id_old AND y.yj = x.yj
+             |  GROUP BY c.id_new, c.id_old)
+             |SELECT id_new, id_old, hamming FROM ham WHERE hamming <= 3
+             |ORDER BY id_new, id_old""".stripMargin.replace("\n", " "))),
+
+    // Incremental VIDEO near-dup against the materialized fingerprint
+    // index — closes the steady-state symmetry across all four
+    // modalities (q87 text / q146 image / q156 audio / this): decode +
+    // fingerprint only the batch's clips (8 sampled frames each,
+    // doc_id % 7 = 0), bucket-pruned band scan over the standing
+    // corpus's index, Hamming verify vs stored arrays. Oracle replays
+    // decode, frame/probe sampling, banding, the cross-split candidate
+    // join, and Hamming relationally from the AVI fixture's pixel
+    // formula.
+    "q157_video_near_dup_indexed" -> QueryDef(
+      (s, dir) => {
+        Multimodal.videoNearDupAgainstIndex(
+            videoBlobs(s, dir).where(col("doc_id") % 7 === 0),
+            "doc_id", "blob", vfpIndex(s, dir))
+          .orderBy(col("id_new"), col("id_old"))
+      },
+      Some("""WITH ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
+             |d AS (SELECT doc_id, gid, 18 + gid % 9 AS w, 12 + gid % 7 AS h,
+             |  8 + gid % 5 AS nf FROM ids),
+             |d2 AS (SELECT doc_id, gid, w, h, nf, doc_id % nf AS pf,
+             |  doc_id % w AS px, (doc_id * 3) % h AS py FROM d),
+             |g AS (SELECT doc_id, gid, pf, px, py, i.r AS xi, j.r AS yj,
+             |  j.r * nf // 8 AS sf, i.r * w // 9 AS sx, h // 2 AS sy,
+             |  ((gid+1)*2654435761 +
+             |   ((j.r * nf // 8)*1009 + (i.r * w // 9)*29 + (h // 2)*13 + 7)*40503)
+             |    // 8192 % 65536 AS bm
+             |  FROM d2, range(0, 9) i(r), range(0, 8) j(r)),
+             |p AS (SELECT doc_id, xi, yj,
+             |  CASE WHEN sf = pf AND sx = px AND sy = py
+             |    THEN (bm*bm // 64 % 256 + doc_id) % 256
+             |    ELSE bm*bm // 64 % 256 END AS pv FROM g),
+             |bits AS (SELECT a.doc_id, a.yj, a.xi,
+             |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+             |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.yj = b.yj
+             |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
              |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
              |  FROM bits GROUP BY doc_id, yj),
              |b16 AS (SELECT doc_id, yj // 2 AS bj,

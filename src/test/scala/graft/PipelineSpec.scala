@@ -2196,6 +2196,77 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint-index compaction: 1 file/bucket-dir, probe results unchanged") {
+    import spark.implicits._
+    import graft.functions.IndexMaintenance
+    def grad(shift: Int) = Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == shift % 18 && y == shift / 18 % 16) 255 else x * 10)
+    val dir = java.nio.file.Files.createTempDirectory("compact-fp").toString
+    Multimodal.writeImageFingerprintIndex(
+      (1L to 6L).map(i => (i, grad(i.toInt))).toDF("doc_id", "blob"),
+      "doc_id", "blob", dir)
+    // grow by three appended batches (one file set each), one REPLAYED
+    (7L to 12L).grouped(3).foreach { b =>
+      val hashed = Multimodal.imageDHash(
+          b.map(i => (i, grad(i.toInt))).toDF("doc_id", "blob"), "doc_id", "blob")
+        .select($"doc_id".as("id"), $"bands")
+      Multimodal.appendFingerprintIndex(hashed, dir)
+    }
+    val batch = Seq((100L, grad(3)), (101L, grad(9))).toDF("doc_id", "blob")
+    val before = Multimodal.imageNearDupAgainstIndex(batch, "doc_id", "blob", dir)
+      .collect().toSet
+    assert(before.nonEmpty, "probe must hit the grown index")
+    val filesBefore = spark.read.parquet(s"$dir/bands").inputFiles.length
+    IndexMaintenance.compactFingerprintIndex(spark, dir)
+    val bands = spark.read.parquet(s"$dir/bands")
+    assert(bands.inputFiles.length < filesBefore)
+    val perDir = bands.inputFiles
+      .groupBy(f => f.substring(0, f.lastIndexOf('/'))).values.map(_.length)
+    assert(perDir.forall(_ == 1), s"expected 1 file/bucket dir, got ${perDir.toSeq.max}")
+    assert(spark.read.parquet(s"$dir/hashes").inputFiles.length <= 4)
+    assert(Multimodal.imageNearDupAgainstIndex(batch, "doc_id", "blob", dir)
+      .collect().toSet == before, "compaction must not change probe results")
+  }
+
+  test("video fingerprint index: build, pruned probe, append, compaction parity") {
+    import spark.implicits._
+    import graft.functions.IndexMaintenance
+    def clip(perturb: Int) = {
+      val (w, h, nf) = (18, 12, 8)
+      val frames = (0 until nf).map { f =>
+        Array.tabulate(w * h) { k =>
+          val x = k % w
+          val v = x * 10
+          (if (f == 0 && k == perturb) 255 else v).toByte
+        }
+      }
+      Multimodal.encodeAviDib(w, h, frames)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-vfp-spec").toString
+    // standing corpus: two perturbed variants of one gradient clip
+    Multimodal.writeVideoFingerprintIndex(
+      Seq((1L, clip(5)), (2L, clip(40))).toDF("doc_id", "blob"),
+      "doc_id", "blob", dir)
+    val probe = Multimodal.videoNearDupAgainstIndex(
+        Seq((3L, clip(77)), (4L, "junk".getBytes("UTF-8"))).toDF("doc_id", "blob"),
+        "doc_id", "blob", dir)
+      .orderBy($"id_old").as[(Long, Long, Long)].collect().toSeq
+    // perturbations off the sampled middle row -> identical fingerprints
+    assert(probe.map(p => (p._1, p._2)) == Seq((3L, 1L), (3L, 2L)),
+      s"batch clip must match both standing variants, junk declines: $probe")
+    Multimodal.appendFingerprintIndex(
+      Multimodal.videoFingerprint(Seq((5L, clip(90))).toDF("doc_id", "blob"),
+        "doc_id", "blob").select($"doc_id".as("id"), $"bands"), dir)
+    val grown = Multimodal.videoNearDupAgainstIndex(
+        Seq((6L, clip(3))).toDF("doc_id", "blob"), "doc_id", "blob", dir)
+      .collect().toSet
+    assert(grown.size == 3, s"probe must hit build-time AND appended rows: $grown")
+    IndexMaintenance.compactFingerprintIndex(spark, dir)
+    assert(Multimodal.videoNearDupAgainstIndex(
+        Seq((6L, clip(3))).toDF("doc_id", "blob"), "doc_id", "blob", dir)
+      .collect().toSet == grown)
+  }
+
   test("fingerprint probe excludes self-matches after an at-least-once re-ingest") {
     import spark.implicits._
     val gradA = Multimodal.encodeGrayPng(18, 16, (x, _) => x * 10)
