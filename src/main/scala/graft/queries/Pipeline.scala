@@ -2206,6 +2206,125 @@ object Pipeline {
              |    JOIN bands y ON y.doc_id = c.id_old AND y.yj = x.yj
              |  GROUP BY c.id_new, c.id_old)
              |SELECT id_new, id_old, hamming FROM ham WHERE hamming <= 3
-             |ORDER BY id_new, id_old""".stripMargin.replace("\n", " ")))
+             |ORDER BY id_new, id_old""".stripMargin.replace("\n", " "))),
+
+    // AUDIO dedup resolution — the q153 composition over the audio leg:
+    // banded energy-gradient pairs (q145) -> transitive closure ->
+    // lowest-id representative per duplicate cluster, one verdict row
+    // per clip. The oracle replays decode + slicing + energy + banding +
+    // a recursive-CTE closure.
+    "q158_audio_dedup_resolve" -> QueryDef(
+      (s, dir) => {
+        val blobs = audioBlobs(s, dir)
+        val pairs = Multimodal.audioNearDupPairs(blobs, "doc_id", "blob")
+        val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
+        blobs.select(col("doc_id"))
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("rep"),
+            (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE ids AS (SELECT doc_id, doc_id // 5 AS gid,
+             |  doc_id % 1152 AS kp FROM documents),
+             |bm AS (SELECT doc_id, kp, s.r AS s,
+             |  ((gid+1)*2654435761 + (s.r+3)*40503) // 8192 % 65536 AS b
+             |  FROM ids, range(0, 72) s(r)),
+             |smp AS (SELECT doc_id, s,
+             |  abs(b*b // 64 % 1000 - 500
+             |    + CASE WHEN s*16 + q.r = kp THEN doc_id % 300 + 1 ELSE 0 END) AS a
+             |  FROM bm, range(0, 16) q(r)),
+             |e0 AS (SELECT doc_id, s, sum(a) // 16 AS e FROM smp GROUP BY doc_id, s),
+             |bits AS (SELECT a.doc_id, a.s // 9 AS yj, a.s % 9 AS xi,
+             |  CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM e0 a JOIN e0 b ON a.doc_id = b.doc_id AND b.s = a.s + 1
+             |  WHERE a.s % 9 < 8),
+             |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, yj),
+             |b16 AS (SELECT doc_id, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY doc_id, yj // 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+             |    AND a.doc_id < b.doc_id),
+             |ham AS (SELECT c.id_a, c.id_b,
+             |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands x ON x.doc_id = c.id_a
+             |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
+             |  GROUP BY c.id_a, c.id_b),
+             |pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+             |edg AS (SELECT id_a AS u, id_b AS v FROM pairs
+             |      UNION SELECT id_b, id_a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM edg
+             |  UNION
+             |  SELECT r.u, edg.v FROM reach r JOIN edg ON edg.u = r.v),
+             |cc AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+             |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS rep,
+             |       coalesce(cc.component, d.doc_id) = d.doc_id AS kept
+             |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
+    // VIDEO dedup resolution — the same composition over the video leg
+    // (q149 pairs -> closure -> canonical keep); with this row every
+    // modality has BOTH halves of the dedup story oracle-checked:
+    // steady-state indexed probe (q87/q146/q156/q157) and full-corpus
+    // resolution (q85/q153/q158/this).
+    "q159_video_dedup_resolve" -> QueryDef(
+      (s, dir) => {
+        val blobs = videoBlobs(s, dir)
+        val pairs = Multimodal.videoNearDupPairs(blobs, "doc_id", "blob")
+        val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
+        blobs.select(col("doc_id"))
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("rep"),
+            (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
+             |d0 AS (SELECT doc_id, gid, 18 + gid % 9 AS w, 12 + gid % 7 AS h,
+             |  8 + gid % 5 AS nf FROM ids),
+             |d2 AS (SELECT doc_id, gid, w, h, nf, doc_id % nf AS pf,
+             |  doc_id % w AS px, (doc_id * 3) % h AS py FROM d0),
+             |g AS (SELECT doc_id, gid, pf, px, py, i.r AS xi, j.r AS yj,
+             |  j.r * nf // 8 AS sf, i.r * w // 9 AS sx, h // 2 AS sy,
+             |  ((gid+1)*2654435761 +
+             |   ((j.r * nf // 8)*1009 + (i.r * w // 9)*29 + (h // 2)*13 + 7)*40503)
+             |    // 8192 % 65536 AS bm
+             |  FROM d2, range(0, 9) i(r), range(0, 8) j(r)),
+             |p AS (SELECT doc_id, xi, yj,
+             |  CASE WHEN sf = pf AND sx = px AND sy = py
+             |    THEN (bm*bm // 64 % 256 + doc_id) % 256
+             |    ELSE bm*bm // 64 % 256 END AS pv FROM g),
+             |bits AS (SELECT a.doc_id, a.yj, a.xi,
+             |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+             |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.yj = b.yj
+             |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
+             |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY doc_id, yj),
+             |b16 AS (SELECT doc_id, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY doc_id, yj // 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+             |    AND a.doc_id < b.doc_id),
+             |ham AS (SELECT c.id_a, c.id_b,
+             |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+             |  FROM cand c JOIN bands x ON x.doc_id = c.id_a
+             |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
+             |  GROUP BY c.id_a, c.id_b),
+             |pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+             |edg AS (SELECT id_a AS u, id_b AS v FROM pairs
+             |      UNION SELECT id_b, id_a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM edg
+             |  UNION
+             |  SELECT r.u, edg.v FROM reach r JOIN edg ON edg.u = r.v),
+             |cc AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+             |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS rep,
+             |       coalesce(cc.component, d.doc_id) = d.doc_id AS kept
+             |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")))
   )
 }
