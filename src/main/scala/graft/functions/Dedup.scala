@@ -47,33 +47,47 @@ object Dedup {
     * `(text_hash, idCol)` row per KEPT (lowest-id) document, partitioned
     * by hash bucket so a batch probe prunes to its bucket directories —
     * a batch is O(batch + matched rows) against any corpus size.
+    *
+    * `buckets = 0` (the default) sizes the bucket count from the corpus
+    * ([[IndexMeta.adaptiveBuckets]] — ~256 Ki rows/bucket, floor 64) and
+    * records the choice in `<path>/buckets.json`, which the append and
+    * probe paths read back so all three always agree on the modulus
+    * (a disagreement would prune away matching directories). The sizing
+    * input is the raw corpus count — an upper bound on kept rows, which
+    * only ever rounds the power-of-two up by one step on a
+    * duplicate-heavy corpus.
     */
   def writeHashIndex(
       corpus: DataFrame,
       idCol: String,
       textCol: String,
       path: String,
-      buckets: Int = 64): Unit =
+      buckets: Int = 0): Unit = {
+    val b = if (buckets > 0) buckets
+            else IndexMeta.adaptiveBuckets(corpus.count())
+    IndexMeta.write(corpus.sparkSession, path, b)
     exactDedup(corpus, idCol, textCol)
       .select(col(idCol), col("text_hash"))
-      .withColumn("hb", hashBucket(buckets))
+      .withColumn("hb", hashBucket(b))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("hb").parquet(s"$path/hashes")
+  }
 
   /** Append a batch's rows to a [[writeHashIndex]] index. The CALLER
     * passes only docs whose hash is new (the kept rows of an ingest
     * step) — the index keeps its one-row-per-hash invariant; probes
     * stay correct under at-least-once replays regardless (they take the
-    * min representative per hash).
+    * min representative per hash). `buckets = 0` (default) follows the
+    * count recorded at build time.
     */
   def appendHashIndex(
       kept: DataFrame,
       idCol: String,
       textCol: String,
       path: String,
-      buckets: Int = 64): Unit =
+      buckets: Int = 0): Unit =
     kept.select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
-      .withColumn("hb", hashBucket(buckets))
+      .withColumn("hb", hashBucket(IndexMeta.resolve(kept.sparkSession, path, buckets)))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("hb").parquet(s"$path/hashes")
 
@@ -105,12 +119,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       path: String,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
     val spark = batch.sparkSession
     val h = batch
       .select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
-      .withColumn("hb", hashBucket(buckets))
+      .withColumn("hb", hashBucket(IndexMeta.resolve(spark, path, buckets)))
     val bks = h.select(col("hb")).distinct().collect().map(_.getInt(0)).toSeq
     val idxSchema = StructType(Seq(
       StructField(idCol, batch.schema(idCol).dataType),

@@ -624,29 +624,50 @@ object Multimodal {
     * as the signature index: orphan verification rows are harmless,
     * band rows whose hashes are missing would silently drop candidates
     * in the verify inner join).
+    *
+    * `buckets = 0` (the default) sizes the bucket count from the index
+    * itself ([[IndexMeta.adaptiveBuckets]] over the band-row count,
+    * ~256 Ki rows/bucket, floor 64 — fixed 64 stops pruning once every
+    * batch's footprint covers all 64 directories) and records it in
+    * `<path>/buckets.json` for the append/probe paths. The count is
+    * taken from the just-written `hashes/` table, NOT the input frame —
+    * `hashed` is usually a decode pipeline, and counting it would run
+    * every codec twice.
     */
   def writeFingerprintIndex(
       hashed: DataFrame,
       path: String,
       numBands: Int = 4,
-      buckets: Int = 64,
+      buckets: Int = 0,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit = {
     requireBanding(0, numBands)
+    val spark = hashed.sparkSession
     hashed.select(col("id"), col("bands"))
       .write.mode(mode).parquet(s"$path/hashes")
+    val b =
+      if (mode == org.apache.spark.sql.SaveMode.Append)
+        IndexMeta.resolve(spark, path, buckets)
+      else if (buckets > 0) { IndexMeta.write(spark, path, buckets); buckets }
+      else {
+        val n = spark.read.parquet(s"$path/hashes").count()
+        val adaptive = IndexMeta.adaptiveBuckets(n * numBands)
+        IndexMeta.write(spark, path, adaptive)
+        adaptive
+      }
     hashed.select(col("id"),
         posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
-      .withColumn("bk", fpBucket(buckets))
+      .withColumn("bk", fpBucket(b))
       .write.mode(mode).partitionBy("bk").parquet(s"$path/bands")
   }
 
   /** Grow a standing [[writeFingerprintIndex]] by an ingested batch —
-    * O(batch) on both tables, existing partitions never rewritten. */
+    * O(batch) on both tables, existing partitions never rewritten.
+    * `buckets = 0` (default) follows the count recorded at build time. */
   def appendFingerprintIndex(
       hashed: DataFrame,
       path: String,
       numBands: Int = 4,
-      buckets: Int = 64): Unit =
+      buckets: Int = 0): Unit =
     writeFingerprintIndex(hashed, path, numBands, buckets,
       org.apache.spark.sql.SaveMode.Append)
 
@@ -672,12 +693,12 @@ object Multimodal {
       indexPath: String,
       maxHamming: Int = 3,
       numBands: Int = 4,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     requireBanding(maxHamming, numBands)
     val spark = batchHashed.sparkSession
     val a = batchHashed.select(col("id"), col("bands"),
         posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
-      .withColumn("bk", fpBucket(buckets))
+      .withColumn("bk", fpBucket(IndexMeta.resolve(spark, indexPath, buckets)))
     val bks = a.select(col("bk")).distinct().collect().map(_.getInt(0)).toSeq
     val idxBands = spark.read.parquet(s"$indexPath/bands")
       .where(col("bk").isin(bks: _*))
@@ -764,7 +785,7 @@ object Multimodal {
   /** [[writeFingerprintIndex]] fed by the image dHash path. */
   def writeImageFingerprintIndex(
       df: DataFrame, idCol: String, blobCol: String, path: String,
-      numBands: Int = 4, buckets: Int = 64): Unit =
+      numBands: Int = 4, buckets: Int = 0): Unit =
     writeFingerprintIndex(
       imageDHash(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
       path, numBands, buckets)
@@ -773,7 +794,7 @@ object Multimodal {
     * standing index ([[nearDupAgainstFingerprintIndex]]). */
   def imageNearDupAgainstIndex(
       df: DataFrame, idCol: String, blobCol: String, indexPath: String,
-      maxHamming: Int = 3, numBands: Int = 4, buckets: Int = 64): DataFrame =
+      maxHamming: Int = 3, numBands: Int = 4, buckets: Int = 0): DataFrame =
     nearDupAgainstFingerprintIndex(
       imageDHash(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
       indexPath, maxHamming, numBands, buckets)
@@ -783,7 +804,7 @@ object Multimodal {
     * build; each ingest batch decodes only its own clips). */
   def writeVideoFingerprintIndex(
       df: DataFrame, idCol: String, blobCol: String, path: String,
-      numBands: Int = 4, buckets: Int = 64): Unit =
+      numBands: Int = 4, buckets: Int = 0): Unit =
     writeFingerprintIndex(
       videoFingerprint(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
       path, numBands, buckets)
@@ -795,7 +816,7 @@ object Multimodal {
     * video modality ([[nearDupAgainstFingerprintIndex]]). */
   def videoNearDupAgainstIndex(
       df: DataFrame, idCol: String, blobCol: String, indexPath: String,
-      maxHamming: Int = 3, numBands: Int = 4, buckets: Int = 64): DataFrame =
+      maxHamming: Int = 3, numBands: Int = 4, buckets: Int = 0): DataFrame =
     nearDupAgainstFingerprintIndex(
       videoFingerprint(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
       indexPath, maxHamming, numBands, buckets)
@@ -803,7 +824,7 @@ object Multimodal {
   /** [[writeFingerprintIndex]] fed by the audio fingerprint path. */
   def writeAudioFingerprintIndex(
       df: DataFrame, idCol: String, blobCol: String, path: String,
-      numBands: Int = 4, buckets: Int = 64): Unit =
+      numBands: Int = 4, buckets: Int = 0): Unit =
     writeFingerprintIndex(
       audioFingerprint(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
       path, numBands, buckets)
@@ -811,7 +832,7 @@ object Multimodal {
   /** Incremental audio near-dup against a standing fingerprint index. */
   def audioNearDupAgainstIndex(
       df: DataFrame, idCol: String, blobCol: String, indexPath: String,
-      maxHamming: Int = 3, numBands: Int = 4, buckets: Int = 64): DataFrame =
+      maxHamming: Int = 3, numBands: Int = 4, buckets: Int = 0): DataFrame =
     nearDupAgainstFingerprintIndex(
       audioFingerprint(df, idCol, blobCol).select(col(idCol).as("id"), col("bands")),
       indexPath, maxHamming, numBands, buckets)

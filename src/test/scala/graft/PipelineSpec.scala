@@ -2196,6 +2196,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive bucket sizing: rule clamps+monotone, meta persists, append/probe follow the build") {
+    import spark.implicits._
+    import graft.functions.IndexMeta
+    // the ~256Ki-rows/bucket rule: floor 64 below ~16M rows (historic
+    // layout preserved), power-of-two growth, cap 65536
+    assert(IndexMeta.adaptiveBuckets(0L) == 64)
+    assert(IndexMeta.adaptiveBuckets(16L << 20) == 64)
+    assert(IndexMeta.adaptiveBuckets(1L << 25) == 128)
+    assert(IndexMeta.adaptiveBuckets(1L << 30) == 4096)
+    assert(IndexMeta.adaptiveBuckets(Long.MaxValue / 4) == 65536)
+    val pts = Seq(1L, 1L << 20, 1L << 24, 1L << 26, 1L << 30, 1L << 40)
+      .map(IndexMeta.adaptiveBuckets)
+    assert(pts == pts.sorted, s"sizing must be monotone: $pts")
+    // build with an explicit non-default count: the choice must persist,
+    // and the append + probe paths must FOLLOW it without being told —
+    // a modulus disagreement would prune away matching directories.
+    val dir = java.nio.file.Files.createTempDirectory("adaptive-hash").toString
+    val corpus = (0L until 300L).map(i => (i, s"standing text $i")).toDF("doc_id", "text")
+    Dedup.writeHashIndex(corpus, "doc_id", "text", dir, buckets = 128)
+    assert(IndexMeta.read(spark, dir) == 128)
+    val hbDirs = spark.read.parquet(s"$dir/hashes").inputFiles
+      .flatMap("hb=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+    assert(hbDirs.max >= 64, s"128-bucket build must use the upper half: ${hbDirs.max}")
+    val batch = (1000L until 1020L).map(i => (i, s"appended text $i")).toDF("doc_id", "text")
+    Dedup.appendHashIndex(batch, "doc_id", "text", dir) // default -> meta
+    // re-probe every appended doc: if append had fallen back to a
+    // different modulus, roughly half would land in directories the
+    // probe prunes away and silently read as "new"
+    val reprobe = Dedup.exactDupsAgainstIndexed(
+        (2000L until 2020L).map(i => (i, s"appended text ${i - 1000}")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      .where($"dup_of".isNotNull).count()
+    assert(reprobe == 20L, s"probe must find all 20 appended docs, found $reprobe")
+    // fingerprint side: same meta discipline on a synthetic hashed frame
+    val fdir = java.nio.file.Files.createTempDirectory("adaptive-fp").toString
+    def bandsOf(i: Long) = Array.tabulate(8)(j => (i * 37 + j * 11) % 256)
+    Multimodal.writeFingerprintIndex(
+      (0L until 200L).map(i => (i, bandsOf(i))).toDF("id", "bands"), fdir, buckets = 256)
+    assert(IndexMeta.read(spark, fdir) == 256)
+    Multimodal.appendFingerprintIndex(
+      (1000L until 1010L).map(i => (i, bandsOf(i))).toDF("id", "bands"), fdir)
+    val fprobe = Multimodal.nearDupAgainstFingerprintIndex(
+        (2000L until 2010L).map(i => (i, bandsOf(i - 1000))).toDF("id", "bands"), fdir,
+        maxHamming = 0)
+      .where($"id_old" >= 1000L).select($"id_new").distinct().count()
+    assert(fprobe == 10L, s"probe must find all 10 appended fingerprints, found $fprobe")
+  }
+
   test("fingerprint-index compaction: 1 file/bucket-dir, probe results unchanged") {
     import spark.implicits._
     import graft.functions.IndexMaintenance
