@@ -44,6 +44,26 @@ object Multimodal {
     else if (bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
     else None
 
+  /** Modality sniff over the magic bytes — the routing step of a mixed
+    * media ingest: Some("image" | "audio" | "video") for blobs one of
+    * the real decode paths can open, None for junk. AVI is checked
+    * before WAVE (both are RIFF containers); the audio forms match
+    * [[MediaDecoder.JdkAudio]]'s sniff (RIFF/WAVE, FORM/AIFF, .snd).
+    */
+  def sniffModality(b: Array[Byte]): Option[String] =
+    if (b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') Some("video")
+    else if (b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') Some("audio")
+    else if (b.length >= 12 &&
+      b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F') Some("audio")
+    else if (b.length >= 4 &&
+      b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') Some("audio")
+    else imageFormat(b).map(_ => "image")
+
   /** Decode failures outside the KNOWN broken-codec shapes, counted per
     * JVM so a systematic bug in the decode path (an NPE / ClassCast from
     * a plugin lookup) is observable instead of silently misclassified as
@@ -700,7 +720,17 @@ object Multimodal {
         posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
       .withColumn("bk", fpBucket(IndexMeta.resolve(spark, indexPath, buckets)))
     val bks = a.select(col("bk")).distinct().collect().map(_.getInt(0)).toSeq
-    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    // explicit schemas: an index seeded from an EMPTY frame (a streaming
+    // deployment's cold start) has zero data files, which would fail
+    // schema inference — same contract as Dedup.exactDupsAgainstIndexed
+    import org.apache.spark.sql.types._
+    val bandsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("b_idx", IntegerType),
+      StructField("b_val", LongType), StructField("bk", IntegerType)))
+    val hashesSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("bands", ArrayType(LongType))))
+    val idxBands = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
       .where(col("bk").isin(bks: _*))
       .select(col("id").as("id_old"), col("b_idx"), col("b_val"))
     val cand = a
@@ -710,7 +740,7 @@ object Multimodal {
       .where(col("id_new") =!= col("id_old"))
       .groupBy(col("id_new"), col("id_old"))
       .agg(first(col("ba")).as("ba"))
-    val idxHashes = spark.read.parquet(s"$indexPath/hashes")
+    val idxHashes = spark.read.schema(hashesSchema).parquet(s"$indexPath/hashes")
       .join(cand.select(col("id_old").as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("id").as("id_old"), col("bands").as("bb"))
     cand.join(idxHashes, "id_old")

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.functions.{Dedup, Similarity}
-import graft.streaming.{StreamOps, StreamingDedup, StreamingRawIngest, StreamingVectors}
+import graft.functions.{Dedup, Multimodal, Similarity}
+import graft.streaming.{StreamOps, StreamingDedup, StreamingMediaIngest, StreamingRawIngest, StreamingVectors}
 
 /** Oracle-checked rows for the STREAMING jobs: a deterministic
   * `availableNow` drain's verdict log is plain parquet, so a batch SQL
@@ -140,6 +140,67 @@ object Streaming {
   private def cents(c: org.apache.spark.sql.Column) =
     (c.cast("decimal(18,2)") * lit(100)).cast("long")
 
+  /** Streamed MEDIA-ingest verdict log (the q134 drill for binary blobs):
+    * groups of 3 consecutive doc_ids share one base image (gid =
+    * doc_id/3, middle-square pixels, per-doc single-pixel perturbation
+    * at row y=1 — NEVER sampled by the dHash grid for any h ≥ 16, so
+    * group members are fingerprint-identical while their PNG bytes all
+    * differ). Standing corpus = doc_id%5==0 (seeds the image
+    * fingerprint index); residues 1..3 are drained as three
+    * micro-batches of real PNG files named `<id>.png`; docs with
+    * doc_id%3==0 additionally re-enter at id+10000 in their batch slot
+    * (planted near-dups that exercise intra-batch and cross-batch
+    * resolution). Residue-4 docs sit out, so some gids have NO standing
+    * member and their first-arriving batch doc is kept. Junk and no-id
+    * files ride along in drain 1 (quarantined, never in the log).
+    */
+  private val mediaIngestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mediaIngestVerdicts(s: SparkSession, dir: String): String =
+    mediaIngestCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-smi").toString
+      val raw = s"$base/raw"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(raw))
+      def blob(id: Long, gid: Long): Array[Byte] = {
+        val w = (gid % 13 + 16).toInt
+        val h = (gid % 11 + 16).toInt
+        val nx = (id % w).toInt
+        Multimodal.encodeGrayPng(w, h, (x, y) => {
+          val b = ((gid + 1L) * 2654435761L +
+            (x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
+          val base0 = (b * b / 64L % 256L).toInt
+          if (x == nx && y == 1) ((base0 + id) % 256).toInt else base0
+        })
+      }
+      // fixture BUILD collects the sf-scale id list on the driver
+      // (bounded by the fixture, not an ingest path — production drains
+      // files that already exist; the warcFixture rationale)
+      val ids = tbl(s, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      import s.implicits._
+      val standing = ids.filter(_ % 5 == 0)
+        .map(id => (id, blob(id, id / 3))).toSeq.toDF("doc_id", "blob")
+      Multimodal.writeImageFingerprintIndex(
+        standing, "doc_id", "blob", s"$base/idx/image")
+      java.nio.file.Files.write(java.nio.file.Paths.get(raw, "junk.bin"),
+        "no digits here".getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(raw, "99990001.png"),
+        "not-a-png".getBytes("UTF-8"))
+      (1 to 3).foreach { m =>
+        ids.filter(_ % 5 == m).foreach { id =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(raw, s"$id.png"), blob(id, id / 3))
+        }
+        ids.filter(id => id % 3 == 0 && id % 5 == m).foreach { id =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(raw, s"${id + 10000}.png"),
+            blob(id + 10000, id / 3))
+        }
+        StreamingMediaIngest.runAvailableNow(
+          s, raw, s"$base/idx", s"$base/verdicts", s"$base/quar", s"$base/ckpt")
+      }
+      s"$base/verdicts"
+    })
+
   val defs: Map[String, QueryDef] = Map(
 
     // The streaming document-dedup job's verdict log, hash-matched by its
@@ -210,6 +271,57 @@ object Streaming {
              |FROM v JOIN f USING (text_hash) JOIN rep USING (text_hash)
              |WHERE v.r >= 1
              |ORDER BY batch_id, doc_id""".stripMargin.replace("\n", " "))),
+
+    // Streamed MEDIA ingest verdict log: binaryFile micro-batches →
+    // magic-sniff → REAL PNG decode + dHash → bucket-pruned probe of the
+    // standing per-modality fingerprint index → min-id-wins verdicts →
+    // index growth (ALL fingerprints, so verdicts are a non-recursive
+    // function of ids-seen-so-far — see StreamingMediaIngest). The
+    // oracle replays the whole chain relationally: per-doc bands from
+    // the fixture's base-pixel formula (perturbations are off-sample by
+    // construction), the banded candidate join restricted to lower ids
+    // in batches <= own, Hamming <= 3 verify, min match as rep.
+    "q160_stream_media_ingest" -> QueryDef(
+      (s, dir) =>
+        s.read.parquet(mediaIngestVerdicts(s, dir))
+          .select(col("batch_id").cast("long").as("batch_id"), col("id"),
+            col("modality"), col("rep"), col("kept"))
+          .orderBy(col("batch_id"), col("id")),
+      Some("""WITH mem AS (
+             |  SELECT doc_id AS id, doc_id // 3 AS gid,
+             |         CAST(doc_id % 5 AS BIGINT) - 1 AS bo
+             |  FROM documents WHERE doc_id % 5 <> 4
+             |  UNION ALL
+             |  SELECT doc_id + 10000, doc_id // 3, CAST(doc_id % 5 AS BIGINT) - 1
+             |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 BETWEEN 1 AND 3),
+             |d AS (SELECT id, gid, bo, gid % 13 + 16 AS w, gid % 11 + 16 AS h FROM mem),
+             |g AS (SELECT id, bo, i.r AS xi, j.r AS yj,
+             |  ((gid+1)*2654435761 + ((i.r * w // 9) * 29 + (j.r * h // 8) * 13 + 7)*40503)
+             |    // 8192 % 65536 AS bm
+             |  FROM d, range(0, 9) i(r), range(0, 8) j(r)),
+             |p AS (SELECT id, bo, xi, yj, bm*bm // 64 % 256 AS pv FROM g),
+             |bits AS (SELECT a.id, a.bo, a.yj, a.xi,
+             |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+             |  FROM p a JOIN p b ON a.id = b.id AND a.yj = b.yj
+             |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
+             |bands AS (SELECT id, bo, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+             |  FROM bits GROUP BY id, bo, yj),
+             |b16 AS (SELECT id, bo, yj // 2 AS bj,
+             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+             |  GROUP BY id, bo, yj // 2),
+             |cand AS (SELECT DISTINCT a.id AS id_new, b.id AS id_old
+             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+             |  WHERE a.bo >= 0 AND b.id < a.id AND b.bo <= a.bo),
+             |ham AS (SELECT c.id_new, c.id_old
+             |  FROM cand c JOIN bands x ON x.id = c.id_new
+             |    JOIN bands y ON y.id = c.id_old AND y.yj = x.yj
+             |  GROUP BY c.id_new, c.id_old
+             |  HAVING sum(bit_count(xor(x.bv, y.bv))) <= 3),
+             |rep AS (SELECT id_new AS id, min(id_old) AS m FROM ham GROUP BY id_new)
+             |SELECT mem.bo AS batch_id, mem.id, 'image' AS modality,
+             |       coalesce(rep.m, mem.id) AS rep, rep.m IS NULL AS kept
+             |FROM mem LEFT JOIN rep USING (id) WHERE mem.bo >= 0
+             |ORDER BY batch_id, id""".stripMargin.replace("\n", " "))),
 
     // Stream-STREAM interval join (the W-family ack correlation,
     // StreamOps.ackJoin) as a CORRECTNESS row: clicks joined to same-user

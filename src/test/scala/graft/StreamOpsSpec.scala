@@ -426,6 +426,85 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ones.count() == 32 && ones.map(_.value).distinct().collect().toSeq == Seq(1L))
   }
 
+  test("streaming media ingest: modality routing, cross-drain dedup through grown indexes, junk quarantined") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    import graft.streaming.StreamingMediaIngest
+    val rawDir = java.nio.file.Files.createTempDirectory("smi-raw").toString
+    val idx = java.nio.file.Files.createTempDirectory("smi-idx").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("smi-verd").toString
+    val quar = java.nio.file.Files.createTempDirectory("smi-quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("smi-ckpt").toString
+    def png(perturb: Int) = Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == 0 && y == perturb) 255 else x * 10)
+    def wav() = Multimodal.encodeWavPcm16(8000,
+      Array.tabulate(1152)(k => (k / 16 * 10).toShort))
+    def avi(perturb: Int) = Multimodal.encodeAviDib(18, 12,
+      (0 until 8).map(f => Array.tabulate(18 * 12)(k =>
+        (if (f == 0 && k == perturb) 255 else k % 18 * 10).toByte)))
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, name), bytes)
+    def drain(): Unit = StreamingMediaIngest.runAvailableNow(
+      spark, rawDir, idx, verdicts, quar, ckpt)
+    // drain 1: one clip per modality (all fresh), junk + no-id files
+    put("1.png", png(1)); put("2.wav", wav()); put("3.avi", avi(5))
+    put("9.bin", "garbage-bytes".getBytes("UTF-8"))
+    put("noid.txt", "x".getBytes("UTF-8"))
+    drain()
+    // drain 2: near-dups of drain-1 clips (only detectable through the
+    // indexes grown by drain 1) + an intra-batch image pair + fresh audio
+    put("11.png", png(3))   // same fingerprint as 1 (perturb off-sample)
+    put("12.wav", Multimodal.encodeWavPcm16(8000,  // reversed ramp: fresh
+      Array.tabulate(1152)(k => ((71 - k / 16) * 10).toShort)))
+    put("13.avi", avi(7))   // same fingerprint as 3
+    put("21.png", Multimodal.encodeGrayPng(18, 16, (x, y) => 255 - x * 10))
+    put("22.png", Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == 0 && y == 2) 0 else 255 - x * 10))
+    drain()
+    val v = spark.read.parquet(verdicts)
+      .select($"id", $"modality", $"rep", $"kept")
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(v(1L) == (("image", 1L, true)) && v(2L) == (("audio", 2L, true))
+      && v(3L) == (("video", 3L, true)), s"drain 1 all kept: $v")
+    assert(v(11L) == (("image", 1L, false)),
+      s"cross-drain image dup via grown index: ${v(11L)}")
+    assert(v(13L) == (("video", 3L, false)),
+      s"cross-drain video dup via grown index: ${v(13L)}")
+    assert(v(12L) == (("audio", 12L, true)), s"shifted audio is fresh: ${v(12L)}")
+    assert(v(21L) == (("image", 21L, true)) && v(22L) == (("image", 21L, false)),
+      s"intra-batch pair keeps the lower id: ${v(21L)} ${v(22L)}")
+    assert(v.size == 8)
+    val q = spark.read.parquet(quar).select($"path", $"reason")
+      .as[(String, String)].collect().toSet
+    assert(q.exists(r => r._1.endsWith("noid.txt") && r._2 == "no_id"), s"$q")
+    assert(q.contains(("9", "junk")), s"$q")
+  }
+
+  test("media gate crash-replay: re-running a batch after its index appends is idempotent") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    import graft.streaming.StreamingMediaIngest
+    val idx = java.nio.file.Files.createTempDirectory("smir-idx").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("smir-verd").toString
+    val quar = java.nio.file.Files.createTempDirectory("smir-quar").toString
+    def png(perturb: Int) = Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == 0 && y == perturb) 255 else x * 10)
+    // 5 and 6 share a fingerprint (intra pair); 7 is fresh
+    val batch = Seq(
+      ("f/5.png", png(1)), ("f/6.png", png(3)), ("f/7.png",
+        Multimodal.encodeGrayPng(18, 16, (x, _) => 255 - x * 10)))
+      .toDF("path", "content")
+    def run() = StreamingMediaIngest.gate(batch, 0L, idx, verdicts, quar, 3, 4)
+    def snap() = spark.read.parquet(verdicts)
+      .select($"id", $"rep", $"kept").as[(Long, Long, Boolean)].collect().toSet
+    run()
+    val v1 = snap()
+    assert(v1 == Set((5L, 5L, true), (6L, 5L, false), (7L, 7L, true)), s"$v1")
+    run() // crash-replay: indexes already hold this batch's fingerprints
+    assert(snap() == v1, "replayed verdicts must be bit-identical")
+  }
+
   test("raw-ingest gate crash-replay: re-running a batch after its index append is idempotent") {
     import spark.implicits._
     // Simulates the at-least-once window: the micro-batch crashed AFTER
