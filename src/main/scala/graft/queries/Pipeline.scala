@@ -2325,6 +2325,102 @@ object Pipeline {
              |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS rep,
              |       coalesce(cc.component, d.doc_id) = d.doc_id AS kept
              |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")))
+             |ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
+    // MULTIMODAL end-to-end composition — one table carrying BOTH a
+    // media blob and an html page per doc, curated through both
+    // pipelines at once: image near-dup resolve (q153's pairs→closure→
+    // rep over the real-PNG fixture) ∧ text extract→exact-dedup (pages
+    // planted so groups of 3 share their leader's text) → a doc is kept
+    // iff it is canonical on BOTH axes → split assignment for the
+    // survivors. Pins that the media and text legs compose on one
+    // table: one row per doc with both reps, the composed verdict, and
+    // the final split ('' for dropped docs — the log is NULL-free).
+    "q161_multimodal_e2e" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        // media leg
+        val blobs = imageBlobs(s, dir)
+        val mcc = Graph.connectedComponents(
+          Multimodal.imageNearDupPairs(blobs, "doc_id", "blob"), "id_a", "id_b")
+        val media = blobs.select(col("doc_id"))
+          .join(mcc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("media_rep"))
+        // text leg: groups of 3 docs share their leader's page text
+        val pages = docs
+          .join(docs.select(col("doc_id").as("lead"), col("text").as("ltext")),
+            col("doc_id") - col("doc_id") % 3 === col("lead"))
+          .select(col("doc_id"),
+            concat(lit("<html><body><p>"), col("ltext"),
+              lit("</p></body></html>")).as("html"))
+        val extracted = TextOps.htmlExtract(pages, "doc_id", "html")
+          .select(col("doc_id"),
+            md5(col("text_extracted").cast("binary")).as("th"))
+        val textSide = extracted.join(
+          extracted.groupBy(col("th")).agg(min(col("doc_id")).as("text_rep")), "th")
+        val composed = media.join(
+            textSide.select(col("doc_id"), col("text_rep")), Seq("doc_id"))
+          .withColumn("kept",
+            col("media_rep") === col("doc_id") && col("text_rep") === col("doc_id"))
+        TextOps.splitAssign(composed, "doc_id")
+          .select(col("doc_id"), col("media_rep"), col("text_rep"), col("kept"),
+            when(col("kept"), col("split")).otherwise(lit("")).as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val extractSql = TextOps.htmlExtractExprSql(
+          "'<html><body><p>' || l.text || '</p></body></html>'")
+        s"""WITH RECURSIVE ids AS (SELECT doc_id, doc_id // 5 AS gid FROM documents),
+           |d0 AS (SELECT doc_id, gid, gid % 13 + 16 AS w, gid % 11 + 16 AS h,
+           |  doc_id % (gid % 13 + 16) AS nx, (doc_id * 3) % (gid % 11 + 16) AS ny FROM ids),
+           |g AS (SELECT doc_id, gid, nx, ny, i.r AS xi, j.r AS yj,
+           |  i.r * w // 9 AS sx, j.r * h // 8 AS sy,
+           |  ((gid+1)*2654435761 + (i.r * w // 9 * 29 + j.r * h // 8 * 13 + 7)*40503)
+           |    // 8192 % 65536 AS bm
+           |  FROM d0, range(0, 9) i(r), range(0, 8) j(r)),
+           |p AS (SELECT doc_id, xi, yj,
+           |  CASE WHEN sx = nx AND sy = ny
+           |    THEN (bm*bm // 64 % 256 + doc_id) % 256
+           |    ELSE bm*bm // 64 % 256 END AS pv FROM g),
+           |bits AS (SELECT a.doc_id, a.yj, a.xi,
+           |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+           |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.yj = b.yj
+           |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
+           |bands AS (SELECT doc_id, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+           |  FROM bits GROUP BY doc_id, yj),
+           |b16 AS (SELECT doc_id, yj // 2 AS bj,
+           |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+           |  GROUP BY doc_id, yj // 2),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+           |    AND a.doc_id < b.doc_id),
+           |ham AS (SELECT c.id_a, c.id_b,
+           |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           |  FROM cand c JOIN bands x ON x.doc_id = c.id_a
+           |    JOIN bands y ON y.doc_id = c.id_b AND y.yj = x.yj
+           |  GROUP BY c.id_a, c.id_b),
+           |prs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+           |edg AS (SELECT id_a AS u, id_b AS v FROM prs
+           |      UNION SELECT id_b, id_a FROM prs),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edg
+           |  UNION
+           |  SELECT r.u, edg.v FROM reach r JOIN edg ON edg.u = r.v),
+           |cc AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+           |tx AS (SELECT d.doc_id, $extractSql AS xt
+           |  FROM documents d JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 3),
+           |tr AS (SELECT doc_id,
+           |  min(doc_id) OVER (PARTITION BY md5(xt)) AS text_rep FROM tx),
+           |v AS (SELECT d.doc_id,
+           |  coalesce(cc.component, d.doc_id) AS media_rep, tr.text_rep,
+           |  (coalesce(cc.component, d.doc_id) = d.doc_id
+           |    AND tr.text_rep = d.doc_id) AS kept
+           |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+           |  JOIN tr ON tr.doc_id = d.doc_id)
+           |SELECT doc_id, media_rep, text_rep, kept,
+           |  CASE WHEN kept THEN ${TextOps.splitAssignSql("doc_id")} ELSE '' END AS split
+           |FROM v ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      })
   )
 }
