@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle-file deletes ride the cleaner thread SYNCHRONOUSLY, so
+      // the between-query barrier below actually retires them instead of
+      // leaving deletes to land inside a later query's timing window
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_ONLY=q54,q57 restricts the sweep — local iteration knob
@@ -47,16 +51,29 @@ object Bench {
         : Either[String, Double] = {
       // Queries persist() intermediates for intra-query reuse; release
       // them after each run so cached blocks can't accumulate across the
-      // 76-query sweep and distort later timings.
+      // sweep and distort later timings.
       // GC BARRIER before the clock starts: ContextCleaner reclaims
       // dropped broadcasts/shuffles only on GC, so without this a
       // cleanup storm from earlier queries lands inside a later query's
       // window (r10 q76/q67, r11 q87/ivf_index_build measured 1.2-2×
-      // in-sweep vs isolated A/B). The pause is outside the timer.
-      if (sys.env.get("SPARK_GRAFT_NO_BARRIER").isEmpty) { System.gc(); Thread.sleep(100) }
+      // in-sweep vs isolated A/B; r13's driver sweep still read q32 at
+      // 2.94 s vs 1.55 isolated). The pause is outside the timer.
+      // DOUBLE GC: the first pass enqueues the newly-unreachable
+      // DataFrame/broadcast references for the cleaner (which now
+      // deletes shuffles synchronously — see the builder conf), the
+      // second collects what the cleaning itself released.
+      if (sys.env.get("SPARK_GRAFT_NO_BARRIER").isEmpty) {
+        System.gc(); Thread.sleep(150); System.gc(); Thread.sleep(50)
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      // clearCache only — NO blanket getPersistentRDDs.unpersist here:
+      // the standing fixtures (Pipeline.dupCc and friends) are
+      // localCheckpoint'd, so their lineage is TRUNCATED and an
+      // unpersist destroys them irrecoverably (q85/q103 err'd when this
+      // was tried). Dropped per-query checkpoints are reclaimed by the
+      // ContextCleaner via the GC barrier above instead.
       finally spark.catalog.clearCache()
     }
     val sweeps: Seq[Seq[Either[String, Double]]] =
