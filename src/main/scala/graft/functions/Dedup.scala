@@ -253,6 +253,12 @@ object Dedup {
     * O(batch signatures + pruned index scan + collisions), never a
     * corpus re-sign (which is what the self-contained
     * [[nearDupAgainst]] pays per call).
+    *
+    * `buckets = 0` (the default) sizes the band-bucket count from the
+    * index itself ([[IndexMeta.adaptiveBuckets]] over the band-row
+    * count, taken from the just-written `arrays/` table so the shingle
+    * pass never runs twice) and records it in `<path>/buckets.json` for
+    * the append/probe paths — the [[writeHashIndex]] discipline.
     */
   def writeSignatureIndex(
       corpus: DataFrame,
@@ -261,7 +267,7 @@ object Dedup {
       path: String,
       k: Int = 3,
       numHashes: Int = 8,
-      buckets: Int = 64): Unit =
+      buckets: Int = 0): Unit =
     writeIndexTables(shingleBase(corpus, idCol, textCol, k), idCol, path,
       numHashes, buckets, org.apache.spark.sql.SaveMode.Overwrite)
 
@@ -287,7 +293,7 @@ object Dedup {
       path: String,
       k: Int = 3,
       numHashes: Int = 8,
-      buckets: Int = 64): Unit =
+      buckets: Int = 0): Unit =
     writeIndexTables(shingleBase(batch, idCol, textCol, k), idCol, path,
       numHashes, buckets, org.apache.spark.sql.SaveMode.Append)
 
@@ -298,10 +304,21 @@ object Dedup {
       numHashes: Int,
       buckets: Int,
       mode: org.apache.spark.sql.SaveMode): Unit = {
+    val spark = base.sparkSession
     shaArrays(base, idCol)
       .write.mode(mode).parquet(s"$path/arrays")
+    val b =
+      if (mode == org.apache.spark.sql.SaveMode.Append)
+        IndexMeta.resolve(spark, path, buckets)
+      else if (buckets > 0) { IndexMeta.write(spark, path, buckets); buckets }
+      else {
+        val n = spark.read.parquet(s"$path/arrays").count()
+        val adaptive = IndexMeta.adaptiveBuckets(n * (numHashes / 2))
+        IndexMeta.write(spark, path, adaptive)
+        adaptive
+      }
     bandsOf(base, idCol, numHashes)
-      .withColumn("bk", bandBucket(buckets))
+      .withColumn("bk", bandBucket(b))
       .write.mode(mode).partitionBy("bk").parquet(s"$path/bands")
   }
 
@@ -320,11 +337,11 @@ object Dedup {
       indexPath: String,
       k: Int = 3,
       numHashes: Int = 8,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
     val nb = shingleBase(newDocs, idCol, textCol, k)
     val a = bandsOf(nb, idCol, numHashes)
-      .withColumn("bk", bandBucket(buckets))
+      .withColumn("bk", bandBucket(IndexMeta.resolve(spark, indexPath, buckets)))
       .select(col(idCol).as("doc_new"), col("band"), col("k1"), col("k2"), col("bk"))
     // the batch's bucket footprint: ≤ `buckets` ints, driver-bounded by
     // construction — the isin reaches the scan as a partition filter

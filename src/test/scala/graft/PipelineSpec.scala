@@ -2242,6 +2242,21 @@ class PipelineSpec extends AnyFunSuite {
         maxHamming = 0)
       .where($"id_old" >= 1000L).select($"id_new").distinct().count()
     assert(fprobe == 10L, s"probe must find all 10 appended fingerprints, found $fprobe")
+    // signature-index side: same meta discipline (explicit build count,
+    // default-argument append + probe must follow it)
+    val sdir = java.nio.file.Files.createTempDirectory("adaptive-sig").toString
+    def doc(i: Long) = (i, (0 until 20).map(j => s"w${(i * 13 + j) % 40}").mkString(" "))
+    Dedup.writeSignatureIndex(
+      (0L until 30L).map(doc).toDF("doc_id", "text"), "doc_id", "text", sdir,
+      buckets = 128)
+    assert(IndexMeta.read(spark, sdir) == 128)
+    Dedup.appendSignatureIndex(
+      (100L until 110L).map(doc).toDF("doc_id", "text"), "doc_id", "text", sdir)
+    val sprobe = Dedup.nearDupAgainstIndexed(
+        (200L until 210L).map(i => doc(i - 100)).toDF("doc_id", "text"),
+        "doc_id", "text", sdir)
+      .where($"is_dup" && $"doc_old" >= 100L).select($"doc_new").distinct().count()
+    assert(sprobe == 10L, s"probe must find all 10 appended signatures, found $sprobe")
   }
 
   test("fingerprint-index compaction: 1 file/bucket-dir, probe results unchanged") {
