@@ -535,6 +535,24 @@ object PipelineStress {
         stressImages(_ % 101 == 0), "doc_id", "blob", fpDir))
     }
 
+    // streaming media-ingest gate (q160): the FULL per-micro-batch cost
+    // at scale — sniff + real decode + fingerprint + bucket-pruned probe
+    // + intra-batch banded pairs + idempotent verdict write + index
+    // append — driven directly with a 20k-blob batch (10%) against a
+    // 180k-clip standing index (build amortized once, timed separately)
+    val smiDir = Files.createTempDirectory("graft-stress-smi").toString
+    timed("media_ingest_index_build_180k") {
+      graft.functions.Multimodal.writeImageFingerprintIndex(
+        stressImages(_ % 10 != 0), "doc_id", "blob", s"$smiDir/idx/image")
+    }
+    timed("media_ingest_gate_20k") {
+      val batch = stressImages(_ % 10 == 0)
+        .select(concat(col("doc_id").cast("string"), lit(".png")).as("path"),
+          col("blob").as("content"))
+      graft.streaming.StreamingMediaIngest.gate(
+        batch, 0L, s"$smiDir/idx", s"$smiDir/verdicts", s"$smiDir/quar", 3, 4)
+    }
+
     // audio near-dup (q145): 200k synthetic WAV clips (1152 samples)
     // through the REAL AudioSystem decode — same shared banded-Hamming
     // engine as the image stage, so the delta vs image_near_dup_200k is
