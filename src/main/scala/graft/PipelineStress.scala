@@ -362,6 +362,13 @@ object PipelineStress {
           .as("text2"))
       force(TextOps.paragraphScrub(lined, "doc_id", "text2"))
     }
+    // exact substring-dup spans (q162): ~130M rolling window hashes
+    // (lead-based fold over token hashes), one compact wh-keyed df
+    // aggregate, islands merge over the duplicated subset — the group-
+    // of-4 corpus guarantees long cross-doc token runs
+    timed("substring_dup_spans") {
+      force(TextOps.duplicatedSpans(docs, "doc_id", "text"))
+    }
     // BPE tokenizer (q123): train on the capped word-frequency model
     // (the salted corpus has ~250k distinct words — the cap IS the
     // scale guard), then the per-row merge-application encode map

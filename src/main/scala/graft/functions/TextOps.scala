@@ -1505,6 +1505,99 @@ object TextOps {
         sum(when(col("hot"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Modulus of the rolling window hash in [[duplicatedSpans]]: 2^53,
+    * chosen so the per-step `acc*31 + th` stays below 2^58 — no silent
+    * Long wraparound on the Spark side and no BIGINT overflow ERROR on
+    * the DuckDB side (DuckDB refuses to wrap), so the fold is the same
+    * integer function in both engines. */
+  final val SpanHashM = 1L << 53
+
+  /** EXACT cross-document substring-duplication spans — the detection
+    * half of suffix-array training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"), made
+    * Spark-shaped: every length-`L` token window is rolling-hashed, a
+    * window is DUPLICATED when it appears in ≥ `minDf` distinct docs,
+    * and per doc the duplicated window positions merge (gaps-and-islands)
+    * into MAXIMAL spans — exactly the byte-span output the paper's
+    * suffix-array pass produces for cross-document repeats, at window
+    * (not byte) granularity, exact modulo 53-bit hash collisions (the
+    * documented ngramJaccard asymmetry; the twin hashes identically so
+    * cross-engine parity is bit-exact). Within-doc-only repeats are NOT
+    * flagged (df counts distinct docs) — that case is [[dupWindowScrub]].
+    *
+    * Plan: one narrow explode to (id, pos, token-hash) rows — 8-byte
+    * hashes, never token strings, cross every exchange; the lead-based
+    * rolling hash is one id-keyed window pass, the df model is one
+    * compact wh-keyed aggregate (map-side combined) whose hot set
+    * semi-joins back under AQE (unbounded on templated corpora — the
+    * paragraphScrub argument, no forced broadcast), and the island
+    * numbering is a second id-keyed window over the (small) duplicated
+    * subset only. Per-doc window memory is bounded by doc length.
+    *
+    * Output: (idCol, span_start, span_end, n_windows) — token positions,
+    * `[span_start, span_end)`, end-exclusive, `span_end − span_start ≥ L`.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      L: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(L >= 2, "window length must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val toks = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        (portableHash(col("tok")) % SpanHashM).as("th"))
+    val wh = (1 until L).foldLeft(col("th")) { (acc, k) =>
+      (acc * 31 + lead(col("th"), k).over(w)) % SpanHashM
+    }
+    val wins = toks
+      .select(col(idCol), col("pos"), wh.as("wh"),
+        lead(col("th"), L - 1).over(w).as("tlast"))
+      .where(col("tlast").isNotNull)
+      .select(col(idCol), col("pos"), col("wh"))
+    val hot = wins.groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("wh"))
+    wins.join(hot, Seq("wh"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** DuckDB twin of [[duplicatedSpans]] reading from `tbl` — the same
+    * token-hash fold, df model, and islands merge. */
+  def duplicatedSpansSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      L: Int = 8,
+      minDf: Int = 2): String = {
+    val leads = (1 until L).map(k =>
+      s"lead(th, $k) OVER (PARTITION BY $idCol ORDER BY pos) AS t$k").mkString(", ")
+    val fold = (1 until L).foldLeft("th") { (acc, k) =>
+      s"(($acc) * 31 + t$k) % ${SpanHashM}"
+    }
+    s"""WITH tk AS (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl),
+       |t AS (SELECT $idCol, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM tk),
+       |h AS (SELECT $idCol, pos, (${portableHashSql("tok")}) % ${SpanHashM} AS th FROM t),
+       |w AS (SELECT $idCol, pos, th, $leads FROM h),
+       |whs AS (SELECT $idCol, pos, ($fold) AS wh FROM w WHERE t${L - 1} IS NOT NULL),
+       |hot AS (SELECT wh FROM whs GROUP BY wh HAVING count(DISTINCT $idCol) >= $minDf),
+       |dup AS (SELECT whs.$idCol, whs.pos FROM whs JOIN hot USING (wh)),
+       |isl AS (SELECT $idCol, pos,
+       |  pos - row_number() OVER (PARTITION BY $idCol ORDER BY pos) AS grp FROM dup)
+       |SELECT $idCol, min(pos) AS span_start, max(pos) + $L AS span_end,
+       |       count(*) AS n_windows
+       |FROM isl GROUP BY $idCol, grp""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB twin of [[htmlExtract]] as a scalar expression (RE2 runs the
     * same patterns; 'g' flag explicit; single-quoted SQL strings keep
     * backslashes literal, so only quotes need escaping).

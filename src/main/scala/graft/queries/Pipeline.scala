@@ -2421,6 +2421,31 @@ object Pipeline {
            |SELECT doc_id, media_rep, text_rep, kept,
            |  CASE WHEN kept THEN ${TextOps.splitAssignSql("doc_id")} ELSE '' END AS split
            |FROM v ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
+    // EXACT substring-duplication spans (Lee et al. 2022's suffix-array
+    // dedup surface, window-granular): rolling 8-token window hashes →
+    // windows appearing in ≥2 distinct docs → per-doc gaps-and-islands
+    // merge into MAXIMAL duplicated spans. Fixture: docs with
+    // doc_id%4==0 re-enter whole at +10000, so clone/original pairs
+    // carry full-length spans, while any naturally repeated 8-grams
+    // across the corpus surface as partial spans — both engines hash
+    // the same fold and merge identically.
+    "q162_substring_dup_spans" -> QueryDef(
+      (s, dir) => {
+        val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val input = base.unionByName(
+          base.where(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+        TextOps.duplicatedSpans(input, "doc_id", "text")
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some {
+        val inner = TextOps.duplicatedSpansSql(
+          "(SELECT doc_id, text FROM documents UNION ALL " +
+            "SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0) u",
+          "doc_id", "text")
+        s"SELECT * FROM ($inner) q ORDER BY doc_id, span_start"
       })
   )
 }

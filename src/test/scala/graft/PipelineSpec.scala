@@ -2196,6 +2196,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("substring-dup spans: maximal islands, partial overlap, within-doc-only repeats unflagged") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")     // one exact window
+    val d1 = shared + " " + (1 to 8).map(i => s"a$i").mkString(" ") // 16 tokens
+    val df = Seq(
+      (1L, d1),
+      (2L, "z1 z2 " + shared + " z3"),      // shares exactly window pos 2
+      (3L, "u v w"),                        // too short: no window
+      (4L, d1),                             // full clone of 1
+      (5L, ((1 to 8) ++ (1 to 8)).map(i => s"m$i").mkString(" ") + " tail"))
+      .toDF("doc_id", "text")               // 5: within-doc repeat only
+    val out = TextOps.duplicatedSpans(df, "doc_id", "text")
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 1 and 4 duplicate each other fully (9 windows merge to one maximal
+    // span); 2 shares exactly ONE window starting at its pos 2; 3 has no
+    // window; 5's repeat is within one doc only (df counts distinct docs)
+    assert(out == Seq((1L, 0L, 16L, 9L), (2L, 2L, 10L, 1L), (4L, 0L, 16L, 9L)),
+      s"spans: $out")
+    // a doc with two separated duplicated regions yields two islands
+    val sep = Seq(
+      (10L, shared + " q1 q2 q3 q4 q5 q6 q7 q8 " + shared),
+      (11L, shared))
+      .toDF("doc_id", "text")
+    val two = TextOps.duplicatedSpans(sep, "doc_id", "text")
+      .where($"doc_id" === 10L).orderBy($"span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(two == Seq((10L, 0L, 8L, 1L), (10L, 16L, 24L, 1L)),
+      s"two islands expected: $two")
+  }
+
   test("adaptive bucket sizing: rule clamps+monotone, meta persists, append/probe follow the build") {
     import spark.implicits._
     import graft.functions.IndexMeta
