@@ -369,6 +369,12 @@ object PipelineStress {
     timed("substring_dup_spans") {
       force(TextOps.duplicatedSpans(docs, "doc_id", "text"))
     }
+    // the removal half (q163): same model + the per-doc rebuild — the
+    // delta over substring_dup_spans is the cover explode + the one
+    // irreducible text-carrying exchange
+    timed("substring_dup_scrub") {
+      force(TextOps.scrubDuplicatedSpans(docs, "doc_id", "text"))
+    }
     // BPE tokenizer (q123): train on the capped word-frequency model
     // (the salted corpus has ~250k distinct words — the cap IS the
     // scale guard), then the per-row merge-application encode map

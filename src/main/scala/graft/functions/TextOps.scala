@@ -1537,6 +1537,43 @@ object TextOps {
     * Output: (idCol, span_start, span_end, n_windows) — token positions,
     * `[span_start, span_end)`, end-exclusive, `span_end − span_start ≥ L`.
     */
+  /** (id, pos, tok, th) token rows of the span operators — one narrow
+    * explode; `th` is the 53-bit token hash the rolling fold runs on. */
+  private def spanToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"),
+        (portableHash(col("tok")) % SpanHashM).as("th"))
+
+  /** (id, pos, wh) rolling window-hash rows over [[spanToks]] output —
+    * the lead-based fold, one id-keyed window pass. */
+  private def spanWins(toks: DataFrame, idCol: String, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wh = (1 until L).foldLeft(col("th")) { (acc, k) =>
+      (acc * 31 + lead(col("th"), k).over(w)) % SpanHashM
+    }
+    toks
+      .select(col(idCol), col("pos"), wh.as("wh"),
+        lead(col("th"), L - 1).over(w).as("tlast"))
+      .where(col("tlast").isNotNull)
+      .select(col(idCol), col("pos"), col("wh"))
+  }
+
+  /** Merge a (id, pos) frame of window starts into maximal spans —
+    * gaps-and-islands over consecutive positions. */
+  private def spanIslands(dup: DataFrame, idCol: String, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dup
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   def duplicatedSpans(
       df: DataFrame,
       idCol: String,
@@ -1544,31 +1581,99 @@ object TextOps {
       L: Int = 8,
       minDf: Int = 2): DataFrame = {
     require(L >= 2, "window length must be >= 2")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val toks = Par.fanOut(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        (portableHash(col("tok")) % SpanHashM).as("th"))
-    val wh = (1 until L).foldLeft(col("th")) { (acc, k) =>
-      (acc * 31 + lead(col("th"), k).over(w)) % SpanHashM
-    }
-    val wins = toks
-      .select(col(idCol), col("pos"), wh.as("wh"),
-        lead(col("th"), L - 1).over(w).as("tlast"))
-      .where(col("tlast").isNotNull)
-      .select(col(idCol), col("pos"), col("wh"))
+    val wins = spanWins(spanToks(df, idCol, textCol), idCol, L)
     val hot = wins.groupBy(col("wh"))
       .agg(countDistinct(col(idCol)).as("df"))
       .where(col("df") >= minDf)
       .select(col("wh"))
-    wins.join(hot, Seq("wh"), "left_semi")
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col(idCol), col("grp"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + L).as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+    spanIslands(wins.join(hot, Seq("wh"), "left_semi"), idCol, L)
+  }
+
+  /** The REMOVAL half of [[duplicatedSpans]] — what Lee et al. 2022
+    * actually apply to the corpus: every duplicated window is kept only
+    * in the LOWEST-id document containing it; in every other doc the
+    * covering spans are cut and the survivors rebuilt in order. First-
+    * arrival-wins at window granularity, so the canonical copy of a
+    * repeated passage survives exactly once corpus-wide while unique
+    * text is untouched.
+    *
+    * Plan: [[duplicatedSpans]]' stages plus a per-window min(id) on the
+    * SAME compact wh-keyed aggregate (no extra exchange class), islands
+    * merged BEFORE the cover explode (8× fewer generated rows than
+    * exploding per window), and the q110 rebuild — the one irreducible
+    * text-carrying exchange. Output: (idCol, text_scrubbed, n_kept,
+    * n_cut) token counts; a fully-duplicated doc yields "" (never NULL).
+    */
+  def scrubDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      L: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(L >= 2, "window length must be >= 2")
+    val toks = spanToks(df, idCol, textCol)
+    val wins = spanWins(toks, idCol, L)
+    val model = wins.groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("df"), min(col(idCol)).as("wmin"))
+      .where(col("df") >= minDf)
+      .select(col("wh"), col("wmin"))
+    val flagged = wins.join(model, Seq("wh"))
+      .where(col(idCol) > col("wmin"))
+      .select(col(idCol), col("pos"))
+    // distinct: adjacent islands' covered RANGES can overlap (window
+    // starts {0, 2} with a gap at 1 cover [0,8) and [2,10)) and a
+    // duplicate (id, pos) row would fan the rebuild join out
+    val covered = spanIslands(flagged, idCol, L)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+      .distinct()
+    toks.join(covered.withColumn("cut", lit(true)), Seq(idCol, "pos"), "left")
+      .select(col(idCol), col("pos"), col("tok"),
+        coalesce(col("cut"), lit(false)).as("cut"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          expr("transform(filter(array_sort(" +
+            "collect_list(struct(pos, cut, tok))), x -> NOT x.cut), " +
+            "x -> x.tok)"),
+          " ").as("text_scrubbed"),
+        sum(when(col("cut"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"))
+  }
+
+  /** DuckDB twin of [[scrubDuplicatedSpans]] reading from `tbl`. */
+  def scrubDuplicatedSpansSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      L: Int = 8,
+      minDf: Int = 2): String = {
+    val leads = (1 until L).map(k =>
+      s"lead(th, $k) OVER (PARTITION BY $idCol ORDER BY pos) AS t$k").mkString(", ")
+    val fold = (1 until L).foldLeft("th") { (acc, k) =>
+      s"(($acc) * 31 + t$k) % ${SpanHashM}"
+    }
+    s"""WITH tk AS (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl),
+       |t AS (SELECT $idCol, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM tk),
+       |h AS (SELECT $idCol, pos, tok, (${portableHashSql("tok")}) % ${SpanHashM} AS th FROM t),
+       |w AS (SELECT $idCol, pos, th, $leads FROM h),
+       |whs AS (SELECT $idCol, pos, ($fold) AS wh FROM w WHERE t${L - 1} IS NOT NULL),
+       |model AS (SELECT wh, min($idCol) AS wmin FROM whs GROUP BY wh
+       |          HAVING count(DISTINCT $idCol) >= $minDf),
+       |flg AS (SELECT whs.$idCol, whs.pos FROM whs JOIN model USING (wh)
+       |        WHERE whs.$idCol > model.wmin),
+       |isl AS (SELECT $idCol, pos,
+       |  pos - row_number() OVER (PARTITION BY $idCol ORDER BY pos) AS grp FROM flg),
+       |sp AS (SELECT $idCol, min(pos) AS s, max(pos) + $L AS e
+       |       FROM isl GROUP BY $idCol, grp),
+       |cov AS (SELECT DISTINCT $idCol, unnest(range(s, e)) AS pos FROM sp),
+       |m AS (SELECT h.$idCol, h.pos, h.tok, (cov.pos IS NOT NULL) AS cut
+       |      FROM h LEFT JOIN cov ON cov.$idCol = h.$idCol AND cov.pos = h.pos)
+       |SELECT $idCol,
+       |  coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT cut), '') AS text_scrubbed,
+       |  CAST(sum(CASE WHEN cut THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
+       |FROM m GROUP BY $idCol""".stripMargin.replace("\n", " ")
   }
 
   /** DuckDB twin of [[duplicatedSpans]] reading from `tbl` — the same

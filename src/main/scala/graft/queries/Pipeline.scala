@@ -2446,6 +2446,29 @@ object Pipeline {
             "SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0) u",
           "doc_id", "text")
         s"SELECT * FROM ($inner) q ORDER BY doc_id, span_start"
+      }),
+
+    // The REMOVAL half of q162 (what Lee et al. 2022 apply): every
+    // duplicated window survives only in the LOWEST-id doc containing
+    // it; other docs get the covering spans CUT and the survivors
+    // rebuilt in order. On the q162 fixture the +10000 clones scrub to
+    // "" while their originals keep full text; natural cross-doc
+    // repeats cut from the higher-id member only.
+    "q163_substring_dup_scrub" -> QueryDef(
+      (s, dir) => {
+        val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val input = base.unionByName(
+          base.where(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+        TextOps.scrubDuplicatedSpans(input, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val inner = TextOps.scrubDuplicatedSpansSql(
+          "(SELECT doc_id, text FROM documents UNION ALL " +
+            "SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0) u",
+          "doc_id", "text")
+        s"SELECT * FROM ($inner) q ORDER BY doc_id"
       })
   )
 }

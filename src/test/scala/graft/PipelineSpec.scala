@@ -2227,6 +2227,40 @@ class PipelineSpec extends AnyFunSuite {
       s"two islands expected: $two")
   }
 
+  test("substring-dup scrub: lowest-id doc keeps, clones empty, partial cuts, overlap-safe") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d1 = shared + " " + (1 to 8).map(i => s"a$i").mkString(" ")
+    val out = TextOps.scrubDuplicatedSpans(Seq(
+        (1L, d1),
+        (2L, "z1 z2 " + shared + " z3"), // shares one window with 1
+        (3L, d1),                        // full clone of 1
+        (4L, "u v w"))                   // untouched
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, d1, 16L, 0L)), s"lowest id keeps everything: ${out(0)}")
+    assert(out(1) == ((2L, "z1 z2 z3", 3L, 8L)), s"shared window cut: ${out(1)}")
+    assert(out(2) == ((3L, "", 0L, 16L)), s"clone scrubs to empty: ${out(2)}")
+    assert(out(3) == ((4L, "u v w", 3L, 0L)))
+    // overlap safety: doc 21's flagged window starts are {0, 2} with a
+    // GAP at 1 (t1..t8 appears nowhere else), so the two islands'
+    // covered ranges [0,8) and [2,10) OVERLAP on 2..7 — without the
+    // covered-set distinct the rebuild join would fan out and double-
+    // count those tokens
+    val ts = (0 to 9).map(i => s"t$i")
+    val ov = TextOps.scrubDuplicatedSpans(Seq(
+        (19L, ts.take(8).mkString(" ") + " xa xb"),      // shares window 0
+        (20L, "ya yb " + ts.drop(2).mkString(" ")),      // shares window 2
+        (21L, ts.mkString(" ") + " zz1 zz2"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(ov(0)._2.startsWith("t0") && ov(0)._4 == 0L, s"19 is wmin: ${ov(0)}")
+    assert(ov(1)._4 == 0L, s"20 is wmin of its shared window: ${ov(1)}")
+    assert(ov(2) == ((21L, "zz1 zz2", 2L, 10L)), s"overlap-safe cut: ${ov(2)}")
+  }
+
   test("adaptive bucket sizing: rule clamps+monotone, meta persists, append/probe follow the build") {
     import spark.implicits._
     import graft.functions.IndexMeta
