@@ -771,13 +771,25 @@ object PipelineStress {
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq
       else Seq.empty
     val merged = scala.collection.mutable.LinkedHashMap(prior: _*) ++ stages
+    // provenance must match the stage data: a scoped rerun that skipped
+    // the vector (or doc) fixture carries the PRIOR run's count forward
+    // alongside the prior stages it keeps — never a 0 that contradicts
+    // the ann_*/recall_* rows still in the file
+    def priorMeta(key: String): Option[Long] =
+      if (only.nonEmpty && Files.exists(Paths.get("stress.json")))
+        (s""""$key":(\\d+)""").r
+          .findFirstMatchIn(Files.readString(Paths.get("stress.json")))
+          .map(_.group(1).toLong)
+      else None
+    val docsOut = if (n > 0) n else priorMeta("docs").getOrElse(n)
+    val vecsOut = if (nEmb > 0) nEmb else priorMeta("vectors").getOrElse(nEmb)
     // recall_* (percent) and info_* (bytes) entries ride the stages map
     // but are not time — excluded from the total
     val total = math.rint(merged.collect {
       case (k, v) if !k.startsWith("recall_") && !k.startsWith("info_") => v
     }.sum * 100) / 100
     val json =
-      s"""{"metric":"pipeline_stress","docs":$n,"vectors":$nEmb,"unit":"sec","total":$total,""" +
+      s"""{"metric":"pipeline_stress","docs":$docsOut,"vectors":$vecsOut,"unit":"sec","total":$total,""" +
         merged.map { case (k, v) => s""""$k":$v""" }.mkString("\"stages\":{", ",", "}}")
     Files.writeString(Paths.get("stress.json"), json + "\n")
     println(json)

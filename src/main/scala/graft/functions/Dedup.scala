@@ -48,14 +48,22 @@ object Dedup {
     * by hash bucket so a batch probe prunes to its bucket directories —
     * a batch is O(batch + matched rows) against any corpus size.
     *
-    * `buckets = 0` (the default) sizes the bucket count from the corpus
-    * ([[IndexMeta.adaptiveBuckets]] — ~256 Ki rows/bucket, floor 64) and
-    * records the choice in `<path>/buckets.json`, which the append and
-    * probe paths read back so all three always agree on the modulus
-    * (a disagreement would prune away matching directories). The sizing
-    * input is the raw corpus count — an upper bound on kept rows, which
-    * only ever rounds the power-of-two up by one step on a
-    * duplicate-heavy corpus.
+    * `buckets = 0` (the default) sizes the bucket count from the kept
+    * rows ([[IndexMeta.adaptiveBuckets]] — ~256 Ki rows/bucket, floor
+    * 64) and records the choice in `<path>/buckets.json`, which the
+    * append and probe paths read back so all three always agree on the
+    * modulus (a disagreement would prune away matching directories).
+    * The kept frame is persisted across the sizing count and the write,
+    * so the corpus scans exactly ONCE per build (the count reads the
+    * cached aggregate, not the source).
+    *
+    * ATOMICITY: a rebuild is NOT one atomic commit — `hashes/` is
+    * rewritten first and `buckets.json` last, so the common tear (crash
+    * after re-partitioning under a GROWN modulus, before the meta
+    * update) leaves on-disk directories ≥ the recorded count, which
+    * every probe detects and refuses ([[IndexMeta.validated]]). A torn
+    * rebuild must be re-run; deployments wanting all-or-nothing wrap
+    * the build in their table format's transaction.
     */
   def writeHashIndex(
       corpus: DataFrame,
@@ -63,14 +71,19 @@ object Dedup {
       textCol: String,
       path: String,
       buckets: Int = 0): Unit = {
-    val b = if (buckets > 0) buckets
-            else IndexMeta.adaptiveBuckets(corpus.count())
-    IndexMeta.write(corpus.sparkSession, path, b)
-    exactDedup(corpus, idCol, textCol)
+    val kept = exactDedup(corpus, idCol, textCol)
       .select(col(idCol), col("text_hash"))
-      .withColumn("hb", hashBucket(b))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("hb").parquet(s"$path/hashes")
+    val sized = if (buckets > 0) kept
+      else kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b = if (buckets > 0) buckets
+              else IndexMeta.adaptiveBuckets(sized.count())
+      sized
+        .withColumn("hb", hashBucket(b))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("hb").parquet(s"$path/hashes")
+      IndexMeta.write(corpus.sparkSession, path, b)
+    } finally if (buckets <= 0) { sized.unpersist(); () }
   }
 
   /** Append a batch's rows to a [[writeHashIndex]] index. The CALLER
@@ -78,7 +91,9 @@ object Dedup {
     * step) — the index keeps its one-row-per-hash invariant; probes
     * stay correct under at-least-once replays regardless (they take the
     * min representative per hash). `buckets = 0` (default) follows the
-    * count recorded at build time.
+    * count recorded at build time; an index created COLD by this append
+    * (no meta file yet) records the resolved count so later readers
+    * never depend on the implicit default staying put.
     */
   def appendHashIndex(
       kept: DataFrame,
@@ -87,7 +102,7 @@ object Dedup {
       path: String,
       buckets: Int = 0): Unit =
     kept.select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
-      .withColumn("hb", hashBucket(IndexMeta.resolve(kept.sparkSession, path, buckets)))
+      .withColumn("hb", hashBucket(IndexMeta.resolveAndRecord(kept.sparkSession, path, buckets)))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("hb").parquet(s"$path/hashes")
 
@@ -124,7 +139,8 @@ object Dedup {
     val spark = batch.sparkSession
     val h = batch
       .select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
-      .withColumn("hb", hashBucket(IndexMeta.resolve(spark, path, buckets)))
+      .withColumn("hb",
+        hashBucket(IndexMeta.validated(spark, path, buckets, "hashes", "hb")))
     val bks = h.select(col("hb")).distinct().collect().map(_.getInt(0)).toSeq
     val idxSchema = StructType(Seq(
       StructField(idCol, batch.schema(idCol).dataType),
@@ -309,17 +325,22 @@ object Dedup {
       .write.mode(mode).parquet(s"$path/arrays")
     val b =
       if (mode == org.apache.spark.sql.SaveMode.Append)
-        IndexMeta.resolve(spark, path, buckets)
-      else if (buckets > 0) { IndexMeta.write(spark, path, buckets); buckets }
+        IndexMeta.resolveAndRecord(spark, path, buckets)
+      else if (buckets > 0) buckets
       else {
         val n = spark.read.parquet(s"$path/arrays").count()
-        val adaptive = IndexMeta.adaptiveBuckets(n * (numHashes / 2))
-        IndexMeta.write(spark, path, adaptive)
-        adaptive
+        IndexMeta.adaptiveBuckets(n * (numHashes / 2))
       }
     bandsOf(base, idCol, numHashes)
       .withColumn("bk", bandBucket(b))
       .write.mode(mode).partitionBy("bk").parquet(s"$path/bands")
+    // meta LAST on a rebuild: the common tear (crash after the bands
+    // re-partition under a grown modulus, before this write) leaves
+    // directories >= the stale recorded count, which the probes'
+    // IndexMeta.validated detects and refuses instead of silently
+    // pruning matches away
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      IndexMeta.write(spark, path, b)
   }
 
   /** Incremental near-dup against a materialized [[writeSignatureIndex]]
@@ -341,7 +362,8 @@ object Dedup {
     val spark = newDocs.sparkSession
     val nb = shingleBase(newDocs, idCol, textCol, k)
     val a = bandsOf(nb, idCol, numHashes)
-      .withColumn("bk", bandBucket(IndexMeta.resolve(spark, indexPath, buckets)))
+      .withColumn("bk",
+        bandBucket(IndexMeta.validated(spark, indexPath, buckets, "bands", "bk")))
       .select(col(idCol).as("doc_new"), col("band"), col("k1"), col("k2"), col("bk"))
     // the batch's bucket footprint: ≤ `buckets` ints, driver-bounded by
     // construction — the isin reaches the scan as a partition filter

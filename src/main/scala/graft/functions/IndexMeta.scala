@@ -77,4 +77,59 @@ object IndexMeta {
     * paths), falling back to [[DefaultBuckets]]. */
   def resolve(spark: SparkSession, indexPath: String, buckets: Int): Int =
     if (buckets > 0) buckets else read(spark, indexPath)
+
+  /** Whether the index already records a bucket count. */
+  def exists(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new Path(s"$indexPath/buckets.json")
+    p.getFileSystem(new Configuration()).exists(p)
+  }
+
+  /** [[resolve]] that also RECORDS the resolved count when the meta file
+    * is absent — the append paths' contract: an index created COLD via
+    * an append (a streaming deployment's first batch) would otherwise
+    * work only because every reader falls back to the same implicit
+    * [[DefaultBuckets]], which breaks silently if the default ever
+    * changes or a later caller passes an explicit count. */
+  def resolveAndRecord(spark: SparkSession, indexPath: String, buckets: Int): Int = {
+    val b = resolve(spark, indexPath, buckets)
+    if (!exists(spark, indexPath)) write(spark, indexPath, b)
+    b
+  }
+
+  /** [[resolve]] plus a LAYOUT VALIDATION for the probe paths: one
+    * directory listing of the bucketed data table, failing loudly when
+    * any on-disk `partCol=N` directory has `N >= count`. That is the
+    * detectable half of a torn index rebuild (meta written, data
+    * re-partitioned under a LARGER modulus before a crash): probing
+    * with the stale smaller modulus would PRUNE AWAY directories that
+    * hold real matches — silent false negatives, the failure mode this
+    * object's doc warns about. The converse tear (data at a smaller
+    * modulus than the meta) is not layout-detectable and is covered by
+    * the writers' documented rebuild discipline (rebuild = re-run the
+    * whole build; a torn rebuild must be re-run, not probed). Cost: one
+    * `listStatus` RPC per probe, ≤ 65536 entries.
+    */
+  def validated(
+      spark: SparkSession,
+      indexPath: String,
+      buckets: Int,
+      dataDir: String,
+      partCol: String): Int = {
+    val b = resolve(spark, indexPath, buckets)
+    val p = new Path(s"$indexPath/$dataDir")
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) {
+      val pre = partCol + "="
+      val seen = fs.listStatus(p).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith(pre) && n.drop(pre.length).forall(_.isDigit))
+        .map(_.drop(pre.length).toInt)
+      val bad = seen.filter(_ >= b).toSeq
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"index at $indexPath records $b buckets but $dataDir/ holds " +
+          s"partitions ${bad.sorted.take(5).mkString(", ")}... — the index " +
+          "layout and buckets.json disagree (torn rebuild?); rebuild the " +
+          "index before probing, or probes would silently prune away matches")
+    }
+    b
+  }
 }

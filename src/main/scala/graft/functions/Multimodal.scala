@@ -666,18 +666,22 @@ object Multimodal {
       .write.mode(mode).parquet(s"$path/hashes")
     val b =
       if (mode == org.apache.spark.sql.SaveMode.Append)
-        IndexMeta.resolve(spark, path, buckets)
-      else if (buckets > 0) { IndexMeta.write(spark, path, buckets); buckets }
+        IndexMeta.resolveAndRecord(spark, path, buckets)
+      else if (buckets > 0) buckets
       else {
         val n = spark.read.parquet(s"$path/hashes").count()
-        val adaptive = IndexMeta.adaptiveBuckets(n * numBands)
-        IndexMeta.write(spark, path, adaptive)
-        adaptive
+        IndexMeta.adaptiveBuckets(n * numBands)
       }
     hashed.select(col("id"),
         posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
       .withColumn("bk", fpBucket(b))
       .write.mode(mode).partitionBy("bk").parquet(s"$path/bands")
+    // meta LAST on a rebuild (the Dedup.writeIndexTables argument): a
+    // crash after re-partitioning bands/ under a grown modulus leaves
+    // directories >= the stale count — probes detect and refuse rather
+    // than silently pruning matches away
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      IndexMeta.write(spark, path, b)
   }
 
   /** Grow a standing [[writeFingerprintIndex]] by an ingested batch —
@@ -718,17 +722,22 @@ object Multimodal {
     val spark = batchHashed.sparkSession
     val a = batchHashed.select(col("id"), col("bands"),
         posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
-      .withColumn("bk", fpBucket(IndexMeta.resolve(spark, indexPath, buckets)))
+      .withColumn("bk",
+        fpBucket(IndexMeta.validated(spark, indexPath, buckets, "bands", "bk")))
     val bks = a.select(col("bk")).distinct().collect().map(_.getInt(0)).toSeq
     // explicit schemas: an index seeded from an EMPTY frame (a streaming
     // deployment's cold start) has zero data files, which would fail
-    // schema inference — same contract as Dedup.exactDupsAgainstIndexed
+    // schema inference — same contract as Dedup.exactDupsAgainstIndexed.
+    // The id type follows the BATCH (the public wrappers accept any
+    // idCol — hard-coding long here would fail probes of indexes built
+    // with e.g. int or string ids on a parquet type mismatch)
     import org.apache.spark.sql.types._
+    val idType = batchHashed.schema("id").dataType
     val bandsSchema = StructType(Seq(
-      StructField("id", LongType), StructField("b_idx", IntegerType),
+      StructField("id", idType), StructField("b_idx", IntegerType),
       StructField("b_val", LongType), StructField("bk", IntegerType)))
     val hashesSchema = StructType(Seq(
-      StructField("id", LongType),
+      StructField("id", idType),
       StructField("bands", ArrayType(LongType))))
     val idxBands = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
       .where(col("bk").isin(bks: _*))

@@ -1534,44 +1534,67 @@ object TextOps {
     * numbering is a second id-keyed window over the (small) duplicated
     * subset only. Per-doc window memory is bounded by doc length.
     *
-    * Output: (idCol, span_start, span_end, n_windows) — token positions,
-    * `[span_start, span_end)`, end-exclusive, `span_end − span_start ≥ L`.
+    * Output: (idCol, span_start, span_end, n_windows, byte_start,
+    * byte_end) — token positions `[span_start, span_end)` (end-
+    * exclusive, `span_end − span_start ≥ L`) PLUS the byte offsets
+    * `[byte_start, byte_end)` of the same span in the single-space-
+    * joined token stream (a prefix sum of token byte lengths riding the
+    * existing id-keyed window pass — Lee et al.'s output contract for a
+    * downstream scrubber operating on raw bytes). Spans are DISJOINT
+    * maximal: islands whose covered token ranges overlap or touch
+    * (window-start gap ≤ L) merge into one span, so consumers may
+    * treat span coverage as additive.
     */
-  /** (id, pos, tok, th) token rows of the span operators — one narrow
-    * explode; `th` is the 53-bit token hash the rolling fold runs on. */
+  /** (id, pos, tok, th, nb) token rows of the span operators — one
+    * narrow explode; `th` is the 53-bit token hash the rolling fold
+    * runs on, `nb` the token's byte length (the byte-offset prefix-sum
+    * input). */
   private def spanToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Par.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"),
-        (portableHash(col("tok")) % SpanHashM).as("th"))
+        (portableHash(col("tok")) % SpanHashM).as("th"),
+        octet_length(col("tok")).cast("long").as("nb"))
 
-  /** (id, pos, wh) rolling window-hash rows over [[spanToks]] output —
-    * the lead-based fold, one id-keyed window pass. */
+  /** (id, pos, wh, bs, be) rolling window-hash rows over [[spanToks]]
+    * output — the lead-based fold plus the window's byte extent
+    * (`bs` = byte offset of the start token in the space-joined stream,
+    * `be` = one past the last byte of the window's L-th token), all in
+    * ONE id-keyed window pass (the prefix sum and the leads share the
+    * partitioning, so Catalyst plans a single exchange+sort). */
   private def spanWins(toks: DataFrame, idCol: String, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val pre = w.rowsBetween(Window.unboundedPreceding, -1)
     val wh = (1 until L).foldLeft(col("th")) { (acc, k) =>
       (acc * 31 + lead(col("th"), k).over(w)) % SpanHashM
     }
     toks
+      .select(col(idCol), col("pos"), col("th"), col("nb"),
+        coalesce(sum(col("nb") + 1).over(pre), lit(0L)).as("bo"))
       .select(col(idCol), col("pos"), wh.as("wh"),
-        lead(col("th"), L - 1).over(w).as("tlast"))
+        lead(col("th"), L - 1).over(w).as("tlast"),
+        col("bo").as("bs"),
+        lead(col("bo") + col("nb"), L - 1).over(w).as("be"))
       .where(col("tlast").isNotNull)
-      .select(col(idCol), col("pos"), col("wh"))
+      .select(col(idCol), col("pos"), col("wh"), col("bs"), col("be"))
   }
 
-  /** Merge a (id, pos) frame of window starts into maximal spans —
-    * gaps-and-islands over consecutive positions. */
-  private def spanIslands(dup: DataFrame, idCol: String, L: Int): DataFrame = {
+  /** Stamp an island group id onto a (id, pos, ...) frame of window
+    * starts: a new island starts when the gap to the previous start
+    * exceeds `L` — starts at distance ≤ L have overlapping or touching
+    * covered ranges `[pos, pos+L)`, so merging them yields DISJOINT
+    * maximal spans (starts {0, 2} with a gap at 1 are ONE span [0, 10),
+    * never the overlapping pair [0,8)/[2,10)). */
+  private def withIslandGrp(dup: DataFrame, idCol: String, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
     dup
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col(idCol), col("grp"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + L).as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= L, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum(col("brk")).over(run))
   }
 
   def duplicatedSpans(
@@ -1586,7 +1609,15 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("df"))
       .where(col("df") >= minDf)
       .select(col("wh"))
-    spanIslands(wins.join(hot, Seq("wh"), "left_semi"), idCol, L)
+    withIslandGrp(wins.join(hot, Seq("wh"), "left_semi"), idCol, L)
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"),
+        count(lit(1)).as("n_windows"),
+        min(col("bs")).as("byte_start"),
+        max(col("be")).as("byte_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"), col("byte_start"), col("byte_end"))
   }
 
   /** The REMOVAL half of [[duplicatedSpans]] — what Lee et al. 2022
@@ -1620,13 +1651,14 @@ object TextOps {
     val flagged = wins.join(model, Seq("wh"))
       .where(col(idCol) > col("wmin"))
       .select(col(idCol), col("pos"))
-    // distinct: adjacent islands' covered RANGES can overlap (window
-    // starts {0, 2} with a gap at 1 cover [0,8) and [2,10)) and a
-    // duplicate (id, pos) row would fan the rebuild join out
-    val covered = spanIslands(flagged, idCol, L)
-      .select(col(idCol),
-        explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
-      .distinct()
+    // islands merge whenever covered ranges overlap or touch (gap ≤ L),
+    // so the merged spans are DISJOINT and the explode emits each
+    // covered position exactly once — no distinct needed before the
+    // rebuild join (a duplicate (id, pos) row would fan it out)
+    val covered = withIslandGrp(flagged, idCol, L)
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
+      .select(col(idCol), explode(sequence(col("s"), col("e") - 1)).as("pos"))
     toks.join(covered.withColumn("cut", lit(true)), Seq(idCol, "pos"), "left")
       .select(col(idCol), col("pos"), col("tok"),
         coalesce(col("cut"), lit(false)).as("cut"))
@@ -1663,10 +1695,13 @@ object TextOps {
        |flg AS (SELECT whs.$idCol, whs.pos FROM whs JOIN model USING (wh)
        |        WHERE whs.$idCol > model.wmin),
        |isl AS (SELECT $idCol, pos,
-       |  pos - row_number() OVER (PARTITION BY $idCol ORDER BY pos) AS grp FROM flg),
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY $idCol ORDER BY pos) <= $L
+       |       THEN 0 ELSE 1 END AS brk FROM flg),
+       |isl2 AS (SELECT $idCol, pos, sum(brk) OVER (PARTITION BY $idCol
+       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
        |sp AS (SELECT $idCol, min(pos) AS s, max(pos) + $L AS e
-       |       FROM isl GROUP BY $idCol, grp),
-       |cov AS (SELECT DISTINCT $idCol, unnest(range(s, e)) AS pos FROM sp),
+       |       FROM isl2 GROUP BY $idCol, grp),
+       |cov AS (SELECT $idCol, unnest(range(s, e)) AS pos FROM sp),
        |m AS (SELECT h.$idCol, h.pos, h.tok, (cov.pos IS NOT NULL) AS cut
        |      FROM h LEFT JOIN cov ON cov.$idCol = h.$idCol AND cov.pos = h.pos)
        |SELECT $idCol,
@@ -1691,16 +1726,26 @@ object TextOps {
     }
     s"""WITH tk AS (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl),
        |t AS (SELECT $idCol, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM tk),
-       |h AS (SELECT $idCol, pos, (${portableHashSql("tok")}) % ${SpanHashM} AS th FROM t),
-       |w AS (SELECT $idCol, pos, th, $leads FROM h),
-       |whs AS (SELECT $idCol, pos, ($fold) AS wh FROM w WHERE t${L - 1} IS NOT NULL),
+       |h AS (SELECT $idCol, pos, (${portableHashSql("tok")}) % ${SpanHashM} AS th,
+       |  strlen(tok) AS nb FROM t),
+       |o AS (SELECT $idCol, pos, th, nb,
+       |  CAST(coalesce(sum(nb + 1) OVER (PARTITION BY $idCol ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bo FROM h),
+       |w AS (SELECT $idCol, pos, th, bo, $leads,
+       |  lead(bo + nb, ${L - 1}) OVER (PARTITION BY $idCol ORDER BY pos) AS be FROM o),
+       |whs AS (SELECT $idCol, pos, ($fold) AS wh, bo AS bs, be FROM w
+       |  WHERE t${L - 1} IS NOT NULL),
        |hot AS (SELECT wh FROM whs GROUP BY wh HAVING count(DISTINCT $idCol) >= $minDf),
-       |dup AS (SELECT whs.$idCol, whs.pos FROM whs JOIN hot USING (wh)),
-       |isl AS (SELECT $idCol, pos,
-       |  pos - row_number() OVER (PARTITION BY $idCol ORDER BY pos) AS grp FROM dup)
+       |dup AS (SELECT $idCol, pos, bs, be FROM whs JOIN hot USING (wh)),
+       |isl AS (SELECT $idCol, pos, bs, be,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY $idCol ORDER BY pos) <= $L
+       |       THEN 0 ELSE 1 END AS brk FROM dup),
+       |isl2 AS (SELECT $idCol, pos, bs, be, sum(brk) OVER (PARTITION BY $idCol
+       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl)
        |SELECT $idCol, min(pos) AS span_start, max(pos) + $L AS span_end,
-       |       count(*) AS n_windows
-       |FROM isl GROUP BY $idCol, grp""".stripMargin.replace("\n", " ")
+       |       count(*) AS n_windows,
+       |       CAST(min(bs) AS BIGINT) AS byte_start, CAST(max(be) AS BIGINT) AS byte_end
+       |FROM isl2 GROUP BY $idCol, grp""".stripMargin.replace("\n", " ")
   }
 
   /** DuckDB twin of [[htmlExtract]] as a scalar expression (RE2 runs the

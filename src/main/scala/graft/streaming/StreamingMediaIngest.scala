@@ -58,14 +58,18 @@ import graft.functions.Multimodal
   * candidate groupBy; [[graft.functions.IndexMaintenance
   * .compactFingerprintIndex]] merges them away on cadence). Cold start:
   * a missing `indexPath/<modality>` is an empty standing corpus — the
-  * first batch carrying that modality creates it (at the default
-  * 64-bucket floor; corpus-scale deployments seed with
-  * `write*FingerprintIndex` to get adaptive sizing).
+  * first batch carrying that modality creates it, at `seedBuckets`
+  * when given (the sizing hint for deployments that KNOW the corpus
+  * will grow — recorded in the index meta so every later append/probe
+  * follows it) or the default 64-bucket floor otherwise; corpus-scale
+  * deployments can equally seed with `write*FingerprintIndex` to get
+  * adaptive sizing from a standing corpus.
   */
 object StreamingMediaIngest {
 
   /** Drain all pending media files through route → fingerprint → gate →
-    * log → index. */
+    * log → index. `seedBuckets > 0` sizes any index CREATED by this
+    * drain's first batch (ignored for indexes that already exist). */
   def runAvailableNow(
       spark: SparkSession,
       rawDir: String,
@@ -75,7 +79,8 @@ object StreamingMediaIngest {
       checkpointDir: String,
       maxHamming: Int = 3,
       numBands: Int = 4,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      seedBuckets: Int = 0): Unit = {
     val schema = StructType(Seq(
       StructField("path", StringType),
       StructField("modificationTime", TimestampType),
@@ -90,7 +95,7 @@ object StreamingMediaIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gate(batch, batchId, indexPath, verdictsDir, quarantineDir,
-          maxHamming, numBands)
+          maxHamming, numBands, seedBuckets)
       }
       .start()
     query.awaitTermination()
@@ -106,7 +111,8 @@ object StreamingMediaIngest {
       verdictsDir: String,
       quarantineDir: String,
       maxHamming: Int,
-      numBands: Int): Unit = {
+      numBands: Int,
+      seedBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val routed = batch
@@ -117,12 +123,12 @@ object StreamingMediaIngest {
         when(col("id_s") =!= "", col("id_s").cast("long")).as("id"),
         col("content"))
     val sniffed = routed.where(col("id").isNotNull)
-      .select(col("id"), col("content"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, b) =>
-        (id, Multimodal.sniffModality(b).getOrElse("junk"), b)
+      .select(col("path"), col("id"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .map { case (p, id, b) =>
+        (p, id, Multimodal.sniffModality(b).getOrElse("junk"), b)
       }
-      .toDF("id", "modality", "content")
+      .toDF("path", "id", "modality", "content")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // fingerprint each modality through its real decode path; keep
@@ -167,20 +173,28 @@ object StreamingMediaIngest {
         verdictAll.write.mode("overwrite")
           .parquet(s"$verdictsDir/batch_id=$batchId")
         // quarantine: no-id paths, junk formats, sniffed-but-undecodable
+        // — each row carries the REAL file path (an operator triaging
+        // quarantine must be able to locate the offending blob)
         val decodedIds = hashedLegs.map(_._2.select(col("id")))
           .reduce(_.unionByName(_))
         val quar = routed.where(col("id").isNull)
           .select(col("path"), lit("no_id").as("reason"))
           .unionByName(sniffed.where(col("modality") === "junk")
-            .select(col("id").cast("string").as("path"), lit("junk").as("reason")))
+            .select(col("path"), lit("junk").as("reason")))
           .unionByName(sniffed.where(col("modality") =!= "junk")
             .join(decodedIds, Seq("id"), "left_anti")
-            .select(col("id").cast("string").as("path"),
-              lit("undecodable").as("reason")))
+            .select(col("path"), lit("undecodable").as("reason")))
         quar.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
-        // grow each modality's index by the WHOLE batch (see object doc)
+        // grow each modality's index by the WHOLE batch (see object
+        // doc); an index this append CREATES records seedBuckets (the
+        // cold-start sizing hint) — or the default floor — in its meta
         hashedLegs.foreach { case (m, hashed) =>
-          Multimodal.appendFingerprintIndex(hashed, s"$indexPath/$m", numBands)
+          val idx = s"$indexPath/$m"
+          val seed =
+            if (seedBuckets > 0 && !graft.functions.IndexMeta.exists(spark, idx))
+              seedBuckets
+            else 0
+          Multimodal.appendFingerprintIndex(hashed, idx, numBands, seed)
         }
       } finally hashedLegs.foreach { case (_, df) => df.unpersist(); () }
     } finally { sniffed.unpersist(); () }

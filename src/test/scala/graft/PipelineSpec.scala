@@ -2209,22 +2209,42 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "text")               // 5: within-doc repeat only
     val out = TextOps.duplicatedSpans(df, "doc_id", "text")
       .orderBy($"doc_id", $"span_start")
-      .as[(Long, Long, Long, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     // 1 and 4 duplicate each other fully (9 windows merge to one maximal
     // span); 2 shares exactly ONE window starting at its pos 2; 3 has no
-    // window; 5's repeat is within one doc only (df counts distinct docs)
-    assert(out == Seq((1L, 0L, 16L, 9L), (2L, 2L, 10L, 1L), (4L, 0L, 16L, 9L)),
-      s"spans: $out")
+    // window; 5's repeat is within one doc only (df counts distinct
+    // docs). Byte offsets: every token here is 2 bytes, space-joined, so
+    // token k starts at byte 3k and a [s, e) token span covers bytes
+    // [3s, 3e - 1)
+    assert(out == Seq(
+      (1L, 0L, 16L, 9L, 0L, 47L),
+      (2L, 2L, 10L, 1L, 6L, 29L),
+      (4L, 0L, 16L, 9L, 0L, 47L)), s"spans: $out")
     // a doc with two separated duplicated regions yields two islands
+    // (start gap 16 > L); a gap ≤ L would merge (disjoint-span contract)
     val sep = Seq(
       (10L, shared + " q1 q2 q3 q4 q5 q6 q7 q8 " + shared),
       (11L, shared))
       .toDF("doc_id", "text")
     val two = TextOps.duplicatedSpans(sep, "doc_id", "text")
       .where($"doc_id" === 10L).orderBy($"span_start")
-      .as[(Long, Long, Long, Long)].collect().toSeq
-    assert(two == Seq((10L, 0L, 8L, 1L), (10L, 16L, 24L, 1L)),
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(two == Seq((10L, 0L, 8L, 1L, 0L, 23L), (10L, 16L, 24L, 1L, 48L, 71L)),
       s"two islands expected: $two")
+    // overlap-merge: window starts {0, 2} with a gap at 1 (the t1..t8
+    // window is unique to doc 31) are ONE disjoint span [0, 10), never
+    // the overlapping pair [0,8)/[2,10); the 6-byte t5long inside the
+    // span exercises variable-width tokens in the byte prefix sum
+    // (offsets 0,3,6,9,12,15,22,25,28,31 → byte_end 31+2 = 33)
+    val ts = (0 to 9).map(i => if (i == 5) "t5long" else s"t$i")
+    val ovl = TextOps.duplicatedSpans(Seq(
+        (29L, ts.take(8).mkString(" ") + " xa xb"),
+        (30L, "ya yb " + ts.drop(2).mkString(" ")),
+        (31L, ts.mkString(" ") + " tail zz2"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .where($"doc_id" === 31L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(ovl == Seq((31L, 0L, 10L, 2L, 0L, 33L)), s"merged span: $ovl")
   }
 
   test("substring-dup scrub: lowest-id doc keeps, clones empty, partial cuts, overlap-safe") {
@@ -2322,6 +2342,48 @@ class PipelineSpec extends AnyFunSuite {
         "doc_id", "text", sdir)
       .where($"is_dup" && $"doc_old" >= 100L).select($"doc_new").distinct().count()
     assert(sprobe == 10L, s"probe must find all 10 appended signatures, found $sprobe")
+  }
+
+  test("index meta hygiene: cold appends record the modulus, torn rebuilds refuse probes, id types follow the batch") {
+    import spark.implicits._
+    import graft.functions.IndexMeta
+    // a COLD append (no meta file yet) must RECORD the resolved count —
+    // an unrecorded cold index works only while every reader's implicit
+    // default stays put
+    val cold = java.nio.file.Files.createTempDirectory("meta-cold").toString
+    Dedup.appendHashIndex(
+      Seq((1L, "t1")).toDF("doc_id", "text"), "doc_id", "text", cold)
+    assert(IndexMeta.exists(spark, cold)
+      && IndexMeta.read(spark, cold) == IndexMeta.DefaultBuckets)
+    val coldFp = java.nio.file.Files.createTempDirectory("meta-coldfp").toString
+    Multimodal.appendFingerprintIndex(
+      Seq((1L, Array.tabulate(8)(_.toLong))).toDF("id", "bands"), coldFp,
+      buckets = 128)
+    assert(IndexMeta.read(spark, coldFp) == 128,
+      "cold fingerprint append must record its explicit count")
+    // torn rebuild (the detectable direction): on-disk partitions >= the
+    // recorded count mean the stale modulus would prune real matches —
+    // the probe must refuse, not silently miss
+    val torn = java.nio.file.Files.createTempDirectory("meta-torn").toString
+    Dedup.writeHashIndex(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), "doc_id", "text", torn)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(torn, "hashes", "hb=4096"))
+    val ex = intercept[IllegalStateException] {
+      Dedup.exactDupsAgainstIndexed(
+        Seq((9L, "a")).toDF("doc_id", "text"), "doc_id", "text", torn).collect()
+    }
+    assert(ex.getMessage.contains("torn"), ex.getMessage)
+    // the fingerprint probe's explicit read schema follows the BATCH id
+    // type — an int-id index must probe without a parquet type mismatch
+    val fdir = java.nio.file.Files.createTempDirectory("meta-intid").toString
+    def bandsOf(i: Int) = Array.tabulate(8)(j => (i * 37L + j * 11L) % 256L)
+    Multimodal.writeFingerprintIndex(
+      Seq((1, bandsOf(1)), (2, bandsOf(2))).toDF("id", "bands"), fdir)
+    val got = Multimodal.nearDupAgainstFingerprintIndex(
+        Seq((7, bandsOf(2))).toDF("id", "bands"), fdir, maxHamming = 0)
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(got == Seq((7, 2, 0L)), s"int-id probe: $got")
   }
 
   test("fingerprint-index compaction: 1 file/bucket-dir, probe results unchanged") {

@@ -96,6 +96,51 @@ class PlanContractSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("hash-index build scans the corpus ONCE: the write reads the sized aggregate's cache") {
+    import scala.collection.mutable
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("hidx-onescan").toString
+    (0L until 500L).map(i => (i, s"text ${i % 400}")).toDF("doc_id", "text")
+      .write.parquet(s"$base/docs")
+    val seen = mutable.Buffer.empty[SparkPlan]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        seen.synchronized { seen += qe.executedPlan; () }
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    // typed walk: innerChildren (a cached relation's stored plan) are
+    // NOT traversed, so a FileSourceScanExec found here really executed
+    // in THIS action
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.functions.Dedup.writeHashIndex(
+        spark.read.parquet(s"$base/docs"), "doc_id", "text", s"$base/idx")
+      val deadline = System.nanoTime() + 5000000000L
+      def writes = seen.synchronized(
+        seen.filter(_.toString.contains("InsertIntoHadoopFsRelation")).toList)
+      while (writes.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val w = writes
+      assert(w.nonEmpty, "hashes/ write not observed")
+      // the adaptive sizing already counted (and cached) the dedup
+      // aggregate — the write must read that cache, not re-scan the
+      // corpus through a second dedup
+      w.foreach { p =>
+        assert(scans(p).isEmpty,
+          "the index write re-scanned the corpus instead of reusing the " +
+            "sized aggregate's cache:\n" + p.toString.take(800))
+        assert(p.toString.contains("InMemoryTableScan"),
+          "write plan should read the cached aggregate:\n" + p.toString.take(800))
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("store cutout pushes morton/t predicates into the parquet scan") {
     val p = plan("q50_store_roundtrip")
     assert(p.contains("PushedFilters"))

@@ -478,7 +478,9 @@ class StreamOpsSpec extends AnyFunSuite {
     val q = spark.read.parquet(quar).select($"path", $"reason")
       .as[(String, String)].collect().toSet
     assert(q.exists(r => r._1.endsWith("noid.txt") && r._2 == "no_id"), s"$q")
-    assert(q.contains(("9", "junk")), s"$q")
+    // quarantine rows carry the REAL file path (triage must locate the
+    // offending blob), never a bare id
+    assert(q.exists(r => r._1.endsWith("9.bin") && r._2 == "junk"), s"$q")
   }
 
   test("media gate crash-replay: re-running a batch after its index appends is idempotent") {
@@ -503,6 +505,36 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(v1 == Set((5L, 5L, true), (6L, 5L, false), (7L, 7L, true)), s"$v1")
     run() // crash-replay: indexes already hold this batch's fingerprints
     assert(snap() == v1, "replayed verdicts must be bit-identical")
+  }
+
+  test("media cold start: seedBuckets sizes the first-batch-created index; later drains follow it") {
+    import spark.implicits._
+    import graft.functions.{IndexMeta, Multimodal}
+    import graft.streaming.StreamingMediaIngest
+    val rawDir = java.nio.file.Files.createTempDirectory("smis-raw").toString
+    val idx = java.nio.file.Files.createTempDirectory("smis-idx").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("smis-verd").toString
+    val quar = java.nio.file.Files.createTempDirectory("smis-quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("smis-ckpt").toString
+    def png(perturb: Int) = Multimodal.encodeGrayPng(18, 16,
+      (x, y) => if (x == 0 && y == perturb) 255 else x * 10)
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(rawDir, name), bytes)
+    def drain(): Unit = StreamingMediaIngest.runAvailableNow(
+      spark, rawDir, idx, verdicts, quar, ckpt, seedBuckets = 256)
+    put("1.png", png(1))
+    drain()
+    // the drain CREATED idx/image — at the hinted count, recorded so
+    // every later append/probe follows it (not the 64-bucket floor)
+    assert(IndexMeta.read(spark, s"$idx/image") == 256,
+      "cold-start index must record the seedBuckets hint")
+    // a later drain must find the near-dup THROUGH the 256-bucket index
+    // (a modulus disagreement would silently prune the match away)
+    put("11.png", png(3)) // same fingerprint as 1 (perturb off-sample)
+    drain()
+    val v = spark.read.parquet(verdicts)
+      .select($"id", $"rep", $"kept").as[(Long, Long, Boolean)].collect().toSet
+    assert(v == Set((1L, 1L, true), (11L, 1L, false)), s"$v")
   }
 
   test("raw-ingest gate crash-replay: re-running a batch after its index append is idempotent") {
