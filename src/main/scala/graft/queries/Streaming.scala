@@ -140,19 +140,32 @@ object Streaming {
   private def cents(c: org.apache.spark.sql.Column) =
     (c.cast("decimal(18,2)") * lit(100)).cast("long")
 
-  /** Streamed MEDIA-ingest verdict log (the q134 drill for binary blobs):
-    * groups of 3 consecutive doc_ids share one base image (gid =
-    * doc_id/3, middle-square pixels, per-doc single-pixel perturbation
-    * at row y=1 — NEVER sampled by the dHash grid for any h ≥ 16, so
-    * group members are fingerprint-identical while their PNG bytes all
-    * differ). Standing corpus = doc_id%5==0 (seeds the image
-    * fingerprint index); residues 1..3 are drained as three
-    * micro-batches of real PNG files named `<id>.png`; docs with
-    * doc_id%3==0 additionally re-enter at id+10000 in their batch slot
-    * (planted near-dups that exercise intra-batch and cross-batch
-    * resolution). Residue-4 docs sit out, so some gids have NO standing
-    * member and their first-arriving batch doc is kept. Junk and no-id
-    * files ride along in drain 1 (quarantined, never in the log).
+  /** Streamed MEDIA-ingest verdict log (the q134 drill for binary
+    * blobs), ALL THREE modalities through one gate:
+    *
+    *  - IMAGE: groups of 3 consecutive doc_ids share one base image
+    *    (gid = doc_id/3, middle-square pixels, per-doc single-pixel
+    *    perturbation at row y=1 — NEVER sampled by the dHash grid for
+    *    any h ≥ 16, so group members are fingerprint-identical while
+    *    their PNG bytes all differ);
+    *  - AUDIO: the q156 fixture's wave per doc (groups of 5 share a
+    *    72-slice middle-square wave, gid = doc_id/5, one perturbed
+    *    sample whose energy shift the oracle replays exactly);
+    *  - VIDEO: the q157 fixture's clip per doc (groups of 5, one
+    *    perturbed pixel of one frame, pure-integer sampling geometry).
+    *
+    * Standing corpus = doc_id%5==0 (seeds each modality's fingerprint
+    * index); residues 1..3 are drained as three micro-batches of real
+    * PNG + WAV + AVI files named `<id>.<ext>`; docs with doc_id%3==0
+    * additionally re-enter at id+10000 in their batch slot (planted
+    * near-dups that exercise intra-batch and cross-batch resolution in
+    * EVERY modality — ids collide across modalities only in the file
+    * stem; the gate's verdicts and indexes are per-modality).
+    * Residue-4 docs sit out, so some groups have NO standing member and
+    * their first-arriving batch doc is kept. Junk and no-id files ride
+    * along in drain 1 (quarantined, never in the log). q160/q164/q165
+    * each replay one modality's verdict log relationally; q166
+    * aggregates all of them.
     */
   private val mediaIngestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def mediaIngestVerdicts(s: SparkSession, dir: String): String =
@@ -171,6 +184,41 @@ object Streaming {
           if (x == nx && y == 1) ((base0 + id) % 256).toInt else base0
         })
       }
+      def audioBlob(id: Long, gid: Long): Array[Byte] = {
+        val n = 1152
+        val kp = (id % n).toInt
+        val samples = new Array[Short](n)
+        var k = 0
+        while (k < n) {
+          val b = ((gid + 1L) * 2654435761L +
+            ((k / 16) + 3L) * 40503L) / 8192L % 65536L
+          val v = b * b / 64L % 1000L - 500L
+          val p = if (k == kp) id % 300 + 1 else 0L
+          samples(k) = (v + p).toShort
+          k += 1
+        }
+        Multimodal.encodeWavPcm16(8000, samples)
+      }
+      def videoBlob(id: Long, gid: Long): Array[Byte] = {
+        val w = (18 + gid % 9).toInt
+        val h = (12 + gid % 7).toInt
+        val nf = (8 + gid % 5).toInt
+        val pf = (id % nf).toInt
+        val px = (id % w).toInt
+        val py = (id * 3 % h).toInt
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(w * h) { k =>
+            val (x, y) = (k % w, k / w)
+            val b = ((gid + 1L) * 2654435761L +
+              (f * 1009L + x * 29L + y * 13L + 7L) * 40503L) / 8192L % 65536L
+            val base0 = (b * b / 64L % 256L).toInt
+            val v = if (f == pf && x == px && y == py)
+              ((base0 + id) % 256).toInt else base0
+            v.toByte
+          }
+        }
+        Multimodal.encodeAviDib(w, h, frames)
+      }
       // fixture BUILD collects the sf-scale id list on the driver
       // (bounded by the fixture, not an ingest path — production drains
       // files that already exist; the warcFixture rationale)
@@ -178,9 +226,15 @@ object Streaming {
         .collect().map(_.getLong(0)).sorted
       import s.implicits._
       val standing = ids.filter(_ % 5 == 0)
-        .map(id => (id, blob(id, id / 3))).toSeq.toDF("doc_id", "blob")
       Multimodal.writeImageFingerprintIndex(
-        standing, "doc_id", "blob", s"$base/idx/image")
+        standing.map(id => (id, blob(id, id / 3))).toSeq.toDF("doc_id", "blob"),
+        "doc_id", "blob", s"$base/idx/image")
+      Multimodal.writeAudioFingerprintIndex(
+        standing.map(id => (id, audioBlob(id, id / 5))).toSeq.toDF("doc_id", "blob"),
+        "doc_id", "blob", s"$base/idx/audio")
+      Multimodal.writeVideoFingerprintIndex(
+        standing.map(id => (id, videoBlob(id, id / 5))).toSeq.toDF("doc_id", "blob"),
+        "doc_id", "blob", s"$base/idx/video")
       java.nio.file.Files.write(java.nio.file.Paths.get(raw, "junk.bin"),
         "no digits here".getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get(raw, "99990001.png"),
@@ -189,17 +243,117 @@ object Streaming {
         ids.filter(_ % 5 == m).foreach { id =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(raw, s"$id.png"), blob(id, id / 3))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(raw, s"$id.wav"), audioBlob(id, id / 5))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(raw, s"$id.avi"), videoBlob(id, id / 5))
         }
         ids.filter(id => id % 3 == 0 && id % 5 == m).foreach { id =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(raw, s"${id + 10000}.png"),
             blob(id + 10000, id / 3))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(raw, s"${id + 10000}.wav"),
+            audioBlob(id + 10000, id / 5))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(raw, s"${id + 10000}.avi"),
+            videoBlob(id + 10000, id / 5))
         }
         StreamingMediaIngest.runAvailableNow(
           s, raw, s"$base/idx", s"$base/verdicts", s"$base/quar", s"$base/ckpt")
       }
       s"$base/verdicts"
     })
+
+  /** DuckDB replay of the streamed media gate for ONE modality: the
+    * fixture's membership/batches CTE (standing = bo −1, drains 0..2,
+    * +10000 re-entries in their batch slot) feeds the modality's
+    * band-math SQL (the q160/q156/q157 formulas over the SAME blob
+    * parameters the fixture wrote), then the gate's candidate
+    * restriction — lower ids only, batches ≤ own — Hamming ≤ 3 verify,
+    * and min-id-wins. Shared by q160/q164/q165 and aggregated by q166.
+    */
+  private def mediaVerdictSql(modality: String): String = {
+    val g = if (modality == "image") 3 else 5
+    val mem =
+      s"""mem AS (
+         |  SELECT doc_id AS id, doc_id // $g AS gid,
+         |         CAST(doc_id % 5 AS BIGINT) - 1 AS bo
+         |  FROM documents WHERE doc_id % 5 <> 4
+         |  UNION ALL
+         |  SELECT doc_id + 10000, doc_id // $g, CAST(doc_id % 5 AS BIGINT) - 1
+         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 BETWEEN 1 AND 3)""".stripMargin
+    val bands = modality match {
+      case "image" =>
+        """d AS (SELECT id, gid, bo, gid % 13 + 16 AS w, gid % 11 + 16 AS h FROM mem),
+          |g AS (SELECT id, bo, i.r AS xi, j.r AS yj,
+          |  ((gid+1)*2654435761 + ((i.r * w // 9) * 29 + (j.r * h // 8) * 13 + 7)*40503)
+          |    // 8192 % 65536 AS bm
+          |  FROM d, range(0, 9) i(r), range(0, 8) j(r)),
+          |p AS (SELECT id, bo, xi, yj, bm*bm // 64 % 256 AS pv FROM g),
+          |bits AS (SELECT a.id, a.bo, a.yj, a.xi,
+          |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+          |  FROM p a JOIN p b ON a.id = b.id AND a.yj = b.yj
+          |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
+          |bands AS (SELECT id, bo, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+          |  FROM bits GROUP BY id, bo, yj)""".stripMargin
+      case "audio" =>
+        """d AS (SELECT id, gid, bo, id % 1152 AS kp FROM mem),
+          |bm AS (SELECT id, bo, kp, s.r AS s,
+          |  ((gid+1)*2654435761 + (s.r+3)*40503) // 8192 % 65536 AS b
+          |  FROM d, range(0, 72) s(r)),
+          |smp AS (SELECT id, bo, s,
+          |  abs(b*b // 64 % 1000 - 500
+          |    + CASE WHEN s*16 + q.r = kp THEN id % 300 + 1 ELSE 0 END) AS a
+          |  FROM bm, range(0, 16) q(r)),
+          |e AS (SELECT id, bo, s, sum(a) // 16 AS e FROM smp GROUP BY id, bo, s),
+          |bits AS (SELECT a.id, a.bo, a.s // 9 AS yj, a.s % 9 AS xi,
+          |  CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+          |  FROM e a JOIN e b ON a.id = b.id AND b.s = a.s + 1
+          |  WHERE a.s % 9 < 8),
+          |bands AS (SELECT id, bo, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+          |  FROM bits GROUP BY id, bo, yj)""".stripMargin
+      case "video" =>
+        """d0 AS (SELECT id, gid, bo, 18 + gid % 9 AS w, 12 + gid % 7 AS h,
+          |  8 + gid % 5 AS nf FROM mem),
+          |d2 AS (SELECT id, gid, bo, w, h, nf, id % nf AS pf,
+          |  id % w AS px, (id * 3) % h AS py FROM d0),
+          |g AS (SELECT id, bo, pf, px, py, i.r AS xi, j.r AS yj,
+          |  j.r * nf // 8 AS sf, i.r * w // 9 AS sx, h // 2 AS sy,
+          |  ((gid+1)*2654435761 +
+          |   ((j.r * nf // 8)*1009 + (i.r * w // 9)*29 + (h // 2)*13 + 7)*40503)
+          |    // 8192 % 65536 AS bm
+          |  FROM d2, range(0, 9) i(r), range(0, 8) j(r)),
+          |p AS (SELECT id, bo, xi, yj,
+          |  CASE WHEN sf = pf AND sx = px AND sy = py
+          |    THEN (bm*bm // 64 % 256 + id) % 256
+          |    ELSE bm*bm // 64 % 256 END AS pv FROM g),
+          |bits AS (SELECT a.id, a.bo, a.yj, a.xi,
+          |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+          |  FROM p a JOIN p b ON a.id = b.id AND a.yj = b.yj
+          |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
+          |bands AS (SELECT id, bo, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
+          |  FROM bits GROUP BY id, bo, yj)""".stripMargin
+    }
+    s"""WITH $mem,
+       |$bands,
+       |b16 AS (SELECT id, bo, yj // 2 AS bj,
+       |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
+       |  GROUP BY id, bo, yj // 2),
+       |cand AS (SELECT DISTINCT a.id AS id_new, b.id AS id_old
+       |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
+       |  WHERE a.bo >= 0 AND b.id < a.id AND b.bo <= a.bo),
+       |ham AS (SELECT c.id_new, c.id_old
+       |  FROM cand c JOIN bands x ON x.id = c.id_new
+       |    JOIN bands y ON y.id = c.id_old AND y.yj = x.yj
+       |  GROUP BY c.id_new, c.id_old
+       |  HAVING sum(bit_count(xor(x.bv, y.bv))) <= 3),
+       |rep AS (SELECT id_new AS id, min(id_old) AS m FROM ham GROUP BY id_new)
+       |SELECT mem.bo AS batch_id, mem.id, '$modality' AS modality,
+       |       coalesce(rep.m, mem.id) AS rep, rep.m IS NULL AS kept
+       |FROM mem LEFT JOIN rep USING (id) WHERE mem.bo >= 0""".stripMargin
+      .replace("\n", " ")
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -284,44 +438,40 @@ object Streaming {
     "q160_stream_media_ingest" -> QueryDef(
       (s, dir) =>
         s.read.parquet(mediaIngestVerdicts(s, dir))
+          .where(col("modality") === "image")
           .select(col("batch_id").cast("long").as("batch_id"), col("id"),
             col("modality"), col("rep"), col("kept"))
           .orderBy(col("batch_id"), col("id")),
-      Some("""WITH mem AS (
-             |  SELECT doc_id AS id, doc_id // 3 AS gid,
-             |         CAST(doc_id % 5 AS BIGINT) - 1 AS bo
-             |  FROM documents WHERE doc_id % 5 <> 4
-             |  UNION ALL
-             |  SELECT doc_id + 10000, doc_id // 3, CAST(doc_id % 5 AS BIGINT) - 1
-             |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 BETWEEN 1 AND 3),
-             |d AS (SELECT id, gid, bo, gid % 13 + 16 AS w, gid % 11 + 16 AS h FROM mem),
-             |g AS (SELECT id, bo, i.r AS xi, j.r AS yj,
-             |  ((gid+1)*2654435761 + ((i.r * w // 9) * 29 + (j.r * h // 8) * 13 + 7)*40503)
-             |    // 8192 % 65536 AS bm
-             |  FROM d, range(0, 9) i(r), range(0, 8) j(r)),
-             |p AS (SELECT id, bo, xi, yj, bm*bm // 64 % 256 AS pv FROM g),
-             |bits AS (SELECT a.id, a.bo, a.yj, a.xi,
-             |  CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
-             |  FROM p a JOIN p b ON a.id = b.id AND a.yj = b.yj
-             |    AND b.xi = a.xi + 1 WHERE a.xi < 8),
-             |bands AS (SELECT id, bo, yj, CAST(sum(bit << xi) AS BIGINT) AS bv
-             |  FROM bits GROUP BY id, bo, yj),
-             |b16 AS (SELECT id, bo, yj // 2 AS bj,
-             |  CAST(sum(bv << (8 * (yj % 2))) AS BIGINT) AS bv FROM bands
-             |  GROUP BY id, bo, yj // 2),
-             |cand AS (SELECT DISTINCT a.id AS id_new, b.id AS id_old
-             |  FROM b16 a JOIN b16 b ON a.bj = b.bj AND a.bv = b.bv
-             |  WHERE a.bo >= 0 AND b.id < a.id AND b.bo <= a.bo),
-             |ham AS (SELECT c.id_new, c.id_old
-             |  FROM cand c JOIN bands x ON x.id = c.id_new
-             |    JOIN bands y ON y.id = c.id_old AND y.yj = x.yj
-             |  GROUP BY c.id_new, c.id_old
-             |  HAVING sum(bit_count(xor(x.bv, y.bv))) <= 3),
-             |rep AS (SELECT id_new AS id, min(id_old) AS m FROM ham GROUP BY id_new)
-             |SELECT mem.bo AS batch_id, mem.id, 'image' AS modality,
-             |       coalesce(rep.m, mem.id) AS rep, rep.m IS NULL AS kept
-             |FROM mem LEFT JOIN rep USING (id) WHERE mem.bo >= 0
-             |ORDER BY batch_id, id""".stripMargin.replace("\n", " "))),
+      Some(s"SELECT * FROM (${mediaVerdictSql("image")}) v ORDER BY batch_id, id")),
+
+    // The AUDIO leg of the streamed media gate, oracle-checked end to
+    // end: the SAME drains as q160 carry real WAV files through magic-
+    // sniff → PCM decode → energy-gradient fingerprint → bucket-pruned
+    // probe of the standing audio index → min-id-wins verdicts. The
+    // oracle replays the q156 band math over the fixture's wave formula
+    // (perturbation energies included — the replay is exact, not
+    // perturbation-blind), restricted to lower ids in batches ≤ own.
+    "q164_stream_media_ingest_audio" -> QueryDef(
+      (s, dir) =>
+        s.read.parquet(mediaIngestVerdicts(s, dir))
+          .where(col("modality") === "audio")
+          .select(col("batch_id").cast("long").as("batch_id"), col("id"),
+            col("modality"), col("rep"), col("kept"))
+          .orderBy(col("batch_id"), col("id")),
+      Some(s"SELECT * FROM (${mediaVerdictSql("audio")}) v ORDER BY batch_id, id")),
+
+    // The VIDEO leg — with this row the streaming media gate is oracle-
+    // checked for EVERY modality it routes (image q160 / audio q164 /
+    // video here): real AVI containers decode frame-sampled fingerprints
+    // per drain, and the q157 band math replays them relationally.
+    "q165_stream_media_ingest_video" -> QueryDef(
+      (s, dir) =>
+        s.read.parquet(mediaIngestVerdicts(s, dir))
+          .where(col("modality") === "video")
+          .select(col("batch_id").cast("long").as("batch_id"), col("id"),
+            col("modality"), col("rep"), col("kept"))
+          .orderBy(col("batch_id"), col("id")),
+      Some(s"SELECT * FROM (${mediaVerdictSql("video")}) v ORDER BY batch_id, id")),
 
     // Stream-STREAM interval join (the W-family ack correlation,
     // StreamOps.ackJoin) as a CORRECTNESS row: clicks joined to same-user
