@@ -2469,6 +2469,40 @@ object Pipeline {
             "SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0) u",
           "doc_id", "text")
         s"SELECT * FROM ($inner) q ORDER BY doc_id"
+      }),
+
+    // SPAN-COVERAGE report (Reports.spanCoverageReport) — the q166
+    // summary surface for span-granular scrubs: per SOURCE of the base
+    // document (re-entries map back through id % 10000), duplicated
+    // spans, windows, and the token/byte coverage a q163-style scrub
+    // would remove. One groupBy over q162's span output.
+    "q167_span_coverage_report" -> QueryDef(
+      (s, dir) => {
+        val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val input = base.unionByName(
+          base.where(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+        val spans = TextOps.duplicatedSpans(input, "doc_id", "text")
+        val src = tbl(s, dir, "documents")
+          .select(col("doc_id").as("base_id"), col("source"))
+        graft.functions.Reports.spanCoverageReport(
+            spans.join(src, spans("doc_id") % 10000 === src("base_id"))
+              .select(col("source"), col("n_windows"), col("span_start"),
+                col("span_end"), col("byte_start"), col("byte_end")),
+            Seq("source"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val inner = TextOps.duplicatedSpansSql(
+          "(SELECT doc_id, text FROM documents UNION ALL " +
+            "SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0) u",
+          "doc_id", "text")
+        s"""SELECT d.source, CAST(count(*) AS BIGINT) AS n_spans,
+           |CAST(sum(q.n_windows) AS BIGINT) AS n_windows,
+           |CAST(sum(q.span_end - q.span_start) AS BIGINT) AS tokens_covered,
+           |CAST(sum(q.byte_end - q.byte_start) AS BIGINT) AS bytes_covered
+           |FROM ($inner) q JOIN documents d ON d.doc_id = q.doc_id % 10000
+           |GROUP BY d.source ORDER BY d.source""".stripMargin.replace("\n", " ")
       })
   )
 }

@@ -473,6 +473,74 @@ object Streaming {
           .orderBy(col("batch_id"), col("id")),
       Some(s"SELECT * FROM (${mediaVerdictSql("video")}) v ORDER BY batch_id, id")),
 
+    // CURATION REPORT over the ingest gates' verdict logs — the
+    // first-class summary surface (Reports.curationReport): per
+    // log/group/batch, docs seen/kept/dropped, integer-exact drop rate
+    // in basis points, and bytes ingested/removed where the log has
+    // payload sizes (the raw-text log, through its leader-text byte
+    // lengths; media logs carry fingerprint verdicts, bytes 0). One
+    // map-side-combined groupBy over logs q134/q160/q164/q165 already
+    // pin — the oracle recomputes the verdicts relationally and
+    // aggregates the same way.
+    "q166_curation_report" -> QueryDef(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val leaderBytes = docs
+          .select(col("doc_id"), expr(LeaderSql.replace("//", "div")).as("leader"))
+          .join(docs.select(col("doc_id").as("leader"),
+            octet_length(col("text")).cast("long").as("n_bytes")), Seq("leader"))
+          .select(col("doc_id"), col("n_bytes"))
+        val raw = s.read.parquet(rawIngestVerdicts(s, dir))
+          .join(leaderBytes, Seq("doc_id"))
+          .select(lit("raw").as("log"), lit("text").as("grp"),
+            col("batch_id").cast("long").as("batch_id"), col("kept"),
+            col("n_bytes"))
+        val media = s.read.parquet(mediaIngestVerdicts(s, dir))
+          .select(lit("media").as("log"), col("modality").as("grp"),
+            col("batch_id").cast("long").as("batch_id"), col("kept"))
+        graft.functions.Reports
+          .curationReport(raw, "kept", Seq("log", "grp", "batch_id"), Some("n_bytes"))
+          .unionByName(graft.functions.Reports
+            .curationReport(media, "kept", Seq("log", "grp", "batch_id")))
+          .orderBy(col("log"), col("grp"), col("batch_id"))
+      },
+      Some {
+        val lead = LeaderSql.replace("doc_id", "d.doc_id")
+        val mediaLegs = Seq("image", "audio", "video").map { m =>
+          s"""SELECT 'media' AS log, modality AS grp, batch_id,
+             |CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+             |CAST(0 AS BIGINT) AS bytes_total,
+             |CAST(0 AS BIGINT) AS bytes_removed
+             |FROM (${mediaVerdictSql(m)}) v$m
+             |GROUP BY modality, batch_id""".stripMargin
+        }.mkString(" UNION ALL ")
+        val rawLeg =
+          s"""SELECT 'raw' AS log, 'text' AS grp, batch_id,
+             |CAST(count(*) AS BIGINT) AS n_docs,
+             |CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+             |CAST(sum(nb) AS BIGINT) AS bytes_total,
+             |CAST(sum(CASE WHEN kept THEN 0 ELSE nb END) AS BIGINT) AS bytes_removed
+             |FROM (WITH v AS (
+             |  SELECT d.doc_id, md5(l.text) AS text_hash, strlen(l.text) AS nb,
+             |         d.doc_id % 4 AS r
+             |  FROM documents d JOIN documents l ON l.doc_id = ($lead)),
+             |f AS (SELECT text_hash, min(r) AS r0 FROM v GROUP BY text_hash),
+             |rep AS (SELECT v.text_hash, min(v.doc_id) AS rep
+             |        FROM v JOIN f ON v.text_hash = f.text_hash AND v.r = f.r0
+             |        GROUP BY v.text_hash)
+             |SELECT CAST(v.r - 1 AS BIGINT) AS batch_id, v.nb,
+             |       (v.doc_id = rep.rep) AS kept
+             |FROM v JOIN rep USING (text_hash) WHERE v.r >= 1) verd
+             |GROUP BY batch_id""".stripMargin
+        s"""SELECT log, grp, batch_id, n_docs, n_kept, n_dropped,
+           |n_dropped * 10000 // n_docs AS drop_bp, bytes_total, bytes_removed
+           |FROM ($rawLeg UNION ALL $mediaLegs) u
+           |ORDER BY log, grp, batch_id""".stripMargin.replace("\n", " ")
+      }),
+
     // Stream-STREAM interval join (the W-family ack correlation,
     // StreamOps.ackJoin) as a CORRECTNESS row: clicks joined to same-user
     // purchases within 1 hour, both sides watermarked file streams. An
