@@ -123,8 +123,14 @@ class PlanContractSpec extends AnyFunSuite {
       graft.functions.Dedup.writeHashIndex(
         spark.read.parquet(s"$base/docs"), "doc_id", "text", s"$base/idx")
       val deadline = System.nanoTime() + 5000000000L
+      // match the INDEX write specifically: the listener bus is async, so
+      // earlier writes (this test's own fixture, other suites') can land
+      // in the buffer after registration
       def writes = seen.synchronized(
-        seen.filter(_.toString.contains("InsertIntoHadoopFsRelation")).toList)
+        seen.filter { p =>
+          val s = p.toString
+          s.contains("InsertIntoHadoopFsRelation") && s.contains("idx/hashes")
+        }.toList)
       while (writes.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
       val w = writes
       assert(w.nonEmpty, "hashes/ write not observed")
