@@ -24,6 +24,13 @@ object Bench {
       // the between-query barrier below actually retires them instead of
       // leaving deletes to land inside a later query's timing window
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      // the codegen class cache defaults to 100 entries; a 167-query
+      // sweep generates thousands, so heavy-codegen plans (q108's nlist
+      // fused SqDistQ loops) get EVICTED between passes and pay Janino +
+      // JIT again every pass — measured 2.67 s isolated vs 6.8 s inside
+      // an 11-query sweep (r15 A/B). Sized for the sweep; a production
+      // deployment running a wide query mix wants the same bump.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_ONLY=q54,q57 restricts the sweep — local iteration knob
