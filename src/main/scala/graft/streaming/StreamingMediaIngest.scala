@@ -174,15 +174,20 @@ object StreamingMediaIngest {
           .parquet(s"$verdictsDir/batch_id=$batchId")
         // quarantine: no-id paths, junk formats, sniffed-but-undecodable
         // — each row carries the REAL file path (an operator triaging
-        // quarantine must be able to locate the offending blob)
-        val decodedIds = hashedLegs.map(_._2.select(col("id")))
-          .reduce(_.unionByName(_))
+        // quarantine must be able to locate the offending blob). The
+        // undecodable anti-join keys on (id, modality): ids are only
+        // unique per modality (5.png and 5.wav coexist in a batch), so
+        // an id-only join would let a decodable PNG mask an undecodable
+        // WAV that shares its number
+        val decodedIds = hashedLegs.map { case (m, h) =>
+            h.select(col("id"), lit(m).as("modality"))
+          }.reduce(_.unionByName(_))
         val quar = routed.where(col("id").isNull)
           .select(col("path"), lit("no_id").as("reason"))
           .unionByName(sniffed.where(col("modality") === "junk")
             .select(col("path"), lit("junk").as("reason")))
           .unionByName(sniffed.where(col("modality") =!= "junk")
-            .join(decodedIds, Seq("id"), "left_anti")
+            .join(decodedIds, Seq("id", "modality"), "left_anti")
             .select(col("path"), lit("undecodable").as("reason")))
         quar.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
         // grow each modality's index by the WHOLE batch (see object

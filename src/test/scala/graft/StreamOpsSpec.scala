@@ -460,6 +460,10 @@ class StreamOpsSpec extends AnyFunSuite {
     put("21.png", Multimodal.encodeGrayPng(18, 16, (x, y) => 255 - x * 10))
     put("22.png", Multimodal.encodeGrayPng(18, 16,
       (x, y) => if (x == 0 && y == 2) 0 else 255 - x * 10))
+    // sniffs as audio (RIFF/WAVE) but is truncated garbage — AND shares
+    // its id with the decodable 11.png, so an id-only undecodable
+    // anti-join would silently swallow it
+    put("11.wav", "RIFF0000WAVEgarbage".getBytes("UTF-8"))
     drain()
     val v = spark.read.parquet(verdicts)
       .select($"id", $"modality", $"rep", $"kept")
@@ -481,6 +485,9 @@ class StreamOpsSpec extends AnyFunSuite {
     // quarantine rows carry the REAL file path (triage must locate the
     // offending blob), never a bare id
     assert(q.exists(r => r._1.endsWith("9.bin") && r._2 == "junk"), s"$q")
+    // the undecodable WAV quarantines even though a decodable PNG shares
+    // its id — the anti-join keys on (id, modality)
+    assert(q.exists(r => r._1.endsWith("11.wav") && r._2 == "undecodable"), s"$q")
   }
 
   test("media gate crash-replay: re-running a batch after its index appends is idempotent") {
