@@ -86,6 +86,23 @@ object IndexMaintenance {
     ()
   }
 
+  /** Compact a [[TextOps.writeSpanIndex]] window-hash span index grown
+    * by [[TextOps.appendSpanIndex]]: merges each `whs/hb=` bucket
+    * directory to one file and collapses multi-generation rows to one
+    * per wh — `min(wmin)` (exact, the probe's own collapse) and
+    * `sum(df)` (matching the probe's at-least-once df semantics), so
+    * probe results are unchanged by construction.
+    */
+  def compactSpanIndex(spark: SparkSession, path: String): Unit = {
+    compactParquetTable(spark, s"$path/whs", Some("hb"), transform = df =>
+      df.groupBy(col("hb"), col("wh"))
+        .agg(
+          org.apache.spark.sql.functions.min(col("wmin")).as("wmin"),
+          org.apache.spark.sql.functions.sum(col("df")).as("df"))
+        .select(col("wh"), col("wmin"), col("df"), col("hb")))
+    ()
+  }
+
   /** Compact a [[Multimodal.writeFingerprintIndex]] media index grown by
     * [[Multimodal.appendFingerprintIndex]] (the image/audio/video
     * modality legs all share it): merges each `bands/bk=` bucket

@@ -1597,6 +1597,46 @@ object TextOps {
       .withColumn("grp", sum(col("brk")).over(run))
   }
 
+  /** Merge a flagged (id, pos, bs, be) window frame into the disjoint
+    * maximal span output of [[duplicatedSpans]] — shared by the
+    * full-corpus and indexed-incremental detectors. */
+  private def spanAgg(flagged: DataFrame, idCol: String, L: Int): DataFrame =
+    withIslandGrp(flagged, idCol, L)
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"),
+        count(lit(1)).as("n_windows"),
+        min(col("bs")).as("byte_start"),
+        max(col("be")).as("byte_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"), col("byte_start"), col("byte_end"))
+
+  /** Explode a flagged (id, pos) window frame into its covered token
+    * positions — islands merged first, so each position emits exactly
+    * once (disjoint-span contract); shared by both scrub paths. */
+  private def coveredPositions(flagged: DataFrame, idCol: String, L: Int): DataFrame =
+    withIslandGrp(flagged, idCol, L)
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
+      .select(col(idCol), explode(sequence(col("s"), col("e") - 1)).as("pos"))
+
+  /** Rebuild per-doc text with covered positions cut — the one
+    * irreducible text-carrying exchange, shared by both scrub paths. */
+  private def rebuildScrubbed(
+      toks: DataFrame, covered: DataFrame, idCol: String): DataFrame =
+    toks.join(covered.withColumn("cut", lit(true)), Seq(idCol, "pos"), "left")
+      .select(col(idCol), col("pos"), col("tok"),
+        coalesce(col("cut"), lit(false)).as("cut"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          expr("transform(filter(array_sort(" +
+            "collect_list(struct(pos, cut, tok))), x -> NOT x.cut), " +
+            "x -> x.tok)"),
+          " ").as("text_scrubbed"),
+        sum(when(col("cut"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"))
+
   def duplicatedSpans(
       df: DataFrame,
       idCol: String,
@@ -1609,15 +1649,7 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("df"))
       .where(col("df") >= minDf)
       .select(col("wh"))
-    withIslandGrp(wins.join(hot, Seq("wh"), "left_semi"), idCol, L)
-      .groupBy(col(idCol), col("grp"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + L).as("span_end"),
-        count(lit(1)).as("n_windows"),
-        min(col("bs")).as("byte_start"),
-        max(col("be")).as("byte_end"))
-      .select(col(idCol), col("span_start"), col("span_end"),
-        col("n_windows"), col("byte_start"), col("byte_end"))
+    spanAgg(wins.join(hot, Seq("wh"), "left_semi"), idCol, L)
   }
 
   /** The REMOVAL half of [[duplicatedSpans]] — what Lee et al. 2022
@@ -1655,61 +1687,123 @@ object TextOps {
     // so the merged spans are DISJOINT and the explode emits each
     // covered position exactly once — no distinct needed before the
     // rebuild join (a duplicate (id, pos) row would fan it out)
-    val covered = withIslandGrp(flagged, idCol, L)
-      .groupBy(col(idCol), col("grp"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
-      .select(col(idCol), explode(sequence(col("s"), col("e") - 1)).as("pos"))
-    toks.join(covered.withColumn("cut", lit(true)), Seq(idCol, "pos"), "left")
-      .select(col(idCol), col("pos"), col("tok"),
-        coalesce(col("cut"), lit(false)).as("cut"))
-      .groupBy(col(idCol))
-      .agg(
-        array_join(
-          expr("transform(filter(array_sort(" +
-            "collect_list(struct(pos, cut, tok))), x -> NOT x.cut), " +
-            "x -> x.tok)"),
-          " ").as("text_scrubbed"),
-        sum(when(col("cut"), 0L).otherwise(1L)).as("n_kept"),
-        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"))
+    rebuildScrubbed(toks, coveredPositions(flagged, idCol, L), idCol)
   }
 
   /** DuckDB twin of [[scrubDuplicatedSpans]] reading from `tbl`. */
-  def scrubDuplicatedSpansSql(
-      tbl: String,
-      idCol: String,
-      textCol: String,
-      L: Int = 8,
-      minDf: Int = 2): String = {
+  /** Shared CTE prefix of every span SQL twin: token rows (with tok +
+    * byte length), the byte-offset prefix sum, the lead fold, and the
+    * (id, pos, wh, bs, be) window rows — identical math to
+    * [[spanToks]]/[[spanWins]]. */
+  private def spanWhsSqlPrefix(
+      tbl: String, idCol: String, textCol: String, L: Int): String = {
     val leads = (1 until L).map(k =>
       s"lead(th, $k) OVER (PARTITION BY $idCol ORDER BY pos) AS t$k").mkString(", ")
     val fold = (1 until L).foldLeft("th") { (acc, k) =>
       s"(($acc) * 31 + t$k) % ${SpanHashM}"
     }
-    s"""WITH tk AS (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl),
+    s"""tk AS (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl),
        |t AS (SELECT $idCol, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM tk),
-       |h AS (SELECT $idCol, pos, tok, (${portableHashSql("tok")}) % ${SpanHashM} AS th FROM t),
-       |w AS (SELECT $idCol, pos, th, $leads FROM h),
-       |whs AS (SELECT $idCol, pos, ($fold) AS wh FROM w WHERE t${L - 1} IS NOT NULL),
-       |model AS (SELECT wh, min($idCol) AS wmin FROM whs GROUP BY wh
-       |          HAVING count(DISTINCT $idCol) >= $minDf),
-       |flg AS (SELECT whs.$idCol, whs.pos FROM whs JOIN model USING (wh)
-       |        WHERE whs.$idCol > model.wmin),
-       |isl AS (SELECT $idCol, pos,
+       |h AS (SELECT $idCol, pos, tok, (${portableHashSql("tok")}) % ${SpanHashM} AS th,
+       |  strlen(tok) AS nb FROM t),
+       |o AS (SELECT $idCol, pos, th, nb,
+       |  CAST(coalesce(sum(nb + 1) OVER (PARTITION BY $idCol ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bo FROM h),
+       |w AS (SELECT $idCol, pos, th, bo, $leads,
+       |  lead(bo + nb, ${L - 1}) OVER (PARTITION BY $idCol ORDER BY pos) AS be FROM o),
+       |whs AS (SELECT $idCol, pos, ($fold) AS wh, bo AS bs, be FROM w
+       |  WHERE t${L - 1} IS NOT NULL)""".stripMargin
+  }
+
+  /** The islands-merge + span-aggregate SQL tail shared by the span
+    * detectors (input CTE must expose (idCol, pos, bs, be)). */
+  private def spanAggSqlTail(fromCte: String, idCol: String, L: Int): String =
+    s"""isl AS (SELECT $idCol, pos, bs, be,
        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY $idCol ORDER BY pos) <= $L
-       |       THEN 0 ELSE 1 END AS brk FROM flg),
+       |       THEN 0 ELSE 1 END AS brk FROM $fromCte),
+       |isl2 AS (SELECT $idCol, pos, bs, be, sum(brk) OVER (PARTITION BY $idCol
+       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl)
+       |SELECT $idCol, min(pos) AS span_start, max(pos) + $L AS span_end,
+       |       count(*) AS n_windows,
+       |       CAST(min(bs) AS BIGINT) AS byte_start, CAST(max(be) AS BIGINT) AS byte_end
+       |FROM isl2 GROUP BY $idCol, grp""".stripMargin
+
+  /** The islands → covered positions → rebuild SQL tail shared by the
+    * span scrubs (`flgCte` must expose (idCol, pos); `docPredSql`
+    * restricts the rebuilt docs — 'TRUE' for all). */
+  private def scrubSqlTail(flgCte: String, idCol: String, L: Int, docPredSql: String): String =
+    s"""isl AS (SELECT $idCol, pos,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY $idCol ORDER BY pos) <= $L
+       |       THEN 0 ELSE 1 END AS brk FROM $flgCte),
        |isl2 AS (SELECT $idCol, pos, sum(brk) OVER (PARTITION BY $idCol
        |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
        |sp AS (SELECT $idCol, min(pos) AS s, max(pos) + $L AS e
        |       FROM isl2 GROUP BY $idCol, grp),
        |cov AS (SELECT $idCol, unnest(range(s, e)) AS pos FROM sp),
-       |m AS (SELECT h.$idCol, h.pos, h.tok, (cov.pos IS NOT NULL) AS cut
-       |      FROM h LEFT JOIN cov ON cov.$idCol = h.$idCol AND cov.pos = h.pos)
+       |m AS (SELECT hh.$idCol, hh.pos, hh.tok, (cov.pos IS NOT NULL) AS cut
+       |      FROM (SELECT * FROM h WHERE $docPredSql) hh
+       |      LEFT JOIN cov ON cov.$idCol = hh.$idCol AND cov.pos = hh.pos)
        |SELECT $idCol,
        |  coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT cut), '') AS text_scrubbed,
        |  CAST(sum(CASE WHEN cut THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
        |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
-       |FROM m GROUP BY $idCol""".stripMargin.replace("\n", " ")
-  }
+       |FROM m GROUP BY $idCol""".stripMargin
+
+  def scrubDuplicatedSpansSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      L: Int = 8,
+      minDf: Int = 2): String =
+    s"""WITH ${spanWhsSqlPrefix(tbl, idCol, textCol, L)},
+       |model AS (SELECT wh, min($idCol) AS wmin FROM whs GROUP BY wh
+       |          HAVING count(DISTINCT $idCol) >= $minDf),
+       |flg AS (SELECT whs.$idCol, whs.pos FROM whs JOIN model USING (wh)
+       |        WHERE whs.$idCol > model.wmin),
+       |${scrubSqlTail("flg", idCol, L, "TRUE")}""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of [[scrubSpansAgainstIndex]] over one universe table:
+    * standing = NOT `batchPredSql`, batch = `batchPredSql`; a batch
+    * window is cut iff its canonical holder (min of the standing wmin
+    * and the lowest batch id) is a lower id. */
+  def scrubSpansAgainstSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      batchPredSql: String,
+      L: Int = 8): String =
+    s"""WITH ${spanWhsSqlPrefix(tbl, idCol, textCol, L)},
+       |std AS (SELECT wh, min($idCol) AS iw FROM whs
+       |        WHERE NOT ($batchPredSql) GROUP BY wh),
+       |bmin AS (SELECT wh, min($idCol) AS bmin FROM whs
+       |        WHERE $batchPredSql GROUP BY wh),
+       |flg AS (SELECT whs.$idCol, whs.pos
+       |        FROM whs JOIN bmin USING (wh) LEFT JOIN std USING (wh)
+       |        WHERE ($batchPredSql)
+       |          AND least(coalesce(std.iw, bmin.bmin), bmin.bmin) < whs.$idCol),
+       |${scrubSqlTail("flg", idCol, L, batchPredSql)}""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of [[duplicatedSpansAgainstIndex]] over one universe
+    * table: standing = NOT `batchPredSql`, batch = `batchPredSql`; a
+    * batch window is duplicated when standing + intra-batch
+    * distinct-doc frequency reaches `minDf`. */
+  def duplicatedSpansAgainstSql(
+      tbl: String,
+      idCol: String,
+      textCol: String,
+      batchPredSql: String,
+      L: Int = 8,
+      minDf: Int = 2): String =
+    s"""WITH ${spanWhsSqlPrefix(tbl, idCol, textCol, L)},
+       |std AS (SELECT wh, count(DISTINCT $idCol) AS idf FROM whs
+       |        WHERE NOT ($batchPredSql) GROUP BY wh),
+       |bdf AS (SELECT wh, count(DISTINCT $idCol) AS bdf FROM whs
+       |        WHERE $batchPredSql GROUP BY wh),
+       |dup AS (SELECT whs.$idCol, whs.pos, whs.bs, whs.be
+       |        FROM whs JOIN bdf USING (wh) LEFT JOIN std USING (wh)
+       |        WHERE ($batchPredSql)
+       |          AND coalesce(std.idf, 0) + bdf.bdf >= $minDf),
+       |${spanAggSqlTail("dup", idCol, L)}""".stripMargin.replace("\n", " ")
 
   /** DuckDB twin of [[duplicatedSpans]] reading from `tbl` — the same
     * token-hash fold, df model, and islands merge. */
@@ -1718,34 +1812,180 @@ object TextOps {
       idCol: String,
       textCol: String,
       L: Int = 8,
-      minDf: Int = 2): String = {
-    val leads = (1 until L).map(k =>
-      s"lead(th, $k) OVER (PARTITION BY $idCol ORDER BY pos) AS t$k").mkString(", ")
-    val fold = (1 until L).foldLeft("th") { (acc, k) =>
-      s"(($acc) * 31 + t$k) % ${SpanHashM}"
-    }
-    s"""WITH tk AS (SELECT $idCol, string_split($textCol, ' ') AS tk FROM $tbl),
-       |t AS (SELECT $idCol, unnest(range(len(tk))) AS pos, unnest(tk) AS tok FROM tk),
-       |h AS (SELECT $idCol, pos, (${portableHashSql("tok")}) % ${SpanHashM} AS th,
-       |  strlen(tok) AS nb FROM t),
-       |o AS (SELECT $idCol, pos, th, nb,
-       |  CAST(coalesce(sum(nb + 1) OVER (PARTITION BY $idCol ORDER BY pos
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bo FROM h),
-       |w AS (SELECT $idCol, pos, th, bo, $leads,
-       |  lead(bo + nb, ${L - 1}) OVER (PARTITION BY $idCol ORDER BY pos) AS be FROM o),
-       |whs AS (SELECT $idCol, pos, ($fold) AS wh, bo AS bs, be FROM w
-       |  WHERE t${L - 1} IS NOT NULL),
+      minDf: Int = 2): String =
+    s"""WITH ${spanWhsSqlPrefix(tbl, idCol, textCol, L)},
        |hot AS (SELECT wh FROM whs GROUP BY wh HAVING count(DISTINCT $idCol) >= $minDf),
        |dup AS (SELECT $idCol, pos, bs, be FROM whs JOIN hot USING (wh)),
-       |isl AS (SELECT $idCol, pos, bs, be,
-       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY $idCol ORDER BY pos) <= $L
-       |       THEN 0 ELSE 1 END AS brk FROM dup),
-       |isl2 AS (SELECT $idCol, pos, bs, be, sum(brk) OVER (PARTITION BY $idCol
-       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl)
-       |SELECT $idCol, min(pos) AS span_start, max(pos) + $L AS span_end,
-       |       count(*) AS n_windows,
-       |       CAST(min(bs) AS BIGINT) AS byte_start, CAST(max(be) AS BIGINT) AS byte_end
-       |FROM isl2 GROUP BY $idCol, grp""".stripMargin.replace("\n", " ")
+       |${spanAggSqlTail("dup", idCol, L)}""".stripMargin.replace("\n", " ")
+
+  // ---- persistent WINDOW-HASH SPAN INDEX: the q87/q134 steady-state --
+  // ---- discipline applied to substring duplication (q162/q163) — an --
+  // ---- ingest batch pays O(batch windows + matches) against any     --
+  // ---- standing corpus instead of recomputing the corpus window     --
+  // ---- model per batch                                              --
+
+  private def spanBucket(buckets: Int) =
+    pmod(xxhash64(col("wh")), lit(buckets)).cast("int")
+
+  /** Per-wh (wmin, df) aggregate of a frame's rolling window hashes —
+    * the model rows both the builder and the appender write. */
+  private def spanModel(df: DataFrame, idCol: String, textCol: String, L: Int): DataFrame =
+    spanWins(spanToks(df, idCol, textCol), idCol, L)
+      .groupBy(col("wh"))
+      .agg(min(col(idCol)).as("wmin"), countDistinct(col(idCol)).as("df"))
+
+  /** Materialize the window-hash SPAN INDEX over a standing corpus: one
+    * row per distinct length-`L` window hash — `(wh, wmin, df)` with
+    * `wmin` the lowest doc id holding the window (the first-arrival
+    * canonical for scrubs) and `df` its distinct-doc frequency —
+    * partitioned by `hb` (hash bucket of wh) so a probing batch prunes
+    * to its own bucket directories. `buckets = 0` sizes adaptively from
+    * the model row count ([[IndexMeta.adaptiveBuckets]]) and records
+    * the choice; meta writes AFTER the data (the torn-rebuild
+    * detectability argument of [[Dedup.writeHashIndex]]).
+    *
+    * `L` is part of the index's contract (a probe with a different `L`
+    * finds no candidates, exactly like probing a signature index built
+    * with a different shingle k) — callers fix it per deployment.
+    */
+  def writeSpanIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      L: Int = 8,
+      buckets: Int = 0): Unit = {
+    require(L >= 2, "window length must be >= 2")
+    val model = spanModel(corpus, idCol, textCol, L)
+    val sized = if (buckets > 0) model
+      else model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b = if (buckets > 0) buckets
+              else IndexMeta.adaptiveBuckets(sized.count())
+      sized.withColumn("hb", spanBucket(b))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("hb").parquet(s"$path/whs")
+      IndexMeta.write(corpus.sparkSession, path, b)
+    } finally if (buckets <= 0) { sized.unpersist(); () }
+  }
+
+  /** Grow a standing [[writeSpanIndex]] by an ingested batch — O(batch)
+    * appends landing only in the batch's bucket directories; probes
+    * collapse multi-generation rows per wh via `min(wmin)` /
+    * `sum(df)`. Under an at-least-once REPLAYED append `wmin` stays
+    * exact (min is idempotent) while `df` can overcount — harmless at
+    * the default `minDf = 2` cross-corpus semantics (any standing
+    * holder already crosses the threshold) and bounded by replay count
+    * otherwise; [[IndexMaintenance.compactSpanIndex]] cannot restore
+    * exact df (the original distinct-doc sets are gone) but keeps the
+    * min-wmin invariant. A cold-created index records its modulus
+    * ([[IndexMeta.resolveAndRecord]]).
+    */
+  def appendSpanIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      L: Int = 8,
+      buckets: Int = 0): Unit = {
+    require(L >= 2, "window length must be >= 2")
+    val b = IndexMeta.resolveAndRecord(batch.sparkSession, path, buckets)
+    spanModel(batch, idCol, textCol, L)
+      .withColumn("hb", spanBucket(b))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("hb").parquet(s"$path/whs")
+  }
+
+  /** The standing model rows a batch's windows could match: bucket-
+    * pruned index scan (the batch's `hb` footprint reaches the scan as
+    * a PartitionFilter, driver-bounded by construction), collapsed to
+    * one `(wh, iw, idf)` row per hash. Explicit read schema so an index
+    * seeded from an EMPTY corpus probes instead of failing inference;
+    * the id type follows the batch. */
+  private def probeSpanModel(
+      wins: DataFrame,
+      idCol: String,
+      idxPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = wins.sparkSession
+    val bks = wins.select(col("hb")).distinct().collect().map(_.getInt(0)).toSeq
+    val schema = StructType(Seq(
+      StructField("wh", LongType),
+      StructField("wmin", wins.schema(idCol).dataType),
+      StructField("df", LongType),
+      StructField("hb", IntegerType)))
+    spark.read.schema(schema).parquet(s"$idxPath/whs")
+      .where(col("hb").isin(bks: _*))
+      .groupBy(col("wh"))
+      .agg(min(col("wmin")).as("iw"), sum(col("df")).as("idf"))
+  }
+
+  /** Incremental [[duplicatedSpans]] against a materialized
+    * [[writeSpanIndex]]: hashes ONLY the batch, probes the standing
+    * window model with partition pruning, and flags a batch window as
+    * duplicated when standing + intra-batch distinct-doc frequency
+    * reaches `minDf` — ≡ running [[duplicatedSpans]] over corpus ∪
+    * batch and keeping the batch docs' spans, for id-disjoint sides
+    * (the [[Dedup.nearDupAgainst]] contract; re-probing an already-
+    * indexed doc counts its own standing row and flags its whole text).
+    * Output: the [[duplicatedSpans]] schema for batch docs.
+    */
+  def duplicatedSpansAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      L: Int = 8,
+      minDf: Int = 2,
+      buckets: Int = 0): DataFrame = {
+    require(L >= 2, "window length must be >= 2")
+    val spark = batch.sparkSession
+    val b = IndexMeta.validated(spark, indexPath, buckets, "whs", "hb")
+    val wins = spanWins(spanToks(batch, idCol, textCol), idCol, L)
+      .withColumn("hb", spanBucket(b))
+    val bdf = wins.groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("bdf"))
+    val flagged = wins
+      .join(bdf, Seq("wh"))
+      .join(probeSpanModel(wins, idCol, indexPath), Seq("wh"), "left")
+      .where(coalesce(col("idf"), lit(0L)) + col("bdf") >= minDf)
+      .select(col(idCol), col("pos"), col("bs"), col("be"))
+    spanAgg(flagged, idCol, L)
+  }
+
+  /** Incremental [[scrubDuplicatedSpans]] against a materialized
+    * [[writeSpanIndex]] — the steady-state form of Lee et al.'s
+    * first-arrival-wins removal: a batch window is cut from a doc iff
+    * its CANONICAL holder (the min of the index's `wmin` and the lowest
+    * batch id holding it) is a LOWER id — the canonical copy survives
+    * exactly once corpus-wide. Replay-idempotent by the same argument
+    * as the other gates: a re-probed doc's own standing rows carry
+    * `wmin = its own id`, which is never `< id`, so replays reproduce
+    * identical output. Output: the [[scrubDuplicatedSpans]] schema for
+    * batch docs. A full ingest step is probe → scrub/keep →
+    * [[appendSpanIndex]] the batch so the NEXT batch sees it.
+    */
+  def scrubSpansAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      L: Int = 8,
+      buckets: Int = 0): DataFrame = {
+    require(L >= 2, "window length must be >= 2")
+    val spark = batch.sparkSession
+    val b = IndexMeta.validated(spark, indexPath, buckets, "whs", "hb")
+    val toks = spanToks(batch, idCol, textCol)
+    val wins = spanWins(toks, idCol, L)
+      .withColumn("hb", spanBucket(b))
+    val bmin = wins.groupBy(col("wh"))
+      .agg(min(col(idCol)).as("bmin"))
+    val flagged = wins
+      .join(bmin, Seq("wh"))
+      .join(probeSpanModel(wins, idCol, indexPath), Seq("wh"), "left")
+      .where(least(coalesce(col("iw"), col("bmin")), col("bmin")) < col(idCol))
+      .select(col(idCol), col("pos"))
+    rebuildScrubbed(toks, coveredPositions(flagged, idCol, L), idCol)
   }
 
   /** DuckDB twin of [[htmlExtract]] as a scalar expression (RE2 runs the

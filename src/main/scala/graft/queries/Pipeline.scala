@@ -183,6 +183,33 @@ object Pipeline {
       p
     })
 
+  /** The q162 span universe: documents plus whole-doc re-entries at
+    * +10000 for doc_id % 4 == 0 — shared by q162/q163 (full-corpus) and
+    * q168/q169 (indexed steady state, split on doc_id % 7). */
+  private def spanUniverse(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+  }
+
+  /** [[spanUniverse]] as a DuckDB table expression. */
+  private val SpanUniverseSql: String =
+    "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 10000, text FROM documents WHERE doc_id % 4 = 0) u"
+
+  /** Materialized window-hash SPAN index over the standing split of the
+    * span universe (doc_id % 7 != 0, the [[sigIndex]] convention):
+    * q168/q169 time the per-batch probe, not the index build. */
+  private val spanIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def spanIdx(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    spanIdxCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-spanidx").toString
+      TextOps.writeSpanIndex(
+        spanUniverse(s, dir).where(col("doc_id") % 7 =!= 0), "doc_id", "text", p)
+      p
+    })
+
   /** Materialized IVF index over the embeddings table (same standing-
     * state rationale as [[sigIndex]]: q89 times the probe, not the
     * build).
@@ -2503,6 +2530,45 @@ object Pipeline {
            |CAST(sum(q.byte_end - q.byte_start) AS BIGINT) AS bytes_covered
            |FROM ($inner) q JOIN documents d ON d.doc_id = q.doc_id % 10000
            |GROUP BY d.source ORDER BY d.source""".stripMargin.replace("\n", " ")
+      }),
+
+    // Incremental substring-dup spans against the materialized
+    // WINDOW-HASH SPAN INDEX — the q87/q146 steady-state discipline for
+    // the q162 family: only the batch (doc_id % 7 == 0 of the q162
+    // universe) is tokenized + window-hashed; the standing corpus
+    // enters as a bucket-pruned scan of the (wh, wmin, df) model. A
+    // batch window is duplicated when standing + intra-batch df
+    // reaches 2.
+    "q168_span_dup_indexed" -> QueryDef(
+      (s, dir) => {
+        TextOps.duplicatedSpansAgainstIndex(
+            spanUniverse(s, dir).where(col("doc_id") % 7 === 0),
+            "doc_id", "text", spanIdx(s, dir))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some {
+        val inner = TextOps.duplicatedSpansAgainstSql(
+          SpanUniverseSql, "doc_id", "text", "doc_id % 7 = 0")
+        s"SELECT * FROM ($inner) q ORDER BY doc_id, span_start"
+      }),
+
+    // Incremental substring-dup SCRUB against the span index —
+    // first-arrival-wins at steady state: a batch window is cut iff its
+    // canonical holder (min of the index's wmin and the lowest batch id
+    // holding it) is a lower id, so the canonical copy survives exactly
+    // once corpus-wide and a replayed batch reproduces identical output
+    // (its own standing rows carry wmin = its id, never < id).
+    "q169_span_scrub_indexed" -> QueryDef(
+      (s, dir) => {
+        TextOps.scrubSpansAgainstIndex(
+            spanUniverse(s, dir).where(col("doc_id") % 7 === 0),
+            "doc_id", "text", spanIdx(s, dir))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val inner = TextOps.scrubSpansAgainstSql(
+          SpanUniverseSql, "doc_id", "text", "doc_id % 7 = 0")
+        s"SELECT * FROM ($inner) q ORDER BY doc_id"
       })
   )
 }

@@ -2344,6 +2344,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(sprobe == 10L, s"probe must find all 10 appended signatures, found $sprobe")
   }
 
+  test("span index: probe ≡ full-corpus spans, scrub is first-arrival + replay-idempotent, compaction parity") {
+    import spark.implicits._
+    import graft.functions.IndexMaintenance
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d1 = shared + " " + (1 to 8).map(i => s"a$i").mkString(" ")
+    val mm = (1 to 8).map(i => s"m$i").mkString(" ")
+    val standing = Seq(
+      (1L, d1),
+      (2L, (1 to 9).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, d1),                        // full clone of standing 1
+      (11L, "z1 z2 " + shared + " z3"), // partial overlap with standing
+      (12L, (1 to 8).map(i => s"w$i").mkString(" ")), // fresh, untouched
+      (13L, mm + " x"),                 // intra-batch pair: 13 keeps,
+      (14L, mm + " y"))                 // 14 loses the shared window
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("span-idx").toString
+    TextOps.writeSpanIndex(standing, "doc_id", "text", dir)
+    // detection ≡ the full-corpus operator restricted to batch docs
+    // (id-disjoint sides): standing + intra-batch df both count
+    val viaIdx = TextOps.duplicatedSpansAgainstIndex(batch, "doc_id", "text", dir)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val full = TextOps.duplicatedSpans(standing.unionByName(batch), "doc_id", "text")
+      .where($"doc_id" >= 10L).orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(viaIdx == full, s"indexed probe must equal full-corpus spans:\n$viaIdx\nvs\n$full")
+    assert(viaIdx.map(_._1).distinct == Seq(10L, 11L, 13L, 14L), s"$viaIdx")
+    // scrub: canonical (lowest) holder keeps, batch-only pair resolves
+    // intra-batch, fresh doc untouched
+    def scrub() = TextOps.scrubSpansAgainstIndex(batch, "doc_id", "text", dir)
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val s1 = scrub()
+    assert(s1(0) == ((10L, "", 0L, 16L)), s"clone scrubs to empty: ${s1(0)}")
+    assert(s1(1) == ((11L, "z1 z2 z3", 3L, 8L)), s"partial cut: ${s1(1)}")
+    assert(s1(2)._2.startsWith("w1") && s1(2)._4 == 0L, s"fresh intact: ${s1(2)}")
+    assert(s1(3)._4 == 0L && s1(4) == ((14L, "y", 1L, 8L)),
+      s"intra-batch first-arrival: ${s1(3)} ${s1(4)}")
+    // replay: append the batch (the ingest step's index growth), re-run
+    // the scrub — its own standing rows carry wmin = own id, so output
+    // is bit-identical
+    TextOps.appendSpanIndex(batch, "doc_id", "text", dir)
+    assert(scrub() == s1, "scrub must be replay-idempotent after its own append")
+    // after the append the detection probe sees the batch's OWN rows
+    // (documented re-probe semantics): the fresh doc now self-matches
+    val reprobe = TextOps.duplicatedSpansAgainstIndex(batch, "doc_id", "text", dir)
+    assert(reprobe.where($"doc_id" === 12L).count() == 1L,
+      "re-probed ingested doc must match its own standing rows")
+    // compaction restores one-row-per-wh; probe results unchanged
+    IndexMaintenance.compactSpanIndex(spark, dir)
+    assert(scrub() == s1, "compaction must not change scrub verdicts")
+    val files = spark.read.parquet(s"$dir/whs").inputFiles
+    val perDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(perDir.values.forall(_.length == 1),
+      s"one file per bucket dir after compaction: ${perDir.view.mapValues(_.length).toMap}")
+  }
+
   test("index meta hygiene: cold appends record the modulus, torn rebuilds refuse probes, id types follow the batch") {
     import spark.implicits._
     import graft.functions.IndexMeta

@@ -279,6 +279,23 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("span-index probe prunes bucket directories (hb PartitionFilters), no pair product") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, (0 to 11).map(j => s"t${(i * 7 + j) % 30}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("plan-spanidx").toString
+    graft.functions.TextOps.writeSpanIndex(
+      docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", dir)
+    val p = graft.functions.TextOps.duplicatedSpansAgainstIndex(
+        docs.where(col("doc_id") % 7 === 0), "doc_id", "text", dir)
+      .queryExecution.sparkPlan.toString
+    // the batch's hb footprint must reach the whs scan as a PARTITION
+    // filter — the steady-state O(batch windows + matches) claim
+    assert("PartitionFilters: \\[[^\\]]*hb".r.findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("embedding near-dup: banded join keys, no vector across the band join, banded candidate volume") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = graft.functions.Similarity.embeddingNearDups(
