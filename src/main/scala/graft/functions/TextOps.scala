@@ -1695,7 +1695,7 @@ object TextOps {
     * byte length), the byte-offset prefix sum, the lead fold, and the
     * (id, pos, wh, bs, be) window rows — identical math to
     * [[spanToks]]/[[spanWins]]. */
-  private def spanWhsSqlPrefix(
+  private[graft] def spanWhsSqlPrefix(
       tbl: String, idCol: String, textCol: String, L: Int): String = {
     val leads = (1 until L).map(k =>
       s"lead(th, $k) OVER (PARTITION BY $idCol ORDER BY pos) AS t$k").mkString(", ")
@@ -1717,7 +1717,7 @@ object TextOps {
 
   /** The islands-merge + span-aggregate SQL tail shared by the span
     * detectors (input CTE must expose (idCol, pos, bs, be)). */
-  private def spanAggSqlTail(fromCte: String, idCol: String, L: Int): String =
+  private[graft] def spanAggSqlTail(fromCte: String, idCol: String, L: Int): String =
     s"""isl AS (SELECT $idCol, pos, bs, be,
        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY $idCol ORDER BY pos) <= $L
        |       THEN 0 ELSE 1 END AS brk FROM $fromCte),
@@ -1731,7 +1731,7 @@ object TextOps {
   /** The islands → covered positions → rebuild SQL tail shared by the
     * span scrubs (`flgCte` must expose (idCol, pos); `docPredSql`
     * restricts the rebuilt docs — 'TRUE' for all). */
-  private def scrubSqlTail(flgCte: String, idCol: String, L: Int, docPredSql: String): String =
+  private[graft] def scrubSqlTail(flgCte: String, idCol: String, L: Int, docPredSql: String): String =
     s"""isl AS (SELECT $idCol, pos,
        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY $idCol ORDER BY pos) <= $L
        |       THEN 0 ELSE 1 END AS brk FROM $flgCte),

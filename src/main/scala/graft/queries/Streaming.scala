@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.functions.{Dedup, Multimodal, Similarity}
-import graft.streaming.{StreamOps, StreamingDedup, StreamingMediaIngest, StreamingRawIngest, StreamingVectors}
+import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.{StreamOps, StreamingDedup, StreamingMediaIngest, StreamingRawIngest, StreamingSpanIngest, StreamingVectors}
 
 /** Oracle-checked rows for the STREAMING jobs: a deterministic
   * `availableNow` drain's verdict log is plain parquet, so a batch SQL
@@ -104,6 +104,37 @@ object Streaming {
             col("source"), col("n_chars"))).as("value"))
           .coalesce(1).write.mode("append").text(s"$base/raw")
         StreamingRawIngest.runAvailableNow(
+          s, s"$base/raw", s"$base/idx", s"$base/curated",
+          s"$base/verdicts", s"$base/quar", s"$base/ckpt")
+      }
+      s"$base/verdicts"
+    })
+
+  /** Streamed SPAN-scrub verdict log: standing corpus = residue 0 mod 4
+    * (seeds the window-hash span index); residues 1..3 serialized to
+    * JSONL (with [[LeaderSql]] texts — planted whole-doc repeats across
+    * residues, so cross-batch, intra-batch and standing-corpus cut
+    * rules all execute) and drained one file per micro-batch through
+    * [[StreamingSpanIngest]]. */
+  private val spanIngestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def spanIngestVerdicts(s: SparkSession, dir: String): String =
+    spanIngestCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-ssi").toString
+      val docs = tbl(s, dir, "documents")
+      val leadered = docs
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr(LeaderSql.replace("//", "div")).as("leader"))
+        .join(docs.select(col("doc_id").as("leader"), col("text")), Seq("leader"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      graft.functions.TextOps.writeSpanIndex(
+        leadered.where(col("doc_id") % 4 === 0), "doc_id", "text", s"$base/idx")
+      (1 to 3).foreach { m =>
+        leadered.where(col("doc_id") % 4 === m)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .coalesce(1).write.mode("append").text(s"$base/raw")
+        StreamingSpanIngest.runAvailableNow(
           s, s"$base/raw", s"$base/idx", s"$base/curated",
           s"$base/verdicts", s"$base/quar", s"$base/ckpt")
       }
@@ -539,6 +570,38 @@ object Streaming {
            |n_dropped * 10000 // n_docs AS drop_bp, bytes_total, bytes_removed
            |FROM ($rawLeg UNION ALL $mediaLegs) u
            |ORDER BY log, grp, batch_id""".stripMargin.replace("\n", " ")
+      }),
+
+    // Streamed SPAN-scrub ingest end to end (the q134 discipline at
+    // WINDOW granularity — Lee et al.'s scrub as a continuous job):
+    // JSONL drains through parse → scrubSpansAgainstIndex vs the
+    // standing window-hash span index → verdict log → curated append →
+    // appendSpanIndex. The oracle replays the canonical-holder rule
+    // relationally: a window is cut from doc w iff SOME holder with a
+    // lower id exists in the standing corpus or a batch ≤ w's (the
+    // index stores ALL seen windows with min-id wmin, so the rule is a
+    // pure function of ids-seen-so-far — replay-idempotent AND
+    // SQL-replayable, the StreamingMediaIngest argument).
+    "q170_stream_span_scrub" -> QueryDef(
+      (s, dir) =>
+        s.read.parquet(spanIngestVerdicts(s, dir))
+          .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"),
+            col("text_scrubbed"), col("n_kept"), col("n_cut"))
+          .orderBy(col("batch_id"), col("doc_id")),
+      Some {
+        val lead = LeaderSql.replace("doc_id", "d.doc_id")
+        val universe = s"(SELECT d.doc_id, l.text AS text FROM documents d " +
+          s"JOIN documents l ON l.doc_id = ($lead)) uu"
+        val prefix = TextOps.spanWhsSqlPrefix(universe, "doc_id", "text", 8)
+        val tail = TextOps.scrubSqlTail("flg", "doc_id", 8, "doc_id % 4 >= 1")
+        s"""SELECT CAST(q.doc_id % 4 AS BIGINT) - 1 AS batch_id, q.doc_id,
+           |q.text_scrubbed, q.n_kept, q.n_cut FROM (
+           |WITH $prefix,
+           |flg AS (SELECT ww.doc_id, ww.pos FROM whs ww
+           |  WHERE ww.doc_id % 4 >= 1 AND EXISTS (
+           |    SELECT 1 FROM whs hh WHERE hh.wh = ww.wh AND hh.doc_id < ww.doc_id
+           |      AND (hh.doc_id % 4 = 0 OR hh.doc_id % 4 <= ww.doc_id % 4))),
+           |$tail) q ORDER BY batch_id, doc_id""".stripMargin.replace("\n", " ")
       }),
 
     // Stream-STREAM interval join (the W-family ack correlation,

@@ -544,6 +544,44 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(v == Set((1L, 1L, true), (11L, 1L, false)), s"$v")
   }
 
+  test("span-ingest gate crash-replay: replayed batch reproduces identical scrubs and curated set") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    import graft.streaming.StreamingSpanIngest
+    val idx = java.nio.file.Files.createTempDirectory("ssi-idx").toString
+    val curated = java.nio.file.Files.createTempDirectory("ssi-cur").toString
+    val verdicts = java.nio.file.Files.createTempDirectory("ssi-verd").toString
+    val quar = java.nio.file.Files.createTempDirectory("ssi-quar").toString
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    TextOps.writeSpanIndex(
+      Seq((1L, shared + " tail1 tail2")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val valid = Seq(
+      (10L, shared + " fresh1 fresh2", "en", "s", 1L), // standing window cut
+      (11L, (1 to 9).map(i => s"v$i").mkString(" "), "en", "s", 1L), // untouched
+      (12L, (1 to 8).map(i => s"p$i").mkString(" ") + " x", "en", "s", 1L), // pair: keeps
+      (13L, (1 to 8).map(i => s"p$i").mkString(" ") + " y", "en", "s", 1L)) // pair: cut
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noQuar = Seq.empty[String].toDF("_corrupt")
+    def run() = StreamingSpanIngest.gate(
+      valid, noQuar, 0L, idx, curated, verdicts, quar, 8)
+    def snap() = (
+      spark.read.parquet(verdicts)
+        .select($"doc_id", $"text_scrubbed", $"n_kept", $"n_cut")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq,
+      spark.read.parquet(curated).select($"doc_id").as[Long].collect().sorted.toSeq)
+    run()
+    val (v1, c1) = snap()
+    assert(v1.map(r => r._1 -> r._4).toMap ==
+      Map(10L -> 8L, 11L -> 0L, 12L -> 0L, 13L -> 8L), s"$v1")
+    assert(v1.find(_._1 == 10L).get._2 == "fresh1 fresh2", s"$v1")
+    assert(c1 == Seq(10L, 11L, 12L, 13L), s"all docs keep some tokens: $c1")
+    run() // crash-replay: the index already holds this batch's windows
+    val (v2, c2) = snap()
+    assert(v2 == v1, s"replayed scrubs must be bit-identical:\n$v1\nvs\n$v2")
+    assert(c2 == c1)
+  }
+
   test("raw-ingest gate crash-replay: re-running a batch after its index append is idempotent") {
     import spark.implicits._
     // Simulates the at-least-once window: the micro-batch crashed AFTER
