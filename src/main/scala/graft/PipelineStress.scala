@@ -375,6 +375,33 @@ object PipelineStress {
     timed("substring_dup_scrub") {
       force(TextOps.scrubDuplicatedSpans(docs, "doc_id", "text"))
     }
+    // the STEADY-STATE half (q168/q169): build the window-hash span
+    // index over the standing split once, then time what an ingest
+    // batch (1/16 of the corpus) actually pays — batch-only window
+    // hashing + the bucket-pruned (wh, wmin, df) model probe. The
+    // per-batch stages must come in far under the full-corpus model
+    // recompute above (the q87-vs-q86 argument at window granularity).
+    val spanIdxDir = java.nio.file.Files.createTempDirectory("stress-spanidx").toString
+    val spanBatch = docs.where(pmod(col("doc_id"), lit(16)) === 0)
+    timed("span_index_build") {
+      TextOps.writeSpanIndex(
+        docs.where(pmod(col("doc_id"), lit(16)) =!= 0), "doc_id", "text", spanIdxDir)
+    }
+    // scoped reruns may skip the build stage — the standing index is a
+    // precondition for the probe stages, not a timing dependency
+    if (Seq("span_dup_indexed_batch", "span_scrub_indexed_batch")
+          .exists(n => only.isEmpty || only(n))
+        && !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$spanIdxDir/whs")))
+      TextOps.writeSpanIndex(
+        docs.where(pmod(col("doc_id"), lit(16)) =!= 0), "doc_id", "text", spanIdxDir)
+    timed("span_dup_indexed_batch") {
+      force(TextOps.duplicatedSpansAgainstIndex(
+        spanBatch, "doc_id", "text", spanIdxDir))
+    }
+    timed("span_scrub_indexed_batch") {
+      force(TextOps.scrubSpansAgainstIndex(
+        spanBatch, "doc_id", "text", spanIdxDir))
+    }
     // BPE tokenizer (q123): train on the capped word-frequency model
     // (the salted corpus has ~250k distinct words — the cap IS the
     // scale guard), then the per-row merge-application encode map
@@ -793,7 +820,7 @@ object PipelineStress {
         merged.map { case (k, v) => s""""$k":$v""" }.mkString("\"stages\":{", ",", "}}")
     Files.writeString(Paths.get("stress.json"), json + "\n")
     println(json)
-    println(f"[stress] done: $n docs / $nEmb vectors held all pipeline shapes")
+    println(f"[stress] done: $docsOut docs / $vecsOut vectors held all pipeline shapes")
     spark.stop()
   }
 }
