@@ -285,7 +285,8 @@ object Dedup {
       numHashes: Int = 8,
       buckets: Int = 0): Unit =
     writeIndexTables(shingleBase(corpus, idCol, textCol, k), idCol, path,
-      numHashes, buckets, org.apache.spark.sql.SaveMode.Overwrite)
+      numHashes, buckets, org.apache.spark.sql.SaveMode.Overwrite,
+      Map("k" -> k, "nh" -> numHashes))
 
   /** Grow a standing [[writeSignatureIndex]] index by one ingested batch —
     * the maintenance half of the incremental pipeline: probe the batch
@@ -311,7 +312,8 @@ object Dedup {
       numHashes: Int = 8,
       buckets: Int = 0): Unit =
     writeIndexTables(shingleBase(batch, idCol, textCol, k), idCol, path,
-      numHashes, buckets, org.apache.spark.sql.SaveMode.Append)
+      numHashes, buckets, org.apache.spark.sql.SaveMode.Append,
+      Map("k" -> k, "nh" -> numHashes))
 
   private def writeIndexTables(
       base: DataFrame,
@@ -319,13 +321,18 @@ object Dedup {
       path: String,
       numHashes: Int,
       buckets: Int,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
+      mode: org.apache.spark.sql.SaveMode,
+      params: Map[String, Int]): Unit = {
     val spark = base.sparkSession
+    // structural parameters (shingle k, hash count) are part of the key
+    // derivation: an append under different values would write
+    // unfindable rows — recorded indexes refuse the mismatch
+    params.foreach { case (key, v) => IndexMeta.requireParam(spark, path, key, v) }
     shaArrays(base, idCol)
       .write.mode(mode).parquet(s"$path/arrays")
     val b =
       if (mode == org.apache.spark.sql.SaveMode.Append)
-        IndexMeta.resolveAndRecord(spark, path, buckets)
+        IndexMeta.resolveAndRecord(spark, path, buckets, params)
       else if (buckets > 0) buckets
       else {
         val n = spark.read.parquet(s"$path/arrays").count()
@@ -340,7 +347,7 @@ object Dedup {
     // IndexMeta.validated detects and refuses instead of silently
     // pruning matches away
     if (mode != org.apache.spark.sql.SaveMode.Append)
-      IndexMeta.write(spark, path, b)
+      IndexMeta.write(spark, path, b, params)
   }
 
   /** Incremental near-dup against a materialized [[writeSignatureIndex]]
@@ -360,6 +367,8 @@ object Dedup {
       numHashes: Int = 8,
       buckets: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
+    IndexMeta.requireParam(spark, indexPath, "k", k)
+    IndexMeta.requireParam(spark, indexPath, "nh", numHashes)
     val nb = shingleBase(newDocs, idCol, textCol, k)
     val a = bandsOf(nb, idCol, numHashes)
       .withColumn("bk",

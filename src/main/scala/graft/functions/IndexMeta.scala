@@ -46,14 +46,53 @@ object IndexMeta {
   }
 
   /** Record the bucket count chosen at build time (one small JSON file —
-    * overwritten on index rebuild). */
-  def write(spark: SparkSession, indexPath: String, buckets: Int): Unit = {
+    * overwritten on index rebuild), plus any structural PARAMETERS the
+    * index's key derivation depends on (window length L, shingle k,
+    * band count, ...): a probe or append run with a different value
+    * would derive different keys and silently find NOTHING — the
+    * modulus-disagreement failure mode at the parameter level. Probes
+    * check them via [[requireParam]]. */
+  def write(
+      spark: SparkSession,
+      indexPath: String,
+      buckets: Int,
+      params: Map[String, Int] = Map.empty): Unit = {
     val p = new Path(s"$indexPath/buckets.json")
     val fs = p.getFileSystem(new Configuration())
     val out = fs.create(p, true)
-    try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+    val extra = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""","$k":$v""" }.mkString
+    try out.write(s"""{"buckets":$buckets$extra}""".getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** A recorded structural parameter, or None for indexes that predate
+    * parameter recording. */
+  def readParam(spark: SparkSession, indexPath: String, key: String): Option[Int] = {
+    val p = new Path(s"$indexPath/buckets.json")
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        (s""""$key"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Fail LOUDLY when a probe/append's structural parameter disagrees
+    * with the one the index was built with (recorded indexes only —
+    * pre-recording indexes keep the caller contract). */
+  def requireParam(
+      spark: SparkSession, indexPath: String, key: String, expected: Int): Unit =
+    readParam(spark, indexPath, key).foreach { v =>
+      if (v != expected) throw new IllegalArgumentException(
+        s"index at $indexPath was built with $key=$v but this call passes " +
+          s"$key=$expected — mismatched key derivation would silently find " +
+          "no candidates; use the recorded value or rebuild the index")
+    }
 
   /** The recorded bucket count, or [[DefaultBuckets]] for pre-meta
     * indexes. */
@@ -90,9 +129,13 @@ object IndexMeta {
     * work only because every reader falls back to the same implicit
     * [[DefaultBuckets]], which breaks silently if the default ever
     * changes or a later caller passes an explicit count. */
-  def resolveAndRecord(spark: SparkSession, indexPath: String, buckets: Int): Int = {
+  def resolveAndRecord(
+      spark: SparkSession,
+      indexPath: String,
+      buckets: Int,
+      params: Map[String, Int] = Map.empty): Int = {
     val b = resolve(spark, indexPath, buckets)
-    if (!exists(spark, indexPath)) write(spark, indexPath, b)
+    if (!exists(spark, indexPath)) write(spark, indexPath, b, params)
     b
   }
 

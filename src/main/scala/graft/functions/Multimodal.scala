@@ -662,11 +662,14 @@ object Multimodal {
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit = {
     requireBanding(0, numBands)
     val spark = hashed.sparkSession
+    // the band count is part of the key derivation — recorded indexes
+    // refuse an append under a different value
+    IndexMeta.requireParam(spark, path, "bands", numBands)
     hashed.select(col("id"), col("bands"))
       .write.mode(mode).parquet(s"$path/hashes")
     val b =
       if (mode == org.apache.spark.sql.SaveMode.Append)
-        IndexMeta.resolveAndRecord(spark, path, buckets)
+        IndexMeta.resolveAndRecord(spark, path, buckets, Map("bands" -> numBands))
       else if (buckets > 0) buckets
       else {
         val n = spark.read.parquet(s"$path/hashes").count()
@@ -681,7 +684,7 @@ object Multimodal {
     // directories >= the stale count — probes detect and refuse rather
     // than silently pruning matches away
     if (mode != org.apache.spark.sql.SaveMode.Append)
-      IndexMeta.write(spark, path, b)
+      IndexMeta.write(spark, path, b, Map("bands" -> numBands))
   }
 
   /** Grow a standing [[writeFingerprintIndex]] by an ingested batch —
@@ -720,6 +723,7 @@ object Multimodal {
       buckets: Int = 0): DataFrame = {
     requireBanding(maxHamming, numBands)
     val spark = batchHashed.sparkSession
+    IndexMeta.requireParam(spark, indexPath, "bands", numBands)
     val a = batchHashed.select(col("id"), col("bands"),
         posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
       .withColumn("bk",

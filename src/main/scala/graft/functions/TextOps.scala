@@ -1865,7 +1865,7 @@ object TextOps {
       sized.withColumn("hb", spanBucket(b))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("hb").parquet(s"$path/whs")
-      IndexMeta.write(corpus.sparkSession, path, b)
+      IndexMeta.write(corpus.sparkSession, path, b, Map("L" -> L))
     } finally if (buckets <= 0) { sized.unpersist(); () }
   }
 
@@ -1889,7 +1889,9 @@ object TextOps {
       L: Int = 8,
       buckets: Int = 0): Unit = {
     require(L >= 2, "window length must be >= 2")
-    val b = IndexMeta.resolveAndRecord(batch.sparkSession, path, buckets)
+    IndexMeta.requireParam(batch.sparkSession, path, "L", L)
+    val b = IndexMeta.resolveAndRecord(
+      batch.sparkSession, path, buckets, Map("L" -> L))
     spanModel(batch, idCol, textCol, L)
       .withColumn("hb", spanBucket(b))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -1940,6 +1942,7 @@ object TextOps {
       buckets: Int = 0): DataFrame = {
     require(L >= 2, "window length must be >= 2")
     val spark = batch.sparkSession
+    IndexMeta.requireParam(spark, indexPath, "L", L)
     val b = IndexMeta.validated(spark, indexPath, buckets, "whs", "hb")
     val wins = spanWins(spanToks(batch, idCol, textCol), idCol, L)
       .withColumn("hb", spanBucket(b))
@@ -1974,6 +1977,7 @@ object TextOps {
       buckets: Int = 0): DataFrame = {
     require(L >= 2, "window length must be >= 2")
     val spark = batch.sparkSession
+    IndexMeta.requireParam(spark, indexPath, "L", L)
     val b = IndexMeta.validated(spark, indexPath, buckets, "whs", "hb")
     val toks = spanToks(batch, idCol, textCol)
     val wins = spanWins(toks, idCol, L)

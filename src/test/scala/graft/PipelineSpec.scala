@@ -2443,6 +2443,36 @@ class PipelineSpec extends AnyFunSuite {
         Seq((7, bandsOf(2))).toDF("id", "bands"), fdir, maxHamming = 0)
       .as[(Int, Int, Long)].collect().toSeq
     assert(got == Seq((7, 2, 0L)), s"int-id probe: $got")
+    // STRUCTURAL PARAMETERS are recorded and enforced: a probe/append
+    // run with a different window length / shingle k / band count would
+    // derive different keys and silently find nothing — recorded
+    // indexes refuse the mismatch instead
+    assert(IndexMeta.readParam(spark, fdir, "bands").contains(4))
+    intercept[IllegalArgumentException] {
+      Multimodal.nearDupAgainstFingerprintIndex(
+        Seq((7, bandsOf(2))).toDF("id", "bands"), fdir,
+        maxHamming = 0, numBands = 2)
+    }
+    val spdir = java.nio.file.Files.createTempDirectory("meta-span").toString
+    val spDocs = (0L until 6L)
+      .map(i => (i, (0 to 9).map(j => s"t${(i + j) % 8}").mkString(" ")))
+      .toDF("doc_id", "text")
+    TextOps.writeSpanIndex(spDocs, "doc_id", "text", spdir)
+    assert(IndexMeta.readParam(spark, spdir, "L").contains(8))
+    intercept[IllegalArgumentException] {
+      TextOps.duplicatedSpansAgainstIndex(spDocs, "doc_id", "text", spdir, L = 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.appendSpanIndex(spDocs, "doc_id", "text", spdir, L = 5)
+    }
+    val sgdir = java.nio.file.Files.createTempDirectory("meta-sigp").toString
+    Dedup.writeSignatureIndex(spDocs, "doc_id", "text", sgdir)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndexed(spDocs, "doc_id", "text", sgdir, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendSignatureIndex(spDocs, "doc_id", "text", sgdir, numHashes = 4)
+    }
   }
 
   test("fingerprint-index compaction: 1 file/bucket-dir, probe results unchanged") {
