@@ -100,11 +100,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       path: String,
-      buckets: Int = 0): Unit =
+      buckets: Int = 0): Unit = {
+    // appends refuse a torn layout the same way probes do — growing a
+    // torn index under the stale modulus would deepen the damage
+    IndexMeta.validated(kept.sparkSession, path, buckets, "hashes", "hb")
     kept.select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
       .withColumn("hb", hashBucket(IndexMeta.resolveAndRecord(kept.sparkSession, path, buckets)))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("hb").parquet(s"$path/hashes")
+  }
 
   /** Probe a batch against a [[writeHashIndex]] index: returns one row
     * per batch doc — (idCol, text_hash, dup_of), `dup_of` the indexed
@@ -328,6 +332,8 @@ object Dedup {
     // derivation: an append under different values would write
     // unfindable rows — recorded indexes refuse the mismatch
     params.foreach { case (key, v) => IndexMeta.requireParam(spark, path, key, v) }
+    if (mode == org.apache.spark.sql.SaveMode.Append)
+      IndexMeta.validated(spark, path, buckets, "bands", "bk")
     shaArrays(base, idCol)
       .write.mode(mode).parquet(s"$path/arrays")
     val b =

@@ -665,6 +665,8 @@ object Multimodal {
     // the band count is part of the key derivation — recorded indexes
     // refuse an append under a different value
     IndexMeta.requireParam(spark, path, "bands", numBands)
+    if (mode == org.apache.spark.sql.SaveMode.Append)
+      IndexMeta.validated(spark, path, buckets, "bands", "bk")
     hashed.select(col("id"), col("bands"))
       .write.mode(mode).parquet(s"$path/hashes")
     val b =

@@ -1890,6 +1890,7 @@ object TextOps {
       buckets: Int = 0): Unit = {
     require(L >= 2, "window length must be >= 2")
     IndexMeta.requireParam(batch.sparkSession, path, "L", L)
+    IndexMeta.validated(batch.sparkSession, path, buckets, "whs", "hb")
     val b = IndexMeta.resolveAndRecord(
       batch.sparkSession, path, buckets, Map("L" -> L))
     spanModel(batch, idCol, textCol, L)
