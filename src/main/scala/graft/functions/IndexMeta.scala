@@ -129,11 +129,25 @@ object IndexMeta {
     * work only because every reader falls back to the same implicit
     * [[DefaultBuckets]], which breaks silently if the default ever
     * changes or a later caller passes an explicit count. */
+  /** An EXPLICIT bucket count on a probe/append of a recorded index must
+    * match the recorded one — an override would derive a different
+    * modulus and silently prune matches away (only a REBUILD may change
+    * the count; it rewrites the meta). */
+  private def checkExplicit(spark: SparkSession, indexPath: String, buckets: Int): Unit =
+    if (buckets > 0 && exists(spark, indexPath)) {
+      val rec = read(spark, indexPath)
+      if (rec != buckets) throw new IllegalArgumentException(
+        s"index at $indexPath records $rec buckets but this probe/append " +
+          s"passes an explicit $buckets — a modulus override silently prunes " +
+          "matches away; pass 0 to follow the recorded count, or rebuild")
+    }
+
   def resolveAndRecord(
       spark: SparkSession,
       indexPath: String,
       buckets: Int,
       params: Map[String, Int] = Map.empty): Int = {
+    checkExplicit(spark, indexPath, buckets)
     val b = resolve(spark, indexPath, buckets)
     if (!exists(spark, indexPath)) write(spark, indexPath, b, params)
     b
@@ -158,6 +172,7 @@ object IndexMeta {
       buckets: Int,
       dataDir: String,
       partCol: String): Int = {
+    checkExplicit(spark, indexPath, buckets)
     val b = resolve(spark, indexPath, buckets)
     val p = new Path(s"$indexPath/$dataDir")
     val fs = p.getFileSystem(new Configuration())

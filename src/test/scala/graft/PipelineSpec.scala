@@ -2473,6 +2473,17 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.appendSignatureIndex(spDocs, "doc_id", "text", sgdir, numHashes = 4)
     }
+    // an EXPLICIT bucket count that disagrees with the recorded one is a
+    // modulus override — probes/appends refuse it (only rebuilds may
+    // change the count); a MATCHING explicit count still works
+    intercept[IllegalArgumentException] {
+      Dedup.exactDupsAgainstIndexed(
+        Seq((9L, "a")).toDF("doc_id", "text"), "doc_id", "text", cold,
+        buckets = IndexMeta.DefaultBuckets * 2)
+    }
+    assert(Dedup.exactDupsAgainstIndexed(
+      Seq((9L, "t1")).toDF("doc_id", "text"), "doc_id", "text", cold,
+      buckets = IndexMeta.DefaultBuckets).count() == 1L)
   }
 
   test("fingerprint-index compaction: 1 file/bucket-dir, probe results unchanged") {
