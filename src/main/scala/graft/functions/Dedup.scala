@@ -224,6 +224,22 @@ object Dedup {
     TextOps.lshBands(base.withColumn("hb", hb).select(col(idCol) +: sigCols: _*), idCol, numHashes)
   }
 
+  /** [[bandsOf]] over a frame already carrying the raw 60-bit shingle
+    * hashes (`hs` — sorted or not; min over the affine rehash family is
+    * order-insensitive), so a caller that materialized the hash pass can
+    * band without re-hashing. Values identical to [[bandsOf]]:
+    * `hb = hs % MinhashP` there is computed per shingle from the same
+    * [[TextOps.portableHash]].
+    */
+  private def bandsOfHashed(hashed: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val hb = transform(col("hs"), x => x % TextOps.MinhashP)
+    val sigCols = (0 until numHashes).map { i =>
+      val (a, b) = TextOps.minhashConsts(i)
+      array_min(transform(col("hb"), x => (lit(a) * x + lit(b)) % TextOps.MinhashP)).as(s"h$i")
+    }
+    TextOps.lshBands(hashed.withColumn("hb", hb).select(col(idCol) +: sigCols: _*), idCol, numHashes)
+  }
+
   /** Exact-verification arrays for candidate docs ONLY (semi-join,
     * pushed below the sharr projection): one sorted array of FULL 60-bit
     * portable hashes per doc plus its distinct count, so |∩| / |set|
@@ -329,11 +345,15 @@ object Dedup {
       params: Map[String, Int]): Unit = {
     val spark = base.sparkSession
     // structural parameters (shingle k, hash count) are part of the key
-    // derivation: an append under different values would write
-    // unfindable rows — recorded indexes refuse the mismatch
-    params.foreach { case (key, v) => IndexMeta.requireParam(spark, path, key, v) }
-    if (mode == org.apache.spark.sql.SaveMode.Append)
+    // derivation: an APPEND under different values would write
+    // unfindable rows — recorded indexes refuse the mismatch. A REBUILD
+    // (Overwrite) legitimately changes them: it replaces every table and
+    // rewrites the meta last (the writeSpanIndex contract), so the check
+    // must not refuse the very rebuild it tells the caller to run.
+    if (mode == org.apache.spark.sql.SaveMode.Append) {
+      params.foreach { case (key, v) => IndexMeta.requireParam(spark, path, key, v) }
       IndexMeta.validated(spark, path, buckets, "bands", "bk")
+    }
     shaArrays(base, idCol)
       .write.mode(mode).parquet(s"$path/arrays")
     val b =
@@ -375,8 +395,20 @@ object Dedup {
     val spark = newDocs.sparkSession
     IndexMeta.requireParam(spark, indexPath, "k", k)
     IndexMeta.requireParam(spark, indexPath, "nh", numHashes)
+    // Materialize the batch's SORTED shingle-hash arrays ONCE (eager
+    // localCheckpoint — released by the ContextCleaner when the caller
+    // drops the result): the md5 shingle pass is the probe's CPU-dense
+    // stage, and without this it ran three times per probe — once for the
+    // bucket-footprint collect below (a separate job that re-executes the
+    // whole lineage), once under the band join and once under the
+    // verification arrays. Banding (array_min over the affine rehash) is
+    // order-insensitive and the verify arrays want the sorted form, so
+    // one sorted array serves both derivations.
     val nb = shingleBase(newDocs, idCol, textCol, k)
-    val a = bandsOf(nb, idCol, numHashes)
+      .select(col(idCol),
+        array_sort(transform(col("sharr"), s => TextOps.portableHash(s))).as("hs"))
+      .localCheckpoint(true)
+    val a = bandsOfHashed(nb, idCol, numHashes)
       .withColumn("bk",
         bandBucket(IndexMeta.validated(spark, indexPath, buckets, "bands", "bk")))
       .select(col(idCol).as("doc_new"), col("band"), col("k1"), col("k2"), col("bk"))
@@ -389,7 +421,10 @@ object Dedup {
     val cand = a.select(col("doc_new"), col("band"), col("k1"), col("k2"))
       .join(idxBands, Seq("band", "k1", "k2"))
       .select(col("doc_new"), col("doc_old")).distinct()
-    val subN = verifyArrays(nb, cand.select(col("doc_new").as(idCol)).distinct(), idCol)
+    val subN = nb
+      .join(cand.select(col("doc_new").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol), col("hs").as("sha"),
+        SortedSetOps.distinctCount(col("hs")).as("n_sh"))
     val subC = spark.read.parquet(s"$indexPath/arrays")
       .join(cand.select(col("doc_old").as(idCol)).distinct(), Seq(idCol), "left_semi")
     cand

@@ -57,28 +57,58 @@ object IndexMeta {
       indexPath: String,
       buckets: Int,
       params: Map[String, Int] = Map.empty): Unit = {
+    // tmp + rename, never truncate-in-place: a probe racing a rebuild's
+    // meta overwrite must see the old file or the new one — a partially
+    // written buckets.json would otherwise parse as "no recorded count"
+    // and silently probe with the 64-bucket default (the exact
+    // false-negative pruning the recorded modulus exists to prevent).
+    // Rename is atomic on local/HDFS semantics; object stores get
+    // close-then-swap, the best a file-shaped meta can do there.
     val p = new Path(s"$indexPath/buckets.json")
+    val tmp = new Path(s"$indexPath/buckets.json.tmp")
     val fs = p.getFileSystem(new Configuration())
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     val extra = params.toSeq.sortBy(_._1)
       .map { case (k, v) => s""","$k":$v""" }.mkString
     try out.write(s"""{"buckets":$buckets$extra}""".getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(
+      s"could not publish $tmp -> $p")
   }
 
-  /** A recorded structural parameter, or None for indexes that predate
-    * parameter recording. */
-  def readParam(spark: SparkSession, indexPath: String, key: String): Option[Int] = {
+  /** The raw meta file, or None when absent. Present-but-unreadable
+    * content is surfaced by the parsers below, never defaulted. */
+  private def readRaw(indexPath: String): Option[String] = {
     val p = new Path(s"$indexPath/buckets.json")
     val fs = p.getFileSystem(new Configuration())
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try {
-        val s = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        (s""""$key"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toInt)
-      } finally in.close()
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** Fail loudly on a present-but-unparseable meta file: defaulting here
+    * would let a probe run with the wrong modulus (silent false
+    * negatives) after a torn write or manual damage. */
+  private def parsedBuckets(indexPath: String, s: String): Int =
+    """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"index meta $indexPath/buckets.json exists but does not parse " +
+          s"(${s.take(80)}) — refusing to default to $DefaultBuckets " +
+          "buckets; restore or rebuild the index"))
+
+  /** A recorded structural parameter, or None for indexes that predate
+    * parameter recording. */
+  def readParam(spark: SparkSession, indexPath: String, key: String): Option[Int] = {
+    readRaw(indexPath).flatMap { s =>
+      parsedBuckets(indexPath, s) // corrupt meta throws; a missing PARAM
+      // key on a valid file is legitimate (pre-recording index) -> None
+      (s""""$key"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toInt)
     }
   }
 
@@ -96,20 +126,8 @@ object IndexMeta {
 
   /** The recorded bucket count, or [[DefaultBuckets]] for pre-meta
     * indexes. */
-  def read(spark: SparkSession, indexPath: String): Int = {
-    val p = new Path(s"$indexPath/buckets.json")
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) DefaultBuckets
-    else {
-      val in = fs.open(p)
-      try {
-        val s = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
-          .map(_.group(1).toInt).getOrElse(DefaultBuckets)
-      } finally in.close()
-    }
-  }
+  def read(spark: SparkSession, indexPath: String): Int =
+    readRaw(indexPath).map(parsedBuckets(indexPath, _)).getOrElse(DefaultBuckets)
 
   /** Resolve an API-level `buckets` argument: positive = explicit
     * (caller-fixed), 0 = the index's recorded count (append/probe
@@ -147,6 +165,12 @@ object IndexMeta {
       indexPath: String,
       buckets: Int,
       params: Map[String, Int] = Map.empty): Int = {
+    // NOTE: cold creation is check-then-write — two CONCURRENT first
+    // appends to the same index path can record different moduli
+    // (last-writer-wins). Concurrent cold appends are unsupported; the
+    // streaming gates are single-writer by contract (one query per
+    // index), and a deployment fanning writers out must seed the index
+    // with an explicit write*Index build first.
     checkExplicit(spark, indexPath, buckets)
     val b = resolve(spark, indexPath, buckets)
     if (!exists(spark, indexPath)) write(spark, indexPath, b, params)

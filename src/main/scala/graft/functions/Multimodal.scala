@@ -663,10 +663,12 @@ object Multimodal {
     requireBanding(0, numBands)
     val spark = hashed.sparkSession
     // the band count is part of the key derivation — recorded indexes
-    // refuse an append under a different value
-    IndexMeta.requireParam(spark, path, "bands", numBands)
-    if (mode == org.apache.spark.sql.SaveMode.Append)
+    // refuse an APPEND under a different value; a REBUILD (Overwrite)
+    // replaces both tables and rewrites the meta, so it may change it
+    if (mode == org.apache.spark.sql.SaveMode.Append) {
+      IndexMeta.requireParam(spark, path, "bands", numBands)
       IndexMeta.validated(spark, path, buckets, "bands", "bk")
+    }
     hashed.select(col("id"), col("bands"))
       .write.mode(mode).parquet(s"$path/hashes")
     val b =
@@ -726,10 +728,18 @@ object Multimodal {
     requireBanding(maxHamming, numBands)
     val spark = batchHashed.sparkSession
     IndexMeta.requireParam(spark, indexPath, "bands", numBands)
+    // Materialize the batch's band rows ONCE (eager localCheckpoint,
+    // ContextCleaner-released): `batchHashed` is usually a media DECODE
+    // pipeline (ImageIO / AudioSystem / AVI walk per blob), and without
+    // this the bucket-footprint collect below — a separate job — decoded
+    // every blob a second time before the probe plan decoded it again.
+    // 4 compact rows per item (band key + the 8-long hash array), so the
+    // checkpoint is batch-sized.
     val a = batchHashed.select(col("id"), col("bands"),
         posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
       .withColumn("bk",
         fpBucket(IndexMeta.validated(spark, indexPath, buckets, "bands", "bk")))
+      .localCheckpoint(true)
     val bks = a.select(col("bk")).distinct().collect().map(_.getInt(0)).toSeq
     // explicit schemas: an index seeded from an EMPTY frame (a streaming
     // deployment's cold start) has zero data files, which would fail

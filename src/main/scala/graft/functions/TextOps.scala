@@ -1904,7 +1904,10 @@ object TextOps {
     * a PartitionFilter, driver-bounded by construction), collapsed to
     * one `(wh, iw, idf)` row per hash. Explicit read schema so an index
     * seeded from an EMPTY corpus probes instead of failing inference;
-    * the id type follows the batch. */
+    * the id type follows the BATCH — probing batches must use the id
+    * type the index was built with (the
+    * [[Multimodal.nearDupAgainstFingerprintIndex]] contract; a mismatch
+    * fails at the parquet layer rather than silently misreading). */
   private def probeSpanModel(
       wins: DataFrame,
       idCol: String,
@@ -1945,8 +1948,15 @@ object TextOps {
     val spark = batch.sparkSession
     IndexMeta.requireParam(spark, indexPath, "L", L)
     val b = IndexMeta.validated(spark, indexPath, buckets, "whs", "hb")
+    // Materialize the batch's window rows ONCE (eager localCheckpoint,
+    // ContextCleaner-released): tokenize + the id-keyed window pass are
+    // the probe's heavy batch-side stages, and the bucket-footprint
+    // collect inside probeSpanModel is a separate job that would
+    // otherwise re-run the whole lineage before the probe plan runs it
+    // again. Rows are (id, pos, wh, bs, be, hb) longs — batch-sized.
     val wins = spanWins(spanToks(batch, idCol, textCol), idCol, L)
       .withColumn("hb", spanBucket(b))
+      .localCheckpoint(true)
     val bdf = wins.groupBy(col("wh"))
       .agg(countDistinct(col(idCol)).as("bdf"))
     val flagged = wins
@@ -1981,8 +1991,13 @@ object TextOps {
     IndexMeta.requireParam(spark, indexPath, "L", L)
     val b = IndexMeta.validated(spark, indexPath, buckets, "whs", "hb")
     val toks = spanToks(batch, idCol, textCol)
+    // Same one-tokenize-job-per-probe discipline as
+    // [[duplicatedSpansAgainstIndex]]: the checkpoint feeds the footprint
+    // collect, bmin and the flagged join; the rebuild's `toks` use prunes
+    // to (id, pos, tok) — no token hashing — so the md5 pass runs once.
     val wins = spanWins(toks, idCol, L)
       .withColumn("hb", spanBucket(b))
+      .localCheckpoint(true)
     val bmin = wins.groupBy(col("wh"))
       .agg(min(col(idCol)).as("bmin"))
     val flagged = wins

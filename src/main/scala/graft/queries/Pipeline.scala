@@ -1940,7 +1940,13 @@ object Pipeline {
         val extracted = TextOps.htmlExtract(pages, "doc_id", "html")
         val scrubbed = TextOps.paragraphScrub(extracted, "doc_id", "text_extracted")
           .select(col("doc_id"), col("text_scrubbed"))
+        // the extract→scrub→clean regexp chain feeds THREE consumers
+        // (lang, quality, the gate join) — materialize it once (eager
+        // localCheckpoint, ContextCleaner-released) instead of re-running
+        // the per-row chain under every branch; same for the gated frame
+        // `f`, which both the dedup aggregate and the join-back consume
         val cleaned = TextOps.cleanText(scrubbed, "doc_id", "text_scrubbed")
+          .localCheckpoint(true)
         val lang = TextOps.langId(cleaned, "doc_id", "text_clean")
           .select(col("doc_id"), col("pred_lang"))
         val qual = TextOps.qualityScore(
@@ -1950,6 +1956,7 @@ object Pipeline {
         val f = cleaned.select(col("doc_id"), col("text_clean"))
           .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
           .where(col("pred_lang") =!= "und" && col("score") >= 150)
+          .localCheckpoint(true)
         val kept = Dedup.exactDedup(f, "doc_id", "text_clean")
         TextOps.splitAssign(
             kept.join(f.select(col("doc_id"), col("pred_lang"), col("score")), Seq("doc_id")),
@@ -2030,7 +2037,11 @@ object Pipeline {
         val blobs = imageBlobs(s, dir)
         val pairs = Multimodal.imageNearDupPairs(blobs, "doc_id", "blob")
         val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
-        blobs.select(col("doc_id"))
+        // id universe from the base table, NOT blobs.select(doc_id): the
+        // generator is an opaque mapPartitions, so projecting ids off it
+        // would re-encode every blob a second time per pass (the oracle
+        // joins `FROM documents` for the same reason)
+        tbl(s, dir, "documents").select(col("doc_id"))
           .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("rep"),
@@ -2245,7 +2256,8 @@ object Pipeline {
         val blobs = audioBlobs(s, dir)
         val pairs = Multimodal.audioNearDupPairs(blobs, "doc_id", "blob")
         val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
-        blobs.select(col("doc_id"))
+        // documents ids, not blobs.select(doc_id) — the q153 rationale
+        tbl(s, dir, "documents").select(col("doc_id"))
           .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("rep"),
@@ -2302,7 +2314,8 @@ object Pipeline {
         val blobs = videoBlobs(s, dir)
         val pairs = Multimodal.videoNearDupPairs(blobs, "doc_id", "blob")
         val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
-        blobs.select(col("doc_id"))
+        // documents ids, not blobs.select(doc_id) — the q153 rationale
+        tbl(s, dir, "documents").select(col("doc_id"))
           .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("rep"),
@@ -2370,7 +2383,8 @@ object Pipeline {
         val blobs = imageBlobs(s, dir)
         val mcc = Graph.connectedComponents(
           Multimodal.imageNearDupPairs(blobs, "doc_id", "blob"), "id_a", "id_b")
-        val media = blobs.select(col("doc_id"))
+        // documents ids, not blobs.select(doc_id) — the q153 rationale
+        val media = docs.select(col("doc_id"))
           .join(mcc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("media_rep"))

@@ -2486,6 +2486,50 @@ class PipelineSpec extends AnyFunSuite {
       buckets = IndexMeta.DefaultBuckets).count() == 1L)
   }
 
+  test("index rebuilds may change structural params; corrupt meta refuses loudly") {
+    import spark.implicits._
+    import graft.functions.IndexMeta
+    val docs = (0L until 6L)
+      .map(i => (i, (0 to 9).map(j => s"t${(i + j) % 8}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // a REBUILD (Overwrite) legitimately changes k/numHashes — it
+    // replaces every table and re-records the meta; only APPENDS and
+    // probes must match the recorded values (the r15 ADVICE fix: the
+    // old unconditional check refused the very rebuild its message
+    // told the caller to run)
+    val dir = java.nio.file.Files.createTempDirectory("meta-rebuild").toString
+    Dedup.writeSignatureIndex(docs, "doc_id", "text", dir)
+    assert(IndexMeta.readParam(spark, dir, "k").contains(3))
+    Dedup.writeSignatureIndex(docs, "doc_id", "text", dir, k = 4, numHashes = 4)
+    assert(IndexMeta.readParam(spark, dir, "k").contains(4))
+    assert(IndexMeta.readParam(spark, dir, "nh").contains(4))
+    // probes follow the rebuilt params; the OLD params now refuse
+    assert(Dedup.nearDupAgainstIndexed(
+      Seq((100L, (0 to 9).map(j => s"t${j % 8}").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, k = 4, numHashes = 4).count() >= 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndexed(docs, "doc_id", "text", dir)
+    }
+    // fingerprint writer: same rebuild freedom
+    def bandsOf(i: Int) = Array.tabulate(8)(j => (i * 37L + j * 11L) % 256L)
+    val fdir = java.nio.file.Files.createTempDirectory("meta-refp").toString
+    Multimodal.writeFingerprintIndex(Seq((1L, bandsOf(1))).toDF("id", "bands"), fdir)
+    Multimodal.writeFingerprintIndex(
+      Seq((1L, bandsOf(1))).toDF("id", "bands"), fdir, numBands = 2)
+    assert(IndexMeta.readParam(spark, fdir, "bands").contains(2))
+    // a present-but-unparseable meta refuses loudly instead of silently
+    // defaulting to 64 buckets (a probe under the wrong modulus prunes
+    // matches away); meta writes themselves are tmp+rename so a torn
+    // write can no longer produce this state
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(fdir, ".buckets.json.crc")) // stale Hadoop checksum
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fdir, "buckets.json"), "{\"buck")
+    intercept[IllegalStateException] { IndexMeta.read(spark, fdir) }
+    intercept[IllegalStateException] { IndexMeta.readParam(spark, fdir, "bands") }
+  }
+
   test("fingerprint-index compaction: 1 file/bucket-dir, probe results unchanged") {
     import spark.implicits._
     import graft.functions.IndexMaintenance
