@@ -391,7 +391,27 @@ object Dedup {
       indexPath: String,
       k: Int = 3,
       numHashes: Int = 8,
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0): DataFrame =
+    nearDupAgainstIndexedImpl(
+      newDocs, idCol, textCol, indexPath, k, numHashes, buckets,
+      materialize = true)
+
+  /** [[nearDupAgainstIndexed]] with the stage materialization switchable:
+    * `materialize = false` keeps every stage lazy in ONE returned plan so
+    * PlanContractSpec can assert the pruned-scan / no-cartesian shape of
+    * the exact subtrees production materializes (checkpointed stages are
+    * invisible to the caller's plan). Production always materializes. */
+  private[graft] def nearDupAgainstIndexedImpl(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      k: Int,
+      numHashes: Int,
+      buckets: Int,
+      materialize: Boolean): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     val spark = newDocs.sparkSession
     IndexMeta.requireParam(spark, indexPath, "k", k)
     IndexMeta.requireParam(spark, indexPath, "nh", numHashes)
@@ -404,10 +424,9 @@ object Dedup {
     // verification arrays. Banding (array_min over the affine rehash) is
     // order-insensitive and the verify arrays want the sorted form, so
     // one sorted array serves both derivations.
-    val nb = shingleBase(newDocs, idCol, textCol, k)
+    val nb = mat(shingleBase(newDocs, idCol, textCol, k)
       .select(col(idCol),
-        array_sort(transform(col("sharr"), s => TextOps.portableHash(s))).as("hs"))
-      .localCheckpoint(true)
+        array_sort(transform(col("sharr"), s => TextOps.portableHash(s))).as("hs")))
     val a = bandsOfHashed(nb, idCol, numHashes)
       .withColumn("bk",
         bandBucket(IndexMeta.validated(spark, indexPath, buckets, "bands", "bk")))
@@ -418,9 +437,14 @@ object Dedup {
     val idxBands = spark.read.parquet(s"$indexPath/bands")
       .where(col("bk").isin(bks: _*))
       .select(col(idCol).as("doc_old"), col("band"), col("k1"), col("k2"))
-    val cand = a.select(col("doc_new"), col("band"), col("k1"), col("k2"))
+    // candidate pairs are consumed THREE times (both verify semi-joins +
+    // the final pair join), and each consumer's pushed-down projection
+    // splits the distinct, so without materialization the band join —
+    // broadcast batch onto the pruned index scan, no reusable shuffle
+    // exchange — re-ran per consumer. Candidate-bounded rows.
+    val cand = mat(a.select(col("doc_new"), col("band"), col("k1"), col("k2"))
       .join(idxBands, Seq("band", "k1", "k2"))
-      .select(col("doc_new"), col("doc_old")).distinct()
+      .select(col("doc_new"), col("doc_old")).distinct())
     val subN = nb
       .join(cand.select(col("doc_new").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol), col("hs").as("sha"),

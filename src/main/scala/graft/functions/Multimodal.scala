@@ -724,7 +724,25 @@ object Multimodal {
       indexPath: String,
       maxHamming: Int = 3,
       numBands: Int = 4,
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0): DataFrame =
+    nearDupAgainstFingerprintIndexImpl(
+      batchHashed, indexPath, maxHamming, numBands, buckets,
+      materialize = true)
+
+  /** [[nearDupAgainstFingerprintIndex]] with stage materialization
+    * switchable — `materialize = false` keeps everything lazy in ONE
+    * returned plan so PlanContractSpec can assert the pruned-scan shape
+    * of the subtrees production checkpoints (the
+    * [[Dedup.nearDupAgainstIndexedImpl]] pattern). */
+  private[graft] def nearDupAgainstFingerprintIndexImpl(
+      batchHashed: DataFrame,
+      indexPath: String,
+      maxHamming: Int,
+      numBands: Int,
+      buckets: Int,
+      materialize: Boolean): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     requireBanding(maxHamming, numBands)
     val spark = batchHashed.sparkSession
     IndexMeta.requireParam(spark, indexPath, "bands", numBands)
@@ -735,11 +753,10 @@ object Multimodal {
     // every blob a second time before the probe plan decoded it again.
     // 4 compact rows per item (band key + the 8-long hash array), so the
     // checkpoint is batch-sized.
-    val a = batchHashed.select(col("id"), col("bands"),
+    val a = mat(batchHashed.select(col("id"), col("bands"),
         posexplode(joinBandsExpr(numBands)).as(Seq("b_idx", "b_val")))
       .withColumn("bk",
-        fpBucket(IndexMeta.validated(spark, indexPath, buckets, "bands", "bk")))
-      .localCheckpoint(true)
+        fpBucket(IndexMeta.validated(spark, indexPath, buckets, "bands", "bk"))))
     val bks = a.select(col("bk")).distinct().collect().map(_.getInt(0)).toSeq
     // explicit schemas: an index seeded from an EMPTY frame (a streaming
     // deployment's cold start) has zero data files, which would fail
@@ -758,13 +775,16 @@ object Multimodal {
     val idxBands = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
       .where(col("bk").isin(bks: _*))
       .select(col("id").as("id_old"), col("b_idx"), col("b_val"))
-    val cand = a
+    // candidates are consumed twice (the hashes semi-join + the verify
+    // join) and the band join has no reusable shuffle exchange (broadcast
+    // batch onto the pruned scan) — materialize once, candidate-bounded
+    val cand = mat(a
       .select(col("id").as("id_new"), col("bands").as("ba"),
         col("b_idx"), col("b_val"))
       .join(idxBands, Seq("b_idx", "b_val"))
       .where(col("id_new") =!= col("id_old"))
       .groupBy(col("id_new"), col("id_old"))
-      .agg(first(col("ba")).as("ba"))
+      .agg(first(col("ba")).as("ba")))
     val idxHashes = spark.read.schema(hashesSchema).parquet(s"$indexPath/hashes")
       .join(cand.select(col("id_old").as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("id").as("id_old"), col("bands").as("bb"))

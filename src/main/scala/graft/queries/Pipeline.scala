@@ -52,10 +52,15 @@ object Pipeline {
     * relationally replayable by the oracle while Spark runs the REAL
     * ImageIO codec on real PNG bytes.
     */
-  private def imageBlobs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  private def imageBlobs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // id predicate applied BEFORE the opaque encode mapPartitions — a
+    // caller's .where() above it cannot push down, so filtering a split
+    // after generation would encode every blob and drop most of them
     graft.functions.Par.fanOut(
-        tbl(s, dir, "documents").select(col("doc_id")))
+        tbl(s, dir, "documents").select(col("doc_id")).where(pred))
       .as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -87,7 +92,7 @@ object Pipeline {
     fpIndexCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-fpindex").toString
       Multimodal.writeImageFingerprintIndex(
-        imageBlobs(s, dir).where(col("doc_id") % 7 =!= 0), "doc_id", "blob", p)
+        imageBlobs(s, dir, col("doc_id") % 7 =!= 0), "doc_id", "blob", p)
       p
     })
 
@@ -97,10 +102,13 @@ object Pipeline {
     * decode + slicing + energy + banding relationally while Spark
     * decodes real WAV bytes.
     */
-  private def audioBlobs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  private def audioBlobs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // pred below the encode — the imageBlobs rationale
     graft.functions.Par.fanOut(
-        tbl(s, dir, "documents").select(col("doc_id")))
+        tbl(s, dir, "documents").select(col("doc_id")).where(pred))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -128,10 +136,13 @@ object Pipeline {
     * decode + frame/probe sampling + banding relationally while Spark
     * parses real AVI containers.
     */
-  private def videoBlobs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  private def videoBlobs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // pred below the encode — the imageBlobs rationale
     graft.functions.Par.fanOut(
-        tbl(s, dir, "documents").select(col("doc_id")))
+        tbl(s, dir, "documents").select(col("doc_id")).where(pred))
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -167,7 +178,7 @@ object Pipeline {
     vfpIndexCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-vfpindex").toString
       Multimodal.writeVideoFingerprintIndex(
-        videoBlobs(s, dir).where(col("doc_id") % 7 =!= 0), "doc_id", "blob", p)
+        videoBlobs(s, dir, col("doc_id") % 7 =!= 0), "doc_id", "blob", p)
       p
     })
 
@@ -179,7 +190,7 @@ object Pipeline {
     afpIndexCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-afpindex").toString
       Multimodal.writeAudioFingerprintIndex(
-        audioBlobs(s, dir).where(col("doc_id") % 7 =!= 0), "doc_id", "blob", p)
+        audioBlobs(s, dir, col("doc_id") % 7 =!= 0), "doc_id", "blob", p)
       p
     })
 
@@ -1735,7 +1746,7 @@ object Pipeline {
     "q146_image_near_dup_indexed" -> QueryDef(
       (s, dir) => {
         Multimodal.imageNearDupAgainstIndex(
-            imageBlobs(s, dir).where(col("doc_id") % 7 === 0),
+            imageBlobs(s, dir, col("doc_id") % 7 === 0),
             "doc_id", "blob", fpIndex(s, dir))
           .orderBy(col("id_new"), col("id_old"))
       },
@@ -2161,7 +2172,7 @@ object Pipeline {
     "q156_audio_near_dup_indexed" -> QueryDef(
       (s, dir) => {
         Multimodal.audioNearDupAgainstIndex(
-            audioBlobs(s, dir).where(col("doc_id") % 7 === 0),
+            audioBlobs(s, dir, col("doc_id") % 7 === 0),
             "doc_id", "blob", afpIndex(s, dir))
           .orderBy(col("id_new"), col("id_old"))
       },
@@ -2207,7 +2218,7 @@ object Pipeline {
     "q157_video_near_dup_indexed" -> QueryDef(
       (s, dir) => {
         Multimodal.videoNearDupAgainstIndex(
-            videoBlobs(s, dir).where(col("doc_id") % 7 === 0),
+            videoBlobs(s, dir, col("doc_id") % 7 === 0),
             "doc_id", "blob", vfpIndex(s, dir))
           .orderBy(col("id_new"), col("id_old"))
       },

@@ -37,6 +37,10 @@ object Spatial {
     * once per testdata dir and shared by the façade-path queries
     * (q82/q83), so the store-build cost is not paid per query.
     */
+  /** q57's deterministic event files, built once per testdata dir (the
+    * ingest itself stays per-pass — it is the operator under test). */
+  private val q57EventsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val facadeCache = new java.util.concurrent.ConcurrentHashMap[String, GraftDB]()
   private def facadeDb(s: SparkSession, dir: String): GraftDB =
     facadeCache.computeIfAbsent(dir, _ => {
@@ -139,6 +143,9 @@ object Spatial {
         val res = fixture.copy(experiment = fixture.experiment.copy(numTimeSamples = 2))
         val db = new GraftDB(
           s, res, java.nio.file.Files.createTempDirectory("graft-compactq").toString, dims)
+        // NOT checkpointed: an r16 A/B measured the eager materialization
+        // of the deduped frame COSTLIER than letting each writeCuboid
+        // re-run the narrow groupBy under its own plan (3.25 -> 3.68 s)
         val deduped = VoxelView.df(s, dir)
           .groupBy(col("t"), col("x"), col("y"), col("z"))
           .agg(max(col("id")).as("value"))
@@ -849,21 +856,29 @@ object Spatial {
         // shuffle width are pure scheduler overhead
         val s = s0.newSession()
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        import s.implicits._
-        import graft.storage.{CuboidCodec, VersionedStore, VoxelRow}
         import graft.core.VoxelType
+        import graft.storage.{CuboidCodec, VersionedStore}
         import graft.streaming.StreamingIngest
-        val deduped = VoxelView.df(s, dir)
-          .groupBy(col("t"), col("x"), col("y"), col("z"))
-          .agg(max(col("id")).as("value"))
-          .select(lit(LK).as("lookupKey"), lit(0).as("res"),
-            col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
-          .as[VoxelRow]
+        // the EVENT FILES are a deterministic function of the testdata
+        // dir — build them once (the jsonlFixture convention); the
+        // INGEST itself (drain + merge + commits + final read) stays
+        // per-pass, because that is the operator this row times
+        val events = q57EventsCache.computeIfAbsent(dir, _ => {
+          import s.implicits._
+          val deduped = VoxelView.df(s, dir)
+            .groupBy(col("t"), col("x"), col("y"), col("z"))
+            .agg(max(col("id")).as("value"))
+            .select(lit(LK).as("lookupKey"), lit(0).as("res"),
+              col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+            .as[graft.storage.VoxelRow]
+          val p = java.nio.file.Files.createTempDirectory("q57events").toString
+          // range-split on x so each micro-batch touches a disjoint cuboid
+          // band — each delta commit then writes ~1/3 of the cuboids
+          deduped.repartitionByRange(3, col("x")).write.parquet(s"$p/events")
+          p
+        })
         val base = java.nio.file.Files.createTempDirectory("q57stream").toString
-        // range-split on x so each micro-batch touches a disjoint cuboid
-        // band — each delta commit then writes ~1/3 of the cuboids
-        deduped.repartitionByRange(3, col("x")).write.parquet(s"$base/events")
-        StreamingIngest.runAvailableNow(s, s"$base/events", s"$base/store",
+        StreamingIngest.runAvailableNow(s, s"$events/events", s"$base/store",
           s"$base/ckpt", VoxelType.UInt64, dims, maxFilesPerTrigger = Some(1))
         CuboidCodec.toVoxels(VersionedStore.read(s, s"$base/store"), VoxelType.UInt64, dims)
           .toDF()

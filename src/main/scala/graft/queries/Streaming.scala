@@ -615,9 +615,11 @@ object Streaming {
         // state-heavy streaming job: size state partitions for the state,
         // not the batch shuffle width — a stream-stream join instantiates
         // 4 state stores per partition per micro-batch, so 32 batch
-        // partitions mean 128 store inits per drain for 100k rows
+        // partitions mean 128 store inits per drain for 100k rows; r16
+        // A/B: 8 -> 4 partitions reads 2.5 vs 2.9-3.3 s at sf0.1 (the
+        // ~40k-row state fits comfortably in 4), q122/q64 flat
         val s = s0.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val src = eventStream(s, dir)
         val writes = src.where(col("event_type") === "click")
           .select(col("user_id").as("w_key"), col("ts").as("w_ts"))
@@ -649,7 +651,7 @@ object Streaming {
       (s0, dir) => {
         // same state-partition sizing rationale as q121
         val s = s0.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val name = s"q122_mem_${System.nanoTime()}"
         val q = StreamOps.windowedEventCounts(
             eventStream(s, dir).select(col("ts"), col("event_type"),

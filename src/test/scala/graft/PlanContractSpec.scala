@@ -208,8 +208,13 @@ class PlanContractSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("plan-sigidx").toString
     graft.functions.Dedup.writeSignatureIndex(
       docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", dir)
-    val p = graft.functions.Dedup.nearDupAgainstIndexed(
-      docs.where(col("doc_id") % 7 === 0), "doc_id", "text", dir)
+    // materialize = false: production checkpoints the batch hash pass and
+    // the candidate set (stage boundaries invisible to the caller's
+    // plan); the lazy form inlines those exact subtrees into ONE plan so
+    // the pruning/no-cartesian contract stays assertable
+    val p = graft.functions.Dedup.nearDupAgainstIndexedImpl(
+      docs.where(col("doc_id") % 7 === 0), "doc_id", "text", dir,
+      k = 3, numHashes = 8, buckets = 0, materialize = false)
       .queryExecution.sparkPlan.toString
     // the batch's bk footprint must reach the bands scan as a PARTITION
     // filter (pruned directories), not a post-scan Filter
@@ -636,12 +641,25 @@ class PlanContractSpec extends AnyFunSuite {
 
   test("indexed image near-dup: band scan prunes to the batch's bucket footprint") {
     val p = plan("q146_image_near_dup_indexed")
-    // the batch's bk footprint must reach the bands scan as a PARTITION
-    // filter (pruned directories), not a post-scan Filter
-    assert("PartitionFilters: \\[[^\\]]*bk".r.findFirstIn(p).isDefined, p.take(1200))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
     assert(!p.contains("WindowExec"), p.take(600))
+    // the bk pruning contract is asserted on the shared engine's lazy
+    // plan (production checkpoints the candidate stage, hiding the bands
+    // scan from the query-level plan) — one engine serves all three
+    // media modalities, so this covers q146/q156/q157
+    import spark.implicits._
+    def bandsOf(i: Int) = Array.tabulate(8)(j => (i * 37L + j * 11L) % 256L)
+    val dir = java.nio.file.Files.createTempDirectory("plan-fpidx").toString
+    graft.functions.Multimodal.writeFingerprintIndex(
+      (1L to 20L).map(i => (i, bandsOf(i.toInt))).toDF("id", "bands"), dir)
+    val pp = graft.functions.Multimodal.nearDupAgainstFingerprintIndexImpl(
+        (21L to 23L).map(i => (i, bandsOf(i.toInt % 5))).toDF("id", "bands"),
+        dir, maxHamming = 3, numBands = 4, buckets = 0, materialize = false)
+      .queryExecution.sparkPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bk".r.findFirstIn(pp).isDefined, pp.take(1200))
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"), pp.take(800))
   }
 
   test("html extract: pure per-row codegen chain — no shuffle, no join, no window") {
@@ -681,16 +699,18 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("indexed audio near-dup: band scan prunes to the batch's bucket footprint") {
+    // bk pruning is pinned on the shared engine's lazy plan in the
+    // indexed-image test (one engine under q146/q156/q157); here we pin
+    // the audio query's own plan shape
     val p = plan("q156_audio_near_dup_indexed")
-    assert("PartitionFilters: \\[[^\\]]*bk".r.findFirstIn(p).isDefined, p.take(1200))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
     assert(!p.contains("WindowExec"), p.take(600))
   }
 
   test("indexed video near-dup: band scan prunes to the batch's bucket footprint") {
+    // bk pruning pinned on the shared engine — see the indexed-image test
     val p = plan("q157_video_near_dup_indexed")
-    assert("PartitionFilters: \\[[^\\]]*bk".r.findFirstIn(p).isDefined, p.take(1200))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
     assert(!p.contains("WindowExec"), p.take(600))
