@@ -285,6 +285,11 @@ object Similarity {
     val stride = if (adaptive) PlaneStride else planesPerBand
     val src = Par.fanOut(df.select(col(idCol), col(embCol)))
     val base = src.select(col(idCol), quantize(col(embCol)).as("qe"))
+    // NOT checkpointed: unlike the broadcast-probe indexed paths, the
+    // band self-join sits on a REUSED shuffle exchange, so the extra
+    // consumers re-run only the cheap post-exchange join — an r16 A/B
+    // measured the eager materialization strictly slower (q81 1.84->1.95,
+    // q49 1.09->1.16 s at sf0.1)
     val cand = bandedCandidates(base, idCol, dim, numBands, p, stride)
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()

@@ -1443,7 +1443,10 @@ object Pipeline {
         val input = base.unionByName(
           base.where(col("doc_id") % 3 === 0)
             .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+        // cleaned feeds three consumers and f two — materialize each once
+        // (the q151 rationale; eager localCheckpoint, GC-released)
         val cleaned = TextOps.cleanText(input, "doc_id", "text")
+          .localCheckpoint(true)
         val lang = TextOps.langId(cleaned, "doc_id", "text_clean")
           .select(col("doc_id"), col("pred_lang"))
         val qual = TextOps.qualityScore(
@@ -1453,6 +1456,7 @@ object Pipeline {
         val f = cleaned.select(col("doc_id"), col("text_clean"))
           .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
           .where(col("pred_lang") =!= "und" && col("score") >= 150)
+          .localCheckpoint(true)
         val kept = Dedup.exactDedup(f, "doc_id", "text_clean")
         TextOps.splitAssign(
             kept.join(f.select(col("doc_id"), col("pred_lang"), col("score")), Seq("doc_id")),
@@ -2406,9 +2410,13 @@ object Pipeline {
           .select(col("doc_id"),
             concat(lit("<html><body><p>"), col("ltext"),
               lit("</p></body></html>")).as("html"))
+        // materialized once: the hash feeds BOTH the rep aggregate and the
+        // join, and each consumer's inlined isnotnull(th) filter would
+        // otherwise re-evaluate the whole 14-step regexp chain per row
         val extracted = TextOps.htmlExtract(pages, "doc_id", "html")
           .select(col("doc_id"),
             md5(col("text_extracted").cast("binary")).as("th"))
+          .localCheckpoint(true)
         val textSide = extracted.join(
           extracted.groupBy(col("th")).agg(min(col("doc_id")).as("text_rep")), "th")
         val composed = media.join(
