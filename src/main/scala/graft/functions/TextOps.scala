@@ -1995,7 +1995,13 @@ object TextOps {
     // [[duplicatedSpansAgainstIndex]]: the checkpoint feeds the footprint
     // collect, bmin and the flagged join; the rebuild's `toks` use prunes
     // to (id, pos, tok) — no token hashing — so the md5 pass runs once.
+    // PROJECT BEFORE the checkpoint: the scrub never reads the byte
+    // offsets (bs, be), and materializing them would force the prefix-sum
+    // + lead columns that column pruning removes from the lazy plan
+    // (r16 stress A/B: checkpointing all six columns read 31 s vs ~18 s
+    // for the 62.5k-doc batch scrub).
     val wins = spanWins(toks, idCol, L)
+      .select(col(idCol), col("pos"), col("wh"))
       .withColumn("hb", spanBucket(b))
       .localCheckpoint(true)
     val bmin = wins.groupBy(col("wh"))
