@@ -124,28 +124,33 @@ final class GraftDB(
     require(res == baseRes || res == baseRes + 1,
       s"Resolution Mismatch: writes allowed only at base resolution $baseRes or ${baseRes + 1}, got $res")
     import spark.implicits._
-    val incoming = CuboidCodec.fromVoxels(
-      voxels
-        .select(lit(lk).as("lookupKey"), lit(res).as("res"),
-          col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
-        .as[VoxelRow],
-      vt, dims)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val incKeys = incoming.toDF()
-        .select(col("lookupKey"), col("res"), col("t"), col("morton")).distinct()
-      val existingTouched = VersionedStore.readForKeys(spark, storeRoot, incKeys)
-      val mode = if (toBlack) MergeMode.Shave else MergeMode.Overwrite
-      val v = VersionedStore.commitDelta(
-        CuboidMerge.mergeAll(existingTouched, incoming, vt, mode), storeRoot)
-      // keep the persistent id index current (reads back the committed
-      // delta directory, so the merge plan is not recomputed)
-      if (maintainsIndex) commitIndexFor(v, full = false)
-      // a committed base write makes any built hierarchy stale
-      if (downsampleStatus == GraftDB.Downsampled)
-        setDownsampleStatus(GraftDB.NotDownsampled)
-      v
-    } finally { incoming.unpersist(); () }
+    val rows = voxels
+      .select(lit(lk).as("lookupKey"), lit(res).as("res"),
+        col("t").cast("int").as("t"), col("x"), col("y"), col("z"), col("value"))
+    // Key footprint from the VOXELS (narrow scan + distinct), not from
+    // the encoded cuboid frame: deriving it from `incoming` ran the full
+    // encode (groupByKey + blob build) once for the key job and needed a
+    // MEMORY_AND_DISK persist to spare the write job a second encode.
+    // Voxel-derived keys make `incoming` single-consumer — the encode
+    // runs exactly once, inside the commit's write job, nothing cached.
+    val incKeys = rows
+      .select(col("lookupKey"), col("res"), col("t"),
+        graft.core.Morton.morton_encode(
+          expr(s"x div ${dims.x}"), expr(s"y div ${dims.y}"),
+          expr(s"z div ${dims.z}")).as("morton"))
+      .distinct()
+    val incoming = CuboidCodec.fromVoxels(rows.as[VoxelRow], vt, dims)
+    val existingTouched = VersionedStore.readForKeys(spark, storeRoot, incKeys)
+    val mode = if (toBlack) MergeMode.Shave else MergeMode.Overwrite
+    val v = VersionedStore.commitDelta(
+      CuboidMerge.mergeAll(existingTouched, incoming, vt, mode), storeRoot)
+    // keep the persistent id index current (reads back the committed
+    // delta directory, so the merge plan is not recomputed)
+    if (maintainsIndex) commitIndexFor(v, full = false)
+    // a committed base write makes any built hierarchy stale
+    if (downsampleStatus == GraftDB.Downsampled)
+      setDownsampleStatus(GraftDB.NotDownsampled)
+    v
   }
 
   /** `SpatialDB.get_ids_in_region` (`spatialdb.py:924`), index-first like

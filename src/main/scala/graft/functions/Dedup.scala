@@ -411,7 +411,7 @@ object Dedup {
       buckets: Int,
       materialize: Boolean): DataFrame = {
     def mat(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(true) else df
+      if (materialize) Stages.mat(df) else df
     val spark = newDocs.sparkSession
     IndexMeta.requireParam(spark, indexPath, "k", k)
     IndexMeta.requireParam(spark, indexPath, "nh", numHashes)
@@ -711,10 +711,11 @@ object Dedup {
     // O(candidate pairs) blocks that the ContextCleaner frees once the
     // caller drops the result — instead of persist()ed, which would pin
     // it in the session's SQL cache until someone calls clearCache
-    // (round-7 verdict #3). Same for `sub`. Executor loss mid-call loses
-    // the blocks (single-JVM local mode cannot lose them); rerun the call.
-    val cand = ngramCandidates(df, idCol, textCol, n, maxDf, minShared)
-      .localCheckpoint(true)
+    // (round-7 verdict #3). Same for `sub`. Fault tolerance is the
+    // Stages.mat mode switch: local mode loses blocks with an executor
+    // (rerun the call), `reliable`/`persist` survive executor loss.
+    val cand = Stages.mat(
+      ngramCandidates(df, idCol, textCol, n, maxDf, minShared))
     // Exact verification needs the FULL gram sets (a shared gram above the
     // df cap still counts toward the intersection), but only for docs that
     // appear in some candidate pair — a semi-join (pushed below the gram
@@ -725,12 +726,11 @@ object Dedup {
     // actually fits.
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val sub = src
+    val sub = Stages.mat(src
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), garrSorted.as("garr"))
-      .select(col(idCol), col("garr"), SortedSetOps.distinctCount(col("garr")).as("ng"))
+      .select(col(idCol), col("garr"), SortedSetOps.distinctCount(col("garr")).as("ng")))
       // candidate-bounded — read by both pair sides
-      .localCheckpoint(true)
     cand
       .join(sub.select(col(idCol).as("doc_a"), col("garr").as("ga"), col("ng").as("na")), "doc_a")
       .join(sub.select(col(idCol).as("doc_b"), col("garr").as("gb"), col("ng").as("nb")), "doc_b")

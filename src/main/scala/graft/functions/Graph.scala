@@ -38,21 +38,21 @@ object Graph {
       struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager), NOT persist: each pass derives from the
-    // previous labels, so without lineage truncation the logical plan
-    // doubles per iteration — planning itself becomes the bottleneck
-    // (and eventually OOMs building plan strings). Truncating per pass
-    // is the standard shape for iterative DataFrame algorithms; swap in
-    // reliable checkpoint() against a checkpoint dir when executor loss
-    // must be recoverable mid-algorithm.
+    // Stages.matTruncating (eager), NOT bare persist: each pass derives
+    // from the previous labels, so without lineage truncation the
+    // logical plan doubles per iteration — planning itself becomes the
+    // bottleneck (and eventually OOMs building plan strings). Truncating
+    // per pass is the standard shape for iterative DataFrame algorithms;
+    // `spark.graft.materialize = reliable` swaps in reliable
+    // checkpoint() against the session's checkpoint dir when executor
+    // loss must be recoverable mid-algorithm.
     //
     // Smart init: distance-1 minima come straight off the edge list (one
     // aggregate, no join) — the first propagation pass for free.
-    var labels = edges
+    var labels = Stages.matTruncating(edges
       .groupBy(col("u").as("id"))
       .agg(min(col("v")).as("nbr"))
-      .select(col("id"), least(col("id"), col("nbr")).as("component"))
-      .localCheckpoint(true)
+      .select(col("id"), least(col("id"), col("nbr")).as("component")))
     // The convergence signal rides an ACCUMULATOR inside the checkpoint
     // materialization itself — one Spark job per pass, not two (the
     // former separate `count()` action doubled the driver round trips on
@@ -68,13 +68,12 @@ object Graph {
     var converged = false
     while (iter < maxIter && !converged) {
       changedAcc.reset()
-      val next = propagateOnce(edges, labels)
-        .select(col("id"), markChanged(col("component"), col("old")).as("component"))
-        .localCheckpoint(true)
+      val next = Stages.matTruncating(propagateOnce(edges, labels)
+        .select(col("id"), markChanged(col("component"), col("old")).as("component")))
       // the superseded round's checkpoint blocks are dead the moment
       // `next` is materialized — release them now instead of letting
       // them accumulate one labels-copy per pass in the block manager
-      releaseCheckpoint(labels)
+      Stages.release(labels)
       labels = next
       converged = changedAcc.value == 0L
       iter += 1
@@ -83,8 +82,9 @@ object Graph {
     // the RETURNED labels stay checkpointed (callers read them); those
     // final blocks are freed by the ContextCleaner when the caller drops
     // the frame. localCheckpoint blocks do not survive executor loss —
-    // swap in reliable checkpoint() against a checkpoint dir when a
-    // deployment must recover executors mid-algorithm.
+    // `spark.graft.materialize = reliable` (Stages.matTruncating) swaps
+    // in reliable checkpoint() when a deployment must recover executors
+    // mid-algorithm.
     labels
   }
 
@@ -117,16 +117,6 @@ object Graph {
         least(col("component"), coalesce(col("cc"), col("component"))).as("component"),
         col("old"))
   }
-
-  /** Unpersist the block-manager blocks behind a localCheckpoint'd frame
-    * (a checkpointed plan is a scan of a persisted RDD — find it and drop
-    * its blocks; non-blocking, safe on non-checkpointed frames).
-    */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
-      case _ => ()
-    }
 
   /** Exact connected components for an edge list whose edges NEVER span
     * `keyCol` groups — the semantic-dedup shape, where pairs only ever

@@ -490,7 +490,11 @@ object Multimodal {
   def imageDHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
+    // bytes-weighted fan-out (no-op when the source is already wide):
+    // decode cost tracks blob BYTES, so a low-split source of skewed
+    // blob sizes must split by cumulative bytes, not row count
+    Par.fanOut(df.select(col(idCol).cast("long"), col(blobCol)),
+        length(col(blobCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -742,7 +746,7 @@ object Multimodal {
       buckets: Int,
       materialize: Boolean): DataFrame = {
     def mat(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(true) else df
+      if (materialize) Stages.mat(df) else df
     requireBanding(maxHamming, numBands)
     val spark = batchHashed.sparkSession
     IndexMeta.requireParam(spark, indexPath, "bands", numBands)
@@ -810,7 +814,9 @@ object Multimodal {
   def videoFingerprint(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
+    // bytes-weighted fan-out — the imageDHash rationale
+    Par.fanOut(df.select(col(idCol).cast("long"), col(blobCol)),
+        length(col(blobCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -929,7 +935,9 @@ object Multimodal {
   def audioFingerprint(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
+    // bytes-weighted fan-out — the imageDHash rationale
+    Par.fanOut(df.select(col(idCol).cast("long"), col(blobCol)),
+        length(col(blobCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>

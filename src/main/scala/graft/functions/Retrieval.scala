@@ -62,11 +62,12 @@ object Retrieval {
     val terms: Seq[String] = qTok.map(_._2).distinct.sorted
 
     // one corpus pass: per-doc tf of each term via array HOFs
-    // (shuffle-free), materialized once via localCheckpoint — it feeds
+    // (shuffle-free), materialized once via Stages.mat — it feeds
     // BOTH the idf-model job and the returned scoring plan, and the
-    // blocks GC-release with the returned frame (a persist would either
-    // recompute the corpus pass or pin cache into the caller's session)
-    val tf = docs
+    // blocks GC-release with the returned frame (a bare persist would
+    // either recompute the corpus pass or pin cache into the caller's
+    // session)
+    val tf = Stages.mat(docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
       // cheap doc prefilter: most of a large corpus contains no query
       // term at all — one set-membership pass drops those rows before
@@ -78,8 +79,7 @@ object Retrieval {
       .withColumn("tf", aggregate(col("tk"), lit(0L),
         (acc, t) => acc + when(t === col("tok"), 1L).otherwise(0L)))
       .where(col("tf") > 0)
-      .select(col("doc_id"), col("tok"), col("tf"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("tok"), col("tf")))
 
     // the idf model: O(|terms|) rows, collected — driver-bounded by design
     val dfByTok: Map[String, Long] = tf.groupBy(col("tok")).count()

@@ -1188,11 +1188,13 @@ object Similarity {
   private def semanticResolve(
       a0: DataFrame, idCol: String, tauNum: Long, tauDen: Long): DataFrame = {
     // the assigned frame feeds the pair self-join (both sides), the
-    // component join and the pick — localCheckpoint (eager) materializes
-    // the assignment once and truncates the quantizer lineage out of
-    // every downstream plan (blocks are cleaner-managed, nothing pinned
-    // in the cache manager across a bench sweep)
-    val a = a0.localCheckpoint(true)
+    // component join and the pick — Stages.mat (eager, mode-switched:
+    // localCheckpoint locally, reliable checkpoint / persist at
+    // deployment) materializes the assignment once and truncates the
+    // quantizer lineage out of every downstream plan (blocks are
+    // cleaner-managed, nothing pinned in the cache manager across a
+    // bench sweep)
+    val a = Stages.mat(a0)
     val pairs = a.select(col(idCol).as("id_a"), col("cell"),
         col("qe").as("qa"), col("n2").as("na2"))
       .join(a.select(col(idCol).as("id_b"), col("cell"),

@@ -917,11 +917,11 @@ object TextOps {
       pDen: Int = 100): DataFrame = {
     require(0 < pLowNum && pLowNum <= pHighNum && pHighNum <= pDen,
       s"need 0 < pLow <= pHigh <= pDen: $pLowNum/$pHighNum/$pDen")
-    // eager localCheckpoint (the Graph/Retrieval convention): the scored
-    // frame is materialized ONCE and feeds both the quantile passes and
-    // the final projection; ContextCleaner reclaims the blocks when the
-    // result frame is dropped
-    val scored = bigramScored(df, idCol, textCol).localCheckpoint(true)
+    // eager Stages.mat (the Graph/Retrieval convention; deployment-safe
+    // mode switch): the scored frame is materialized ONCE and feeds both
+    // the quantile passes and the final projection; ContextCleaner
+    // reclaims the blocks when the result frame is dropped
+    val scored = Stages.mat(bigramScored(df, idCol, textCol))
     val qs = Quantiles.radixQuantiles(scored, "ppl10", Seq(pLowNum, pHighNum), pDen)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap // 2 driver rows
     if (qs.isEmpty) // no scoreable docs: every row was < 2 tokens
@@ -1954,9 +1954,8 @@ object TextOps {
     // collect inside probeSpanModel is a separate job that would
     // otherwise re-run the whole lineage before the probe plan runs it
     // again. Rows are (id, pos, wh, bs, be, hb) longs — batch-sized.
-    val wins = spanWins(spanToks(batch, idCol, textCol), idCol, L)
-      .withColumn("hb", spanBucket(b))
-      .localCheckpoint(true)
+    val wins = Stages.mat(spanWins(spanToks(batch, idCol, textCol), idCol, L)
+      .withColumn("hb", spanBucket(b)))
     val bdf = wins.groupBy(col("wh"))
       .agg(countDistinct(col(idCol)).as("bdf"))
     val flagged = wins
@@ -2000,10 +1999,9 @@ object TextOps {
     // + lead columns that column pruning removes from the lazy plan
     // (r16 stress A/B: checkpointing all six columns read 31 s vs ~18 s
     // for the 62.5k-doc batch scrub).
-    val wins = spanWins(toks, idCol, L)
+    val wins = Stages.mat(spanWins(toks, idCol, L)
       .select(col(idCol), col("pos"), col("wh"))
-      .withColumn("hb", spanBucket(b))
-      .localCheckpoint(true)
+      .withColumn("hb", spanBucket(b)))
     val bmin = wins.groupBy(col("wh"))
       .agg(min(col(idCol)).as("bmin"))
     val flagged = wins

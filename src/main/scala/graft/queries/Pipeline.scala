@@ -1444,19 +1444,18 @@ object Pipeline {
           base.where(col("doc_id") % 3 === 0)
             .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
         // cleaned feeds three consumers and f two — materialize each once
-        // (the q151 rationale; eager localCheckpoint, GC-released)
-        val cleaned = TextOps.cleanText(input, "doc_id", "text")
-          .localCheckpoint(true)
+        // (the q151 rationale; eager Stages.mat, GC-released)
+        val cleaned = graft.functions.Stages.mat(
+          TextOps.cleanText(input, "doc_id", "text"))
         val lang = TextOps.langId(cleaned, "doc_id", "text_clean")
           .select(col("doc_id"), col("pred_lang"))
         val qual = TextOps.qualityScore(
             cleaned.withColumn("n_chars", length(col("text_clean")).cast("long")),
             "doc_id", "text_clean", "n_chars")
           .select(col("doc_id"), col("score"))
-        val f = cleaned.select(col("doc_id"), col("text_clean"))
+        val f = graft.functions.Stages.mat(cleaned.select(col("doc_id"), col("text_clean"))
           .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
-          .where(col("pred_lang") =!= "und" && col("score") >= 150)
-          .localCheckpoint(true)
+          .where(col("pred_lang") =!= "und" && col("score") >= 150))
         val kept = Dedup.exactDedup(f, "doc_id", "text_clean")
         TextOps.splitAssign(
             kept.join(f.select(col("doc_id"), col("pred_lang"), col("score")), Seq("doc_id")),
@@ -1957,21 +1956,20 @@ object Pipeline {
           .select(col("doc_id"), col("text_scrubbed"))
         // the extract→scrub→clean regexp chain feeds THREE consumers
         // (lang, quality, the gate join) — materialize it once (eager
-        // localCheckpoint, ContextCleaner-released) instead of re-running
+        // Stages.mat, ContextCleaner-released) instead of re-running
         // the per-row chain under every branch; same for the gated frame
         // `f`, which both the dedup aggregate and the join-back consume
-        val cleaned = TextOps.cleanText(scrubbed, "doc_id", "text_scrubbed")
-          .localCheckpoint(true)
+        val cleaned = graft.functions.Stages.mat(
+          TextOps.cleanText(scrubbed, "doc_id", "text_scrubbed"))
         val lang = TextOps.langId(cleaned, "doc_id", "text_clean")
           .select(col("doc_id"), col("pred_lang"))
         val qual = TextOps.qualityScore(
             cleaned.withColumn("n_chars", length(col("text_clean")).cast("long")),
             "doc_id", "text_clean", "n_chars")
           .select(col("doc_id"), col("score"))
-        val f = cleaned.select(col("doc_id"), col("text_clean"))
+        val f = graft.functions.Stages.mat(cleaned.select(col("doc_id"), col("text_clean"))
           .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
-          .where(col("pred_lang") =!= "und" && col("score") >= 150)
-          .localCheckpoint(true)
+          .where(col("pred_lang") =!= "und" && col("score") >= 150))
         val kept = Dedup.exactDedup(f, "doc_id", "text_clean")
         TextOps.splitAssign(
             kept.join(f.select(col("doc_id"), col("pred_lang"), col("score")), Seq("doc_id")),
@@ -2413,10 +2411,10 @@ object Pipeline {
         // materialized once: the hash feeds BOTH the rep aggregate and the
         // join, and each consumer's inlined isnotnull(th) filter would
         // otherwise re-evaluate the whole 14-step regexp chain per row
-        val extracted = TextOps.htmlExtract(pages, "doc_id", "html")
-          .select(col("doc_id"),
-            md5(col("text_extracted").cast("binary")).as("th"))
-          .localCheckpoint(true)
+        val extracted = graft.functions.Stages.mat(
+          TextOps.htmlExtract(pages, "doc_id", "html")
+            .select(col("doc_id"),
+              md5(col("text_extracted").cast("binary")).as("th")))
         val textSide = extracted.join(
           extracted.groupBy(col("th")).agg(min(col("doc_id")).as("text_rep")), "th")
         val composed = media.join(

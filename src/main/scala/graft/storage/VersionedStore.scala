@@ -147,20 +147,38 @@ object VersionedStore {
             col("t").cast("int"), col("morton").cast("long"))
           .distinct().limit(PushdownCap + 1).collect()
         if (ks.isEmpty) return spark.emptyDataset[CuboidRow]
-        val prefilter: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-          if (ks.length > PushdownCap) identity
+        // Under the cap, the collected footprint itself becomes the
+        // broadcast side (a LocalRelation): the keys frame's lineage is
+        // never re-executed for the broadcast build — one driver collect
+        // serves both the literal pushdown and the exact semi-join.
+        val (prefilter, semiKeys): (
+            org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            org.apache.spark.sql.DataFrame) =
+          if (ks.length > PushdownCap) (identity, keys.select(keyCols.map(col): _*))
           else {
             val lks = ks.map(_.getString(0)).distinct.toSeq
             val rs = ks.map(_.getInt(1)).distinct.toSeq
             val ts = ks.map(_.getInt(2)).distinct.toSeq
             val ms = ks.map(_.getLong(3)).distinct.toSeq
-            df => df.where(
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("lookupKey",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("res",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("t",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("morton",
+                org.apache.spark.sql.types.LongType)))
+            val local = spark.createDataFrame(
+              java.util.Arrays.asList(ks: _*), schema)
+            (df => df.where(
               col("lookupKey").isin(lks: _*) && col("res").isin(rs: _*) &&
-                col("t").isin(ts: _*) && col("morton").isin(ms: _*))
+                col("t").isin(ts: _*) && col("morton").isin(ms: _*)),
+              local)
           }
         val pruned = chain.map { ver =>
           prefilter(CuboidStore.read(spark, s"$path/v$ver").toDF())
-            .join(broadcast(keys.select(keyCols.map(col): _*)), keyCols, "left_semi")
+            .join(broadcast(semiKeys), keyCols, "left_semi")
             .withColumn("__v", lit(ver))
         }.reduce(_ union _)
         val w = Window

@@ -48,26 +48,36 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, expr}
+        import graft.core.Morton
         // delta commit: the existing side is chain-read pruned to the
         // batch's cuboid keys, merged, and only those cuboids are
         // written — a micro-batch costs O(batch), not O(store), on both
-        // the read and the write side
+        // the read and the write side.
+        // The key footprint derives from the VOXELS (a narrow scan +
+        // distinct), NOT from the encoded cuboid frame: deriving it from
+        // `incoming` forced a full encode pass (groupByKey + blob build)
+        // per batch just to learn the keys, and a persist to keep the
+        // write job from paying it again. With voxel-derived keys the
+        // encode runs exactly once, inside the commit's write job, and
+        // nothing needs caching (guide §1.2 step 1: don't compute things
+        // you throw away).
         val incoming = CuboidCodec.fromVoxels(batch.as[VoxelRow], vt, dims)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val incKeys = incoming.toDF()
-            .select(col("lookupKey"), col("res"), col("t"), col("morton")).distinct()
-          val existingTouched = VersionedStore.readForKeys(spark, storePath, incKeys)
-          val delta = CuboidMerge.mergeAll(existingTouched, incoming, vt, mode)
-          val v = VersionedStore.commitDelta(delta, storePath)
-          // bounded-chain policy: every `compactEvery` commits, fold the
-          // chain into a full snapshot so read cost stays O(1) versions —
-          // the table-format compaction job, inlined into the drain
-          if (compactEvery > 0 && v > 0 && (v + 1) % compactEvery == 0)
-            VersionedStore.compact(spark, storePath)
-          ()
-        } finally { incoming.unpersist(); () }
+        val incKeys = batch
+          .select(col("lookupKey"), col("res"), col("t").cast("int").as("t"),
+            Morton.morton_encode(
+              expr(s"x div ${dims.x}"), expr(s"y div ${dims.y}"),
+              expr(s"z div ${dims.z}")).as("morton"))
+          .distinct()
+        val existingTouched = VersionedStore.readForKeys(spark, storePath, incKeys)
+        val delta = CuboidMerge.mergeAll(existingTouched, incoming, vt, mode)
+        val v = VersionedStore.commitDelta(delta, storePath)
+        // bounded-chain policy: every `compactEvery` commits, fold the
+        // chain into a full snapshot so read cost stays O(1) versions —
+        // the table-format compaction job, inlined into the drain
+        if (compactEvery > 0 && v > 0 && (v + 1) % compactEvery == 0)
+          VersionedStore.compact(spark, storePath)
+        ()
       }
       .start()
     query.awaitTermination()

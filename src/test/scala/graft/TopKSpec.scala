@@ -72,6 +72,47 @@ class TopKSpec extends AnyFunSuite {
     assert(got == want && got.size == 10000)
   }
 
+  test("spill path: keys ≈ rows at 1M+ under a tiny threshold spills, no OOM, window-exact output") {
+    import spark.implicits._
+    // 1.2M rows, 600k keys of 2 rows each — the degenerate shape where
+    // retained state approaches a copy of the partition. A 256 KiB
+    // per-task threshold forces many spill cycles; the merged output
+    // must equal the window form exactly (compared via count + an
+    // order-insensitive checksum, not a 600k-row driver collect).
+    spark.conf.set("spark.graft.topk.spill.threshold.bytes", (256 * 1024).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // walkable executed plan
+    try {
+      val df = spark.range(1200000L)
+        .select((col("id") / 2).cast("long").as("key"),
+          (col("id") % 7).as("score"), col("id"))
+      val q = TopK.perKey(df, Seq("key"), Seq(("score", true), ("id", false)), 1)
+      val gotSum = q.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("key"), col("score"), col("id"), col("rk"))).as("h"))
+        .collect().head
+      val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+      val wantSum = df.withColumn("rk", row_number().over(w).cast("long"))
+        .where($"rk" <= 1)
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("key"), col("score"), col("id"), col("rk"))).as("h"))
+        .collect().head
+      assert(gotSum == wantSum)
+      assert(gotSum.getLong(0) == 600000L)
+      // the run REALLY spilled (metrics are accumulators — visible after
+      // the action); rerun the plan to read its own exec node's metrics
+      val q2 = TopK.perKey(df, Seq("key"), Seq(("score", true), ("id", false)), 1)
+      q2.queryExecution.toRdd.count()
+      val exec = q2.queryExecution.executedPlan.collectFirst {
+        case g: graft.plans.GroupedTopKExec => g
+      }.get
+      assert(exec.metrics("numSpills").value > 0, "expected the tiny threshold to force spills")
+      assert(exec.metrics("spilledRows").value > 0)
+    } finally {
+      spark.conf.unset("spark.graft.topk.spill.threshold.bytes")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("WindowTopKRewrite: the plain row_number SQL idiom plans as the bounded heap") {
     // expected result computed in Scala — the session-global rewrite is
     // installed before any comparison query could run through WindowExec
